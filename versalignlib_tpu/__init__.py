@@ -1,0 +1,47 @@
+"""versalignlib_tpu — a TPU-native pairwise sequence-alignment framework.
+
+A from-scratch rebuild of the capabilities of ``t-neumann/versalignLib``
+(Smith-Waterman local and semi-global "Needleman-Wunsch" alignment, batched
+scoring and full-traceback alignment, pluggable kernel backends, FASTA
+ingestion, benchmarking) designed TPU-first:
+
+- the DP matrix fill is a Pallas kernel vectorized across pairs on the VPU
+  (replacing the reference's SSE2/AVX2 lanes and OpenCL work items,
+  /root/reference/src/Kernels/AVX-SSE/SSEKernel.h:24,
+  /root/reference/src/Kernels/OpenCL/opencl_c/opencl_definitions.cl:47);
+- a pure-XLA ``lax.scan`` backend serves as the portable reference kernel
+  (replacing the reference's scalar OpenMP DefaultKernel,
+  /root/reference/src/Kernels/default/DefaultKernel.cpp);
+- backends register in a dispatcher keyed by (algorithm, mode), replacing the
+  reference's dlopen'd shared objects (/root/reference/src/util/versalignUtil.cpp:35-76);
+- batches scale over a multi-chip ``jax.sharding.Mesh`` data-parallel layout
+  (the reference is single-node OpenMP only).
+"""
+
+from versalignlib_tpu.params import AlignmentParameters, DEFAULT_PARAMETERS
+from versalignlib_tpu.types import Algorithm, Alignment, TieBreak
+from versalignlib_tpu.alphabet import encode, decode, pad_and_encode
+from versalignlib_tpu.dispatch import (
+    AlignmentEngine,
+    available_backends,
+    get_backend,
+    register_backend,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AlignmentParameters",
+    "DEFAULT_PARAMETERS",
+    "Algorithm",
+    "Alignment",
+    "TieBreak",
+    "AlignmentEngine",
+    "available_backends",
+    "get_backend",
+    "register_backend",
+    "encode",
+    "decode",
+    "pad_and_encode",
+    "__version__",
+]

@@ -1,0 +1,112 @@
+"""Sequence encoding: ASCII bases -> small integer codes.
+
+Replicates the reference's 256-entry ``char_to_score`` table
+(/root/reference/src/Kernels/default/DefaultKernel.h:43-60): case-insensitive
+A->1, T->2, C->3, G->4, N->5, everything else (including the ``'\\0'`` used for
+batch padding) -> 0. Codes 0 and 5 score zero against everything
+(DefaultKernel.h:83-96), so code 0 doubles as the padding sentinel.
+
+On TPU we never gather through a table inside a kernel; the 6x6 substitution
+matrix collapses to arithmetic on codes (see :func:`substitution_scores`):
+
+    valid = (1 <= a <= 4) & (1 <= b <= 4)
+    sub   = valid * (a == b ? match : mismatch)
+
+which is exact because rows/cols 0 and 5 of ``base_score`` are all-zero and
+the 1..4 block is match on the diagonal, mismatch elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+#: Number of distinct codes (matches SCORE_CASE, DefaultKernel.h:27).
+NUM_CODES = 6
+#: Code for padding / non-ACGTN characters.
+INVALID = 0
+#: Code for the ambiguous base N (scores zero but is NOT padding).
+N_CODE = 5
+
+_CHAR_TO_CODE = np.zeros(256, dtype=np.uint8)
+for _ch, _code in (("A", 1), ("T", 2), ("C", 3), ("G", 4), ("N", 5)):
+    _CHAR_TO_CODE[ord(_ch)] = _code
+    _CHAR_TO_CODE[ord(_ch.lower())] = _code
+
+_CODE_TO_CHAR = np.frombuffer(b"\0ATCGN", dtype=np.uint8).copy()
+
+
+def char_to_code_table() -> np.ndarray:
+    """The full 256-entry lookup table (read-only copy)."""
+    return _CHAR_TO_CODE.copy()
+
+
+def encode(seq: str | bytes) -> np.ndarray:
+    """Encode one sequence to a uint8 code array."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii", errors="replace")
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    return _CHAR_TO_CODE[raw]
+
+
+def decode(codes: np.ndarray) -> str:
+    """Decode a code array back to characters (padding -> '\\0' stripped)."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    chars = _CODE_TO_CHAR[np.clip(codes, 0, NUM_CODES - 1)]
+    return chars.tobytes().rstrip(b"\0").decode("ascii")
+
+
+def pad_and_encode(
+    seqs: Sequence[str | bytes], length: int | None = None
+) -> np.ndarray:
+    """Encode a batch, padding every sequence with code 0 to a uniform length.
+
+    Mirrors the reference's ``pad()`` which pads with ``'\\0'`` to the batch
+    max length (/root/reference/src/util/versalignUtil.cpp:17-33); padding
+    scores zero in the DP, so uneven batches are handled exactly like the
+    reference's tail-batch fill-up (SSEKernel.cpp:84-128).
+
+    Returns a ``(n, length)`` uint8 array.
+    """
+    encoded = [encode(s) for s in seqs]
+    maxlen = max((e.size for e in encoded), default=0)
+    if length is None:
+        length = maxlen
+    elif length < maxlen:
+        raise ValueError(f"length={length} < longest sequence ({maxlen})")
+    out = np.zeros((len(encoded), length), dtype=np.uint8)
+    for i, e in enumerate(encoded):
+        out[i, : e.size] = e
+    return out
+
+
+def base_score_matrix(score_match: int, score_mismatch: int) -> np.ndarray:
+    """The 6x6 substitution matrix (DefaultKernel.h:83-96), int32."""
+    m = np.full((NUM_CODES, NUM_CODES), score_mismatch, dtype=np.int32)
+    np.fill_diagonal(m, score_match)
+    m[INVALID, :] = 0
+    m[:, INVALID] = 0
+    m[N_CODE, :] = 0
+    m[:, N_CODE] = 0
+    return m
+
+
+def substitution_scores(
+    read_codes, ref_codes, score_match: int, score_mismatch: int
+):
+    """Vectorized substitution score without a gather.
+
+    Works for numpy and jax arrays alike; broadcasting applies. Exactly
+    equivalent to ``base_score[read_code][ref_code]``.
+    """
+    a = read_codes.astype(np.int32) if hasattr(read_codes, "astype") else read_codes
+    b = ref_codes.astype(np.int32) if hasattr(ref_codes, "astype") else ref_codes
+    valid = is_valid_base(a) & is_valid_base(b)
+    sub = np.where(a == b, np.int32(score_match), np.int32(score_mismatch))
+    return np.where(valid, sub, np.int32(0))
+
+
+def is_valid_base(codes):
+    """True for A/T/C/G codes (1..4); False for padding (0) and N (5)."""
+    return (codes >= 1) & (codes <= 4)
