@@ -61,12 +61,25 @@ def brute_sw_pointers(read, ref, p: AlignmentParameters, tie: TieBreak):
             left = h[i][j - 1] + p.score_gap_read
             cur = max(up, left, diag, 0)
             h[i][j] = cur
-            if cur == 0:
-                pv = Trace.START
-            elif tie == TieBreak.DIAG_UP_LEFT:
-                pv = Trace.DIAG if cur == diag else (Trace.UP if cur == up else Trace.LEFT)
-            else:
-                pv = Trace.DIAG if cur == diag else (Trace.LEFT if cur == left else Trace.UP)
+            vc = 1 <= read[i - 1] <= 4 and 1 <= ref[j - 1] <= 4
+            if tie == TieBreak.DIAG_UP_LEFT:
+                if cur == 0:
+                    pv = Trace.START
+                elif cur == diag:
+                    pv = Trace.DIAG
+                elif cur == up:
+                    pv = Trace.UP
+                else:
+                    pv = Trace.LEFT
+            else:  # SSE flavor: DIAG needs valid bases; no START force at 0
+                if cur == diag and vc:
+                    pv = Trace.DIAG
+                elif cur == left:
+                    pv = Trace.LEFT
+                elif cur == up:
+                    pv = Trace.UP
+                else:
+                    pv = Trace.START
             ptr[i][j] = pv
             if cur > best:
                 best, bi, bj = cur, i - 1, j - 1
@@ -84,7 +97,11 @@ def brute_nw_pointers(read, ref, p: AlignmentParameters, tie: TieBreak):
     max_ref_pos = n - 1
     global_row_max_index = -1
     row_max_index = 0
-    valid = lambda c: 1 <= c <= 4
+    # Boundary validity: Default counts N (code 5) as valid; SSE does not.
+    if tie == TieBreak.DIAG_UP_LEFT:
+        valid = lambda c: c != 0
+    else:
+        valid = lambda c: 1 <= c <= 4
     for i in range(1, m + 1):
         read_pos = i - 1
         h[i][0] = i * p.score_gap_ref
@@ -102,10 +119,18 @@ def brute_nw_pointers(read, ref, p: AlignmentParameters, tie: TieBreak):
             left = h[i][j - 1] + p.score_gap_read
             cur = max(up, left, diag)
             h[i][j] = cur
+            vc = 1 <= read[read_pos] <= 4 and 1 <= ref[ref_pos] <= 4
             if tie == TieBreak.DIAG_UP_LEFT:
                 pv = Trace.DIAG if cur == diag else (Trace.UP if cur == up else Trace.LEFT)
             else:
-                pv = Trace.DIAG if cur == diag else (Trace.LEFT if cur == left else Trace.UP)
+                if cur == diag and vc:
+                    pv = Trace.DIAG
+                elif cur == left:
+                    pv = Trace.LEFT
+                elif cur == up:
+                    pv = Trace.UP
+                else:
+                    pv = Trace.START
             ptr[i][j] = pv
             if max_ref_pos == n - 1 and not valid(ref[ref_pos]):
                 max_ref_pos = ref_pos - 1

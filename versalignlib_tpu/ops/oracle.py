@@ -119,6 +119,7 @@ def nw_score(read: np.ndarray, ref: np.ndarray, p: AlignmentParameters) -> int:
 def _pointers(
     h: np.ndarray,
     sub: np.ndarray,
+    valid_comp: np.ndarray,
     p: AlignmentParameters,
     *,
     local: bool,
@@ -126,9 +127,13 @@ def _pointers(
 ) -> np.ndarray:
     """Pointer matrix (same shape as h; row/col 0 = START).
 
-    Equivalent to the reference's in-loop if/else chains: Default SW
-    (DefaultKernel.cpp:238-248) and NW (:338-346). Priority order is the
-    tie-break; for DIAG_UP_LEFT that is START(SW@0) > DIAG > UP > LEFT.
+    Equivalent to the reference's in-loop pointer selection. Flavors:
+
+    - DIAG_UP_LEFT (Default, DefaultKernel.cpp:238-248/:338-346): if/else
+      chain START(SW@0) > DIAG > UP > LEFT; DIAG unconditional.
+    - DIAG_LEFT_UP (SSE, SSEKernel.cpp:364-379): max-of-codes
+      DIAG(3) > LEFT(2) > UP(1), DIAG only where both bases are A/C/G/T
+      (``valid_comp``), no START force at zero SW cells.
     """
     m, n = h.shape
     ptr = np.zeros((m, n), dtype=np.uint8)
@@ -147,10 +152,11 @@ def _pointers(
 
     if tie == TieBreak.DIAG_UP_LEFT:
         out = np.where(is_diag, Trace.DIAG, np.where(is_up, Trace.UP, np.where(is_left, Trace.LEFT, Trace.START))).astype(np.uint8)
-    else:  # DIAG > LEFT > UP (SSE/AVX order, SSEKernel.cpp:364-379)
+        if local:
+            out = np.where(cur == 0, np.uint8(Trace.START), out)
+    else:
+        is_diag = is_diag & valid_comp
         out = np.where(is_diag, Trace.DIAG, np.where(is_left, Trace.LEFT, np.where(is_up, Trace.UP, Trace.START))).astype(np.uint8)
-    if local:
-        out = np.where(cur == 0, np.uint8(Trace.START), out)
     ptr[1:, 1:] = out
     if not local:
         # NW traceback variant: column 0 pointers are UP (DefaultKernel.cpp:304).
@@ -162,6 +168,13 @@ def _pointers(
 # Full alignment (traceback) paths
 # ---------------------------------------------------------------------------
 
+def _text_from_codes(codes: np.ndarray) -> str:
+    """Fallback rendering of a code array when the original characters are
+    unavailable: A/T/C/G/N for codes 1-5, '\0' for code 0."""
+    table = "\0ATCGN"
+    return "".join(table[int(c)] if 0 <= int(c) <= 5 else "\0" for c in codes)
+
+
 def _traceback(
     read: np.ndarray,
     ref: np.ndarray,
@@ -169,10 +182,20 @@ def _traceback(
     start_read_pos: int,
     start_ref_pos: int,
     score: int,
+    read_text: str | None = None,
+    ref_text: str | None = None,
 ) -> Alignment:
     """Walk pointers from (start_read_pos, start_ref_pos) until START,
-    emitting gapped strings exactly like DefaultKernel.cpp:413-451."""
-    from versalignlib_tpu.alphabet import decode
+    emitting gapped strings exactly like DefaultKernel.cpp:413-451.
+
+    The reference emits the ORIGINAL input characters (case preserved); pass
+    ``read_text``/``ref_text`` for bit-identical output when the caller still
+    has them (codes alone lose case and non-ACGTN identity).
+    """
+    if read_text is None:
+        read_text = _text_from_codes(read)
+    if ref_text is None:
+        ref_text = _text_from_codes(ref)
 
     aln_length = read.size + ref.size
     read_chars: list[str] = []
@@ -184,16 +207,16 @@ def _traceback(
         if bt == Trace.START:
             break
         if bt == Trace.UP:
-            read_chars.append(decode(read[rp : rp + 1]) or "\0")
+            read_chars.append(read_text[rp])
             ref_chars.append("-")
             rp -= 1
         elif bt == Trace.LEFT:
             read_chars.append("-")
-            ref_chars.append(decode(ref[fp : fp + 1]) or "\0")
+            ref_chars.append(ref_text[fp])
             fp -= 1
         else:  # DIAG
-            read_chars.append(decode(read[rp : rp + 1]) or "\0")
-            ref_chars.append(decode(ref[fp : fp + 1]) or "\0")
+            read_chars.append(read_text[rp])
+            ref_chars.append(ref_text[fp])
             rp -= 1
             fp -= 1
         steps += 1
@@ -222,16 +245,19 @@ def sw_align(
     ref: np.ndarray,
     p: AlignmentParameters,
     tie: TieBreak = TieBreak.DIAG_UP_LEFT,
+    read_text: str | None = None,
+    ref_text: str | None = None,
 ) -> Alignment:
     """SW full alignment (DefaultKernel.cpp:204-280, 391-456)."""
     read = np.asarray(read, dtype=np.int32)
     ref = np.asarray(ref, dtype=np.int32)
     h = _fill_matrix(read, ref, p, local=True, col0_penalty=False)
     sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch)
-    ptr = _pointers(h, sub, p, local=True, tie=tie)
+    valid_comp = is_valid_base(read)[:, None] & is_valid_base(ref)[None, :]
+    ptr = _pointers(h, sub, valid_comp, p, local=True, tie=tie)
     inner = h[1:, 1:]
     if inner.size == 0:
-        return _traceback(read, ref, ptr, -1, -1, 0)
+        return _traceback(read, ref, ptr, -1, -1, 0, read_text, ref_text)
     # Reference tracks "cur > max_score" in row-major order with max_score
     # starting at 0 (DefaultKernel.cpp:252-256). Cells are clamped >= 0, so
     # np.argmax's first-occurrence-of-max is exactly that scan (equal cells
@@ -239,7 +265,7 @@ def sw_align(
     flat = int(np.argmax(inner))
     best_read, best_ref = divmod(flat, inner.shape[1])
     score = int(inner[best_read, best_ref])
-    return _traceback(read, ref, ptr, best_read, best_ref, score)
+    return _traceback(read, ref, ptr, best_read, best_ref, score, read_text, ref_text)
 
 
 def nw_align(
@@ -247,6 +273,8 @@ def nw_align(
     ref: np.ndarray,
     p: AlignmentParameters,
     tie: TieBreak = TieBreak.DIAG_UP_LEFT,
+    read_text: str | None = None,
+    ref_text: str | None = None,
 ) -> Alignment:
     """NW (semi-global) full alignment (DefaultKernel.cpp:282-389, 458-525).
 
@@ -259,10 +287,18 @@ def nw_align(
     m, n = read.size, ref.size
     h = _fill_matrix(read, ref, p, local=False, col0_penalty=True)
     sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch)
-    ptr = _pointers(h, sub, p, local=False, tie=tie)
+    valid_comp = is_valid_base(read)[:, None] & is_valid_base(ref)[None, :]
+    ptr = _pointers(h, sub, valid_comp, p, local=False, tie=tie)
 
-    read_valid = is_valid_base(read)
-    ref_valid = is_valid_base(ref)
+    # End-cell validity tracking: the Default kernel counts N as valid
+    # (char_to_score != 0, DefaultKernel.cpp:308,348) while SSE counts only
+    # A/C/G/T (SSEKernel.cpp:515-527,676-681).
+    if tie == TieBreak.DIAG_UP_LEFT:
+        read_valid = read != 0
+        ref_valid = ref != 0
+    else:
+        read_valid = is_valid_base(read)
+        ref_valid = is_valid_base(ref)
     # max_read_pos: position before the first invalid read char (or m-1).
     invalid_reads = np.flatnonzero(~read_valid)
     max_read_pos = int(invalid_reads[0]) - 1 if invalid_reads.size else m - 1
@@ -293,7 +329,7 @@ def nw_align(
     best_ref = min(max_ref_pos, global_row_max_index)
     start_rp, start_fp = max_read_pos, best_ref
     score = int(h[start_rp + 1, start_fp + 1]) if start_rp >= -1 and start_fp >= -1 else 0
-    return _traceback(read, ref, ptr, start_rp, start_fp, score)
+    return _traceback(read, ref, ptr, start_rp, start_fp, score, read_text, ref_text)
 
 
 # ---------------------------------------------------------------------------

@@ -28,13 +28,21 @@ class Algorithm(enum.IntEnum):
 
 
 class TieBreak(enum.IntEnum):
-    """Traceback pointer priority on score ties.
+    """Traceback pointer flavor (priority on ties + backend-specific rules).
 
     The reference backends disagree (scores agree, tracebacks on ties may
-    not): Default/OpenCL use DIAG > UP > LEFT
-    (DefaultKernel.cpp:240-248, alignment_kernels.cl:106-112); SSE/AVX use
-    DIAG > LEFT > UP (SSEKernel.cpp:364-379). The canonical default is the
-    majority order DIAG > UP > LEFT.
+    not). Each enum value selects the complete pointer semantics of a
+    reference backend family:
+
+    - ``DIAG_UP_LEFT`` (canonical; Default + OpenCL backends): priority
+      DIAG > UP > LEFT, SW cells equal to 0 get START
+      (DefaultKernel.cpp:240-248, alignment_kernels.cl:106-112), and N bases
+      count as *valid* for the NW end-cell tracking (``char_to_score != 0``,
+      DefaultKernel.cpp:308,348).
+    - ``DIAG_LEFT_UP`` (SSE/AVX backends): priority DIAG > LEFT > UP via
+      max-of-codes, DIAG only when both bases are A/C/G/T, no START force at
+      zero SW cells, and N counts as *invalid* for NW end-cell tracking
+      (SSEKernel.cpp:364-379,515-527,597-611).
     """
 
     DIAG_UP_LEFT = 0  # canonical (Default + OpenCL backends)
