@@ -5,12 +5,19 @@ Must run before any jax import (hence module-level, in conftest).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The environment's sitecustomize registers the axon TPU plugin and overrides
+# the platform selection regardless of JAX_PLATFORMS; force CPU explicitly so
+# tests never ride the (single-tenant) TPU tunnel.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,50 @@
+"""Public API: AlignmentEngine end-to-end over raw strings."""
+
+import numpy as np
+import pytest
+
+import versalignlib_tpu as val
+from versalignlib_tpu import Algorithm, AlignmentEngine, AlignmentParameters
+
+
+def test_engine_score_and_align_strings():
+    engine = AlignmentEngine(backend="xla")
+    reads = ["ACGTACGT", "TTTT", "acgt"]
+    refs = ["ACGTACGT", "GGGGTTTTGGGG", "ACGT"]
+    scores = engine.score_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+    np.testing.assert_array_equal(scores, [16, 8, 8])
+    alns = engine.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+    assert alns[0].cigar == "8M"
+    assert alns[1].read == "TTTT"
+    assert alns[1].ref == "TTTT"
+
+
+def test_engine_validates_counts():
+    engine = AlignmentEngine(backend="oracle")
+    with pytest.raises(ValueError):
+        engine.score_alignments(Algorithm.SMITH_WATERMAN, ["ACGT"], ["ACGT", "ACGT"])
+
+
+def test_engine_backend_registry():
+    assert "oracle" in val.available_backends()
+    assert "xla" in val.available_backends()
+    with pytest.raises(KeyError):
+        val.get_backend("nonexistent")
+
+
+def test_engine_auto_backend():
+    engine = AlignmentEngine(backend="auto")
+    # auto must pick something that works
+    scores = engine.score_alignments(Algorithm.NEEDLEMAN_WUNSCH, ["ACGT"], ["TTACGT"])
+    assert scores[0] == 8
+
+
+def test_params_interface():
+    p = AlignmentParameters()
+    assert p.param_int("score_match") == 2
+    assert p.has_key("score_gap_read")
+    assert not p.has_key("bogus")
+    with pytest.raises(KeyError):
+        p.param_int("bogus")
+    with pytest.raises(ValueError):
+        AlignmentParameters(score_gap_read=1)

@@ -1,0 +1,248 @@
+"""Pure-XLA (jax.jit) alignment kernels — the portable reference backend.
+
+Batched DP over pairs: ``lax.scan`` over read rows; within a row the left
+dependency ``H[i,j] = max(T[j], H[i,j-1]+gap_read)`` is resolved with the
+exact prefix-max identity
+
+    H[i,j] = gap_read*j + cummax_j(T[j] - gap_read*j)
+
+so each scan step is fully vectorized over (batch, ref_len) — the XLA
+equivalent of the reference's inter-pair SIMD lanes (SSEKernel.cpp:269-318)
+with the row turned data-parallel instead of sequential.
+
+This backend runs anywhere XLA runs (CPU mesh tests, TPU) and is the oracle
+for the Pallas kernels at full batch sizes. Semantics are bit-identical to
+the reference (gated by tests/test_golden.py through the numpy oracle and by
+tests/test_xla.py directly).
+
+Compile-time specialization: ``params``, algorithm, and tie-break are static
+jit arguments — the analogue of the reference OpenCL backend baking scores
+and lengths into ``-D`` defines (OpenCLKernel.cpp:401-411).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from versalignlib_tpu.ops import traceback as tb
+from versalignlib_tpu.params import AlignmentParameters
+from versalignlib_tpu.types import Algorithm, Alignment, TieBreak, Trace
+
+
+def _sub_row(read_col, refs, match, mismatch):
+    """Substitution scores of one read column vs all ref positions.
+
+    read_col: (B, 1) int32; refs: (B, n) int32 -> (B, n) int32.
+    """
+    valid = ((read_col >= 1) & (read_col <= 4)) & ((refs >= 1) & (refs <= 4))
+    sub = jnp.where(read_col == refs, jnp.int32(match), jnp.int32(mismatch))
+    return jnp.where(valid, sub, jnp.int32(0))
+
+
+def _row_solve(t_full, gap_read):
+    """Exact prefix-max resolution of the within-row dependency.
+
+    t_full: (B, n+1) with t_full[:, 0] = column-0 boundary value.
+    """
+    n1 = t_full.shape[1]
+    j = jnp.arange(n1, dtype=jnp.int32)[None, :]
+    adj = t_full - gap_read * j
+    return jax.lax.cummax(adj, axis=1) + gap_read * j
+
+
+# ---------------------------------------------------------------------------
+# Score-only kernels
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("params", "algorithm"))
+def score_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm):
+    """Batched scores. reads (B, m), refs (B, n) uint8 codes -> (B,) int32."""
+    reads = reads.astype(jnp.int32)
+    refs = refs.astype(jnp.int32)
+    b, n = refs.shape
+    local = algorithm == Algorithm.SMITH_WATERMAN
+    gap_ref = jnp.int32(params.score_gap_ref)
+    gap_read = params.score_gap_read
+
+    def body(carry, read_col):
+        prev, best = carry  # prev: (B, n+1) H row; best: (B,)
+        sub = _sub_row(read_col[:, None], refs, params.score_match, params.score_mismatch)
+        t = jnp.maximum(prev[:, :-1] + sub, prev[:, 1:] + gap_ref)
+        if local:
+            t = jnp.maximum(t, 0)
+        t_full = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), t], axis=1)
+        h = _row_solve(t_full, gap_read)
+        if local:
+            best = jnp.maximum(best, jnp.max(h, axis=1))
+        else:
+            # NW overlap score: max over the LAST column of every row
+            # (DefaultKernel.cpp:177); the final-row max is added after.
+            best = jnp.maximum(best, h[:, -1])
+        return (h, best), None
+
+    init = (jnp.zeros((b, n + 1), jnp.int32), jnp.zeros((b,), jnp.int32))
+    (h_last, best), _ = jax.lax.scan(body, init, reads.T)
+    if not local:
+        best = jnp.maximum(best, jnp.max(h_last, axis=1))
+        best = jnp.maximum(best, 0)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# Alignment kernels: pointer matrix + traceback start cell
+# ---------------------------------------------------------------------------
+
+def _pointer_row(cur, diag, up, left, valid_comp, local, tie: TieBreak):
+    """Vectorized pointer selection for one row (all (B, n) arrays)."""
+    is_diag = cur == diag
+    is_up = cur == up
+    is_left = cur == left
+    d, u, l, s = (jnp.uint8(Trace.DIAG), jnp.uint8(Trace.UP),
+                  jnp.uint8(Trace.LEFT), jnp.uint8(Trace.START))
+    if tie == TieBreak.DIAG_UP_LEFT:
+        out = jnp.where(is_diag, d, jnp.where(is_up, u, jnp.where(is_left, l, s)))
+        if local:
+            out = jnp.where(cur == 0, s, out)
+    else:
+        is_diag = is_diag & valid_comp
+        out = jnp.where(is_diag, d, jnp.where(is_left, l, jnp.where(is_up, u, s)))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("params", "algorithm", "tie"))
+def align_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm,
+                tie: TieBreak = TieBreak.DIAG_UP_LEFT):
+    """Batched pointer-matrix fill.
+
+    Returns (ptr, start_read_pos, start_ref_pos, best_score):
+      ptr: (B, m, n) uint8 inner pointer matrix
+      start_*: (B,) int32 traceback start cell (reference best_coordinates)
+      best_score: (B,) int32 (SW: global max; NW: score at the start cell)
+    """
+    reads = reads.astype(jnp.int32)
+    refs = refs.astype(jnp.int32)
+    b, m = reads.shape
+    n = refs.shape[1]
+    local = algorithm == Algorithm.SMITH_WATERMAN
+    gap_ref = jnp.int32(params.score_gap_ref)
+    gap_read = params.score_gap_read
+    ref_valid = (refs >= 1) & (refs <= 4)
+
+    def body(carry, x):
+        i, read_col = x
+        prev, best_score, best_i, best_j = carry
+        sub = _sub_row(read_col[:, None], refs, params.score_match, params.score_mismatch)
+        up_v = prev[:, 1:] + gap_ref
+        diag_v = prev[:, :-1] + sub
+        t = jnp.maximum(diag_v, up_v)
+        if local:
+            t = jnp.maximum(t, 0)
+            col0 = jnp.zeros((b, 1), jnp.int32)
+        else:
+            # NW traceback variant penalizes column 0 (DefaultKernel.cpp:305).
+            col0 = jnp.full((b, 1), (i + 1), jnp.int32) * gap_ref
+        t_full = jnp.concatenate([col0, t], axis=1)
+        h = _row_solve(t_full, gap_read)
+        cur = h[:, 1:]
+        left_v = h[:, :-1] + gap_read
+        valid_comp = ((read_col[:, None] >= 1) & (read_col[:, None] <= 4)) & ref_valid
+        ptr_row = _pointer_row(cur, diag_v, up_v, left_v, valid_comp, local, tie)
+
+        if local:
+            row_max = jnp.max(cur, axis=1)
+            row_arg = jnp.argmax(cur, axis=1).astype(jnp.int32)
+            upd = row_max > best_score
+            best_score = jnp.where(upd, row_max, best_score)
+            best_i = jnp.where(upd, i, best_i)
+            best_j = jnp.where(upd, row_arg, best_j)
+        else:
+            # Per-row argmax with the reference's boundary-seeded strict scan
+            # (rowMax starts at the column-0 value with index 0,
+            # DefaultKernel.cpp:317-318,352-355).
+            row_max = jnp.max(cur, axis=1)
+            row_arg = jnp.where(
+                row_max > h[:, 0], jnp.argmax(cur, axis=1).astype(jnp.int32), 0
+            )
+            best_j = row_arg  # reused as the per-row index emission
+        out_row = (ptr_row, best_j) if not local else ptr_row
+        return (h, best_score, best_i, best_j), out_row
+
+    init = (
+        jnp.zeros((b, n + 1), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+    )
+    xs = (jnp.arange(m, dtype=jnp.int32), reads.T)
+    (h_last, best_score, best_i, best_j), ys = jax.lax.scan(body, init, xs)
+
+    if local:
+        ptr = jnp.transpose(ys, (1, 0, 2))  # (B, m, n)
+        return ptr, best_i, best_j, best_score
+
+    ptr_rows, row_args = ys  # (m, B, n), (m, B)
+    ptr = jnp.transpose(ptr_rows, (1, 0, 2))
+    # Boundary validity flavor: Default counts N valid; SSE only A/C/G/T.
+    if tie == TieBreak.DIAG_UP_LEFT:
+        read_invalid = reads == 0
+        ref_invalid = refs == 0
+    else:
+        read_invalid = ~((reads >= 1) & (reads <= 4))
+        ref_invalid = ~ref_valid
+    any_r = jnp.any(read_invalid, axis=1)
+    first_r = jnp.argmax(read_invalid, axis=1).astype(jnp.int32)
+    max_read_pos = jnp.where(any_r, first_r - 1, m - 1)
+    any_f = jnp.any(ref_invalid, axis=1)
+    first_f = jnp.argmax(ref_invalid, axis=1).astype(jnp.int32)
+    max_ref_pos = jnp.where(any_f, first_f - 1, n - 1)
+    # globalRowMaxIndex: per-row argmax of the last valid row; 0 if the read
+    # starts invalid (rowMaxIndex's initial value, DefaultKernel.cpp:299,313).
+    gri = jnp.where(
+        max_read_pos >= 0,
+        jnp.take_along_axis(row_args.T, jnp.maximum(max_read_pos, 0)[:, None], axis=1)[:, 0],
+        0,
+    )
+    start_ref = jnp.minimum(max_ref_pos, gri)
+    # NW score at the start cell is reconstructed host-side during decode.
+    return ptr, max_read_pos, start_ref, jnp.zeros((b,), jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Backend adapter
+# ---------------------------------------------------------------------------
+
+class XLABackend:
+    """Dispatcher-facing adapter around the jit kernels."""
+
+    name = "xla"
+    #: pairs per device batch for the align path (bounds pointer-matrix HBM)
+    align_chunk = 256
+
+    def is_available(self) -> bool:
+        return True
+
+    def score_alignments(self, algorithm, reads, refs, params):
+        out = score_batch(jnp.asarray(reads), jnp.asarray(refs), params, Algorithm(algorithm))
+        return np.asarray(out, dtype=np.int32)
+
+    def compute_alignments(self, algorithm, reads, refs, params, tie):
+        algorithm = Algorithm(algorithm)
+        results: list[Alignment] = []
+        for lo in range(0, reads.shape[0], self.align_chunk):
+            r = jnp.asarray(reads[lo : lo + self.align_chunk])
+            f = jnp.asarray(refs[lo : lo + self.align_chunk])
+            ptr, start_r, start_f, best = align_batch(r, f, params, algorithm, tie)
+            results.extend(
+                tb.decode_batch(
+                    np.asarray(ptr), reads[lo : lo + self.align_chunk],
+                    refs[lo : lo + self.align_chunk],
+                    np.asarray(start_r), np.asarray(start_f),
+                    params, algorithm,
+                    np.asarray(best) if algorithm == Algorithm.SMITH_WATERMAN else None,
+                )
+            )
+        return results
