@@ -1,0 +1,45 @@
+"""Dispatcher backend wiring the Pallas TPU kernels.
+
+Score path: Pallas interpair kernel (pallas_score.py). Align path: Pallas
+pointer-matrix kernel when available, else the XLA scan kernel — both decode
+on host (ops/traceback.py), mirroring the reference split between device DP
+fill and scalar backtrack (SSEKernel.cpp:785-860).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from versalignlib_tpu.ops.pallas_score import PallasScorer, _is_tpu
+from versalignlib_tpu.params import AlignmentParameters
+from versalignlib_tpu.types import Algorithm, TieBreak
+
+
+class PallasBackend:
+    name = "pallas"
+
+    def __init__(self, interpret: bool | None = None):
+        self._scorer = PallasScorer(interpret=interpret)
+        self._xla = None
+
+    def is_available(self) -> bool:
+        # Compiled on TPU; interpreter mode anywhere (slow — test use only).
+        return True
+
+    def score_alignments(self, algorithm, reads, refs, params):
+        return self._scorer(reads, refs, params, Algorithm(algorithm))
+
+    def compute_alignments(self, algorithm, reads, refs, params, tie):
+        try:
+            from versalignlib_tpu.ops.pallas_align import pallas_align_batch
+
+            return pallas_align_batch(
+                reads, refs, params, Algorithm(algorithm), tie,
+                interpret=self._scorer.interpret,
+            )
+        except ImportError:
+            if self._xla is None:
+                from versalignlib_tpu.ops.xla import XLABackend
+
+                self._xla = XLABackend()
+            return self._xla.compute_alignments(algorithm, reads, refs, params, tie)
