@@ -1,0 +1,386 @@
+"""Pallas TPU alignment kernel: DP fill emitting a packed pointer matrix.
+
+The reference's traceback backends keep a full (m+1)x(n+1) pointer matrix
+(chars in DefaultKernel, int16 lanes in SSE, __global shorts in OpenCL —
+"does not fit into private memory", alignment_kernels.cl:10-12). On TPU the
+pointer matrix cannot live in VMEM either (512x512 x 1024 pairs = 64MB+), so
+pointers are packed 2 bits each into int32 words and streamed to HBM one DP
+row per grid step — the grid's output pipeline plays the role of the OpenCL
+global-memory spill, with Pallas double-buffering the stores.
+
+Grid = (pair_blocks, read_rows). VMEM scratch (rolling H row + best-cell
+registers) persists across the row dimension; ``@pl.when(i == 0)`` resets it
+per pair block. Bookkeeping matches the reference exactly:
+
+- SW: strict row-major argmax of the clamped matrix (DefaultKernel.cpp:252-256)
+  tracked in scratch, emitted with the score;
+- NW: column 0 penalized ``(i+1)*gap_ref`` (:305); per-row strict argmax
+  seeded by the column-0 value (:317-318,352-355) emitted per row; the end
+  cell ``(max_read_pos, min(max_ref_pos, globalRowMaxIndex))`` is assembled
+  on host from code validity + the emitted argmax stream (:381-387). The H
+  row of the last valid read row is captured via a host-supplied row mask so
+  the end-cell score is exact in every tie-break flavor.
+
+Traceback itself decodes on host (ops/traceback.py / the native decoder),
+mirroring the reference's scalar per-lane backtracks (SSEKernel.cpp:785-860).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from versalignlib_tpu.ops import traceback as tb
+from versalignlib_tpu.ops.pallas_score import (
+    BLOCK_LANES,
+    BLOCK_PAIRS,
+    BLOCK_SUBLANES,
+    _is_tpu,
+)
+from versalignlib_tpu.params import AlignmentParameters
+from versalignlib_tpu.types import Algorithm, Alignment, TieBreak, Trace
+
+
+def _pick_pack(n: int) -> int:
+    """Pointers per int32 word == inner unroll (16 = fully packed words)."""
+    for u in (16, 8, 4, 2):
+        if n % u == 0:
+            return u
+    return 1
+
+
+def _align_kernel(*refs_args, m, n, pack,
+                  params: AlignmentParameters, local: bool, tie: TieBreak):
+    """One (pair_block, row) grid step.
+
+    Inputs per block:
+      reads_ref: (1, 1, 8, 128)   — this row's read codes
+      refs_ref:  (1, n, 8, 128)   — ref codes (constant across rows)
+      mrp_ref:   (1, 8, 128)      — per-pair max_read_pos (NW row capture)
+    Outputs:
+      ptr_ref:   (1, 1, n//pack, 8, 128) int32 — packed pointer row
+      aux_ref:   (1, 1, 3, 8, 128) int32 — per-row [best_i, best_j, best_score]
+                 (SW: running global best; NW: this row's strict argmax)
+      hsel_ref:  (1, n+1, 8, 128) int32 — H row of each pair's last valid
+                 read row (NW; zeros for SW)
+    Scratch: h_ref (n+1, 8, 128); best_ref (4, 8, 128); hkeep_ref (n+1, 8, 128).
+    SW omits hsel/hkeep entirely (saves ~4MB VMEM incl. double buffering).
+    """
+    if local:
+        (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref,
+         h_ref, best_ref) = refs_args
+        hsel_ref = hkeep_ref = None
+    else:
+        (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref, hsel_ref,
+         h_ref, best_ref, hkeep_ref) = refs_args
+    i = pl.program_id(1)
+    match = jnp.int32(params.score_match)
+    mismatch = jnp.int32(params.score_mismatch)
+    gap_read = jnp.int32(params.score_gap_read)
+    gap_ref = jnp.int32(params.score_gap_ref)
+    n_chunks = n // pack
+    zeros = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        h_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+        best_ref[...] = jnp.zeros((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+        if not local:
+            hkeep_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+
+    read_col = reads_ref[0, 0]
+    read_valid = (read_col >= 1) & (read_col <= 4)
+
+    if local:
+        col0 = zeros
+        h_diag0 = zeros
+    else:
+        # Column 0: H[i+1][0] = (i+1)*gap_ref; the previous row's col 0 was
+        # i*gap_ref (row 0 boundary is the zero init). DefaultKernel.cpp:305.
+        col0 = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), i + 1, jnp.int32) * gap_ref
+        h_diag0 = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), i, jnp.int32) * gap_ref
+    h_ref[0] = col0
+
+    if local:
+        best0, bi0, bj0 = best_ref[0], best_ref[1], best_ref[2]
+    else:
+        # NW row scan: rowMax seeded with the column-0 value, index 0.
+        best0, bi0, bj0 = col0, zeros, zeros
+
+    d_code = jnp.int32(Trace.DIAG)
+    u_code = jnp.int32(Trace.UP)
+    l_code = jnp.int32(Trace.LEFT)
+    s_code = jnp.int32(Trace.START)
+
+    def chunk_body(c, carry):
+        h_left, h_diag, best, bi, bj = carry
+        j0 = c * pack
+        old = h_ref[pl.ds(j0 + 1, pack)]
+        ref_chunk = refs_ref[0, pl.ds(j0, pack)]
+        new_vals = []
+        word = zeros
+        for u in range(pack):
+            up = old[u]
+            ref_col = ref_chunk[u]
+            valid = read_valid & (ref_col >= 1) & (ref_col <= 4)
+            sub = jnp.where(
+                valid, jnp.where(read_col == ref_col, match, mismatch), 0
+            )
+            diag_v = h_diag + sub
+            up_v = up + gap_ref
+            left_v = h_left + gap_read
+            cur = jnp.maximum(jnp.maximum(diag_v, up_v), left_v)
+            if local:
+                cur = jnp.maximum(cur, 0)
+
+            if tie == TieBreak.DIAG_UP_LEFT:
+                ptr = jnp.where(
+                    cur == diag_v, d_code,
+                    jnp.where(cur == up_v, u_code,
+                              jnp.where(cur == left_v, l_code, s_code)),
+                )
+                if local:
+                    ptr = jnp.where(cur == 0, s_code, ptr)
+            else:  # SSE flavor: DIAG gated on validity, DIAG > LEFT > UP
+                ptr = jnp.where(
+                    (cur == diag_v) & valid, d_code,
+                    jnp.where(cur == left_v, l_code,
+                              jnp.where(cur == up_v, u_code, s_code)),
+                )
+            word = word | (ptr << (2 * u))
+
+            # Strict-improvement best tracking (SW global / NW per-row).
+            gt = cur > best
+            best = jnp.where(gt, cur, best)
+            if local:
+                bi = jnp.where(gt, i, bi)
+            bj = jnp.where(gt, j0 + u, bj)
+
+            new_vals.append(cur)
+            h_left = cur
+            h_diag = up
+        h_ref[pl.ds(j0 + 1, pack)] = jnp.stack(new_vals)
+        ptr_ref[0, 0, c] = word
+        return h_left, h_diag, best, bi, bj
+
+    init = (col0, h_diag0, best0, bi0, bj0)
+    _, _, best, bi, bj = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+    if local:
+        best_ref[0] = best
+        best_ref[1] = bi
+        best_ref[2] = bj
+        aux_ref[0, 0, 0] = bi
+        aux_ref[0, 0, 1] = bj
+        aux_ref[0, 0, 2] = best
+    else:
+        aux_ref[0, 0, 0] = zeros
+        aux_ref[0, 0, 1] = bj
+        aux_ref[0, 0, 2] = best
+        # Capture this H row for pairs whose last valid read row is i, so the
+        # end-cell score is exact in every flavor.
+        mask = mrp_ref[0] == i  # (8, 128) bool
+        def keep_body(j, _):
+            hkeep_ref[j] = jnp.where(mask, h_ref[j], hkeep_ref[j])
+            return 0
+        jax.lax.fori_loop(0, n + 1, keep_body, 0)
+        @pl.when(i == m - 1)
+        def _():
+            hsel_ref[0] = hkeep_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("params", "algorithm", "tie", "interpret"))
+def _align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
+                  tie: TieBreak, interpret: bool = False):
+    """reads_b: (G, m, 8, 128); refs_b: (G, n, 8, 128); mrp_b: (G, 8, 128).
+
+    Returns (ptr_packed (G, m, nc, 8, 128), aux (G, m, 3, 8, 128),
+             hsel (G, n+1, 8, 128)).
+    """
+    g, m = reads_b.shape[0], reads_b.shape[1]
+    n = refs_b.shape[1]
+    local = algorithm == Algorithm.SMITH_WATERMAN
+    pack = _pick_pack(n)
+    kernel = functools.partial(
+        _align_kernel, m=m, n=n, pack=pack, params=params, local=local, tie=tie
+    )
+    nc = n // pack
+    out_specs = [
+        pl.BlockSpec((1, 1, nc, BLOCK_SUBLANES, BLOCK_LANES),
+                     lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3, BLOCK_SUBLANES, BLOCK_LANES),
+                     lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((g, m, nc, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((g, m, 3, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        pltpu.VMEM((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+    ]
+    if not local:
+        out_specs.append(
+            pl.BlockSpec((1, n + 1, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda gg, ii: (gg, 0, 0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((g, n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
+        scratch_shapes.append(
+            pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
+    # Account for Pallas double-buffering of every in/out block.
+    vmem_bytes = 4 * BLOCK_PAIRS * 2 * (
+        1 + n + 1          # reads row, refs block, mrp
+        + nc + 3           # ptr row, aux row
+        + (0 if local else (n + 1))  # hsel
+    ) + 4 * BLOCK_PAIRS * ((n + 1) + 4 + (0 if local else (n + 1)))       + 1024 * 1024
+    out = pl.pallas_call(
+        kernel,
+        grid=(g, m),
+        in_specs=[
+            pl.BlockSpec((1, 1, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda gg, ii: (gg, ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda gg, ii: (gg, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda gg, ii: (gg, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(reads_b, refs_b, mrp_b)
+    if local:
+        ptr, aux = out
+        return ptr, aux, None
+    return out
+
+
+class PackedPtr:
+    """2D pointer accessor over packed int32 words (one pair)."""
+
+    def __init__(self, words: np.ndarray, pack: int, n: int):
+        self.words = words  # (m, n_chunks)
+        self.pack = pack
+        self.shape = (words.shape[0], n)
+
+    def __getitem__(self, idx):
+        i, j = idx
+        return (int(self.words[i, j // self.pack]) >> (2 * (j % self.pack))) & 3
+
+
+def _pack_blocks(x, g: int, length: int):
+    x = jnp.asarray(x).astype(jnp.int32)
+    b_pad = g * BLOCK_PAIRS
+    x = jnp.pad(x, ((0, b_pad - x.shape[0]), (0, 0)))
+    x = x.reshape(g, BLOCK_SUBLANES, BLOCK_LANES, length)
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def _pack_vec(x, g: int):
+    x = jnp.asarray(x).astype(jnp.int32)
+    b_pad = g * BLOCK_PAIRS
+    x = jnp.pad(x, (0, b_pad - x.shape[0]))
+    return x.reshape(g, BLOCK_SUBLANES, BLOCK_LANES)
+
+
+def _unpack_pairs(x: np.ndarray, g: int):
+    """(G, ..., 8, 128) -> (G*1024, ...) moving pair dims to the front."""
+    x = np.asarray(x)
+    mid = x.shape[1:-2]
+    perm = (0, x.ndim - 2, x.ndim - 1) + tuple(range(1, x.ndim - 2))
+    return x.transpose(perm).reshape((g * BLOCK_PAIRS,) + mid)
+
+
+def _validity(codes: np.ndarray, tie: TieBreak) -> np.ndarray:
+    """Boundary validity flavor: Default counts N valid; SSE only A/C/G/T."""
+    if tie == TieBreak.DIAG_UP_LEFT:
+        return codes != 0
+    return (codes >= 1) & (codes <= 4)
+
+
+def _last_valid_pos(codes: np.ndarray, tie: TieBreak) -> np.ndarray:
+    """Reference max_*_pos: index before the first invalid char, else len-1."""
+    invalid = ~_validity(codes, tie)
+    any_inv = invalid.any(axis=1)
+    return np.where(any_inv, invalid.argmax(axis=1) - 1, codes.shape[1] - 1).astype(np.int32)
+
+
+def pallas_align_batch(
+    reads: np.ndarray,
+    refs: np.ndarray,
+    params: AlignmentParameters,
+    algorithm: Algorithm,
+    tie: TieBreak = TieBreak.DIAG_UP_LEFT,
+    interpret: bool | None = None,
+    chunk_pairs: int = 4 * BLOCK_PAIRS,
+    read_texts: list[str] | None = None,
+    ref_texts: list[str] | None = None,
+) -> list[Alignment]:
+    """Full-batch alignment: Pallas pointer fill + host traceback decode.
+
+    Processes ``chunk_pairs`` pairs per device round to bound the packed
+    pointer matrix's HBM/host footprint (the reference's memory-driven
+    batching, OpenCLKernel.cpp:517-568).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    algorithm = Algorithm(algorithm)
+    local = algorithm == Algorithm.SMITH_WATERMAN
+    b, m = reads.shape
+    n = refs.shape[1]
+    if m == 0 or n == 0:
+        # Degenerate empty sequences: empty alignments (boundary-only walk).
+        return [
+            tb.decode_one(np.zeros((1, 1), np.uint8), reads[i], refs[i],
+                          -1, -1, params, algorithm)
+            for i in range(b)
+        ]
+    pack = _pick_pack(n)
+    results: list[Alignment] = []
+
+    for lo in range(0, b, chunk_pairs):
+        r_np = np.asarray(reads[lo : lo + chunk_pairs])
+        f_np = np.asarray(refs[lo : lo + chunk_pairs])
+        nb = r_np.shape[0]
+        g = max(1, -(-nb // BLOCK_PAIRS))
+        mrp = _last_valid_pos(r_np, tie)
+        ptr, aux, hsel = _align_blocks(
+            _pack_blocks(r_np, g, m), _pack_blocks(f_np, g, n),
+            _pack_vec(mrp, g), params, algorithm, tie, interpret,
+        )
+        ptr = _unpack_pairs(ptr, g)[:nb]        # (nb, m, nc)
+        aux = _unpack_pairs(aux, g)[:nb]        # (nb, m, 3)
+        if local:
+            start_r = aux[:, m - 1, 0]
+            start_f = aux[:, m - 1, 1]
+            scores = aux[:, m - 1, 2]
+        else:
+            hsel = _unpack_pairs(hsel, g)[:nb]  # (nb, n+1)
+            row_args = aux[:, :, 1]             # (nb, m)
+            max_ref_pos = _last_valid_pos(f_np, tie)
+            gri = np.where(
+                mrp >= 0, row_args[np.arange(nb), np.maximum(mrp, 0)], 0
+            )
+            start_r = mrp
+            start_f = np.minimum(max_ref_pos, gri).astype(np.int32)
+            scores = np.where(
+                start_r >= 0, hsel[np.arange(nb), np.clip(start_f, -1, n - 1) + 1], 0
+            ).astype(np.int32)
+
+        for k in range(nb):
+            results.append(
+                tb.decode_one(
+                    PackedPtr(ptr[k], pack, n), r_np[k], f_np[k],
+                    int(start_r[k]), int(start_f[k]), params, algorithm,
+                    int(scores[k]),
+                    None if read_texts is None else read_texts[lo + k],
+                    None if ref_texts is None else ref_texts[lo + k],
+                )
+            )
+    return results
