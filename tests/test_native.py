@@ -1,0 +1,72 @@
+"""Native C++ decoder vs pure-Python decoder equivalence."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_codes
+from versalignlib_tpu import native
+from versalignlib_tpu.ops import oracle
+from versalignlib_tpu.ops.xla import align_batch
+from versalignlib_tpu.ops import traceback as tb
+from versalignlib_tpu.params import AlignmentParameters
+from versalignlib_tpu.types import Algorithm, TieBreak
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH])
+def test_native_matches_python_decode(rng, default_params, algorithm):
+    import jax.numpy as jnp
+
+    reads = random_codes(rng, 32, 17, padded=True, n_prob=0.05)
+    refs = random_codes(rng, 32, 23, padded=True, n_prob=0.05)
+    ptr, sr, sf, best = align_batch(
+        jnp.asarray(reads), jnp.asarray(refs), default_params, algorithm,
+        TieBreak.DIAG_UP_LEFT,
+    )
+    ptr, sr, sf, best = map(np.asarray, (ptr, sr, sf, best))
+    scores = best if algorithm == Algorithm.SMITH_WATERMAN else best
+    got = native.decode_batch_native(
+        ptr, reads, refs, sr, sf, default_params, algorithm, scores
+    )
+    want = [
+        tb.decode_one(ptr[i], reads[i], refs[i], int(sr[i]), int(sf[i]),
+                      default_params, algorithm, int(scores[i]))
+        for i in range(len(reads))
+    ]
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
+
+
+def test_native_packed_pointers(rng, default_params):
+    from versalignlib_tpu.ops.pallas_align import pallas_align_batch
+
+    reads = random_codes(rng, 16, 12, padded=True)
+    refs = random_codes(rng, 16, 16, padded=True)
+    # pallas_align_batch routes through the native decoder (packed words).
+    got = pallas_align_batch(
+        reads, refs, default_params, Algorithm.SMITH_WATERMAN,
+        TieBreak.DIAG_UP_LEFT, interpret=True,
+    )
+    want = oracle.compute_alignments(
+        Algorithm.SMITH_WATERMAN, reads, refs, default_params
+    )
+    for g, w in zip(got, want):
+        assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+
+
+def test_native_texts_preserved(default_params):
+    from versalignlib_tpu.alphabet import encode
+    from versalignlib_tpu.ops.pallas_align import pallas_align_batch
+
+    reads = np.stack([encode("acGTac")])
+    refs = np.stack([encode("ACgtAC")])
+    got = pallas_align_batch(
+        reads, refs, default_params, Algorithm.SMITH_WATERMAN,
+        TieBreak.DIAG_UP_LEFT, interpret=True,
+        read_texts=["acGTac"], ref_texts=["ACgtAC"],
+    )
+    assert got[0].read == "acGTac"
+    assert got[0].ref == "ACgtAC"

@@ -1,0 +1,175 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Build: ``make -C versalignlib_tpu/native`` (or automatic on first import).
+The reference ships its runtime as dlopen'd C++ shared objects
+(/root/reference/src/util/versalignUtil.cpp:35-76); here the native layer
+covers the host-side hot paths around the TPU kernels — batch traceback
+decode and FASTA parsing — behind pure-Python fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).parent
+_SO = _DIR / "_versalign_native.so"
+_SRC = sorted((_DIR / "src").glob("*.cpp"))
+_lock = threading.Lock()
+_lib = None
+_build_error: str | None = None
+
+
+def _build() -> None:
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-o", str(_SO), *[str(s) for s in _SRC],
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        try:
+            srcs_mtime = max(s.stat().st_mtime for s in _SRC)
+            if not _SO.exists() or _SO.stat().st_mtime < srcs_mtime:
+                _build()
+            lib = ctypes.CDLL(str(_SO))
+        except Exception as exc:  # missing toolchain etc. -> python fallback
+            _build_error = str(exc)
+            return None
+        lib.val_decode_batch.restype = ctypes.c_int
+        lib.val_decode_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,      # ptr, kind, pack
+            ctypes.c_void_p, ctypes.c_void_p,                 # reads, refs
+            ctypes.c_char_p, ctypes.c_char_p,                 # texts
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # starts, scores
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,         # b, m, n
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # scoring
+            ctypes.c_int,                                     # is_nw
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # out bufs
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int,      # cigar_cap, meta, threads
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_batch_native(
+    ptr,  # (b, m, n) uint8 dense OR (words (b, m, nc) int32, pack) tuple
+    reads: np.ndarray,
+    refs: np.ndarray,
+    start_read_pos: np.ndarray,
+    start_ref_pos: np.ndarray,
+    params,
+    algorithm,
+    scores: np.ndarray | None = None,
+    read_texts: list[str] | None = None,
+    ref_texts: list[str] | None = None,
+    n_threads: int | None = None,
+):
+    """Batch traceback decode through the C++ library.
+
+    Raises ImportError if the native library is unavailable (callers fall
+    back to the Python decoder).
+    """
+    from versalignlib_tpu.types import Algorithm, Alignment
+
+    lib = _load()
+    if lib is None:
+        raise ImportError(f"native decoder unavailable: {_build_error}")
+
+    if isinstance(ptr, tuple):
+        words, pack = ptr
+        ptr_arr = np.ascontiguousarray(words, dtype=np.int32)
+        kind = 1
+    else:
+        ptr_arr = np.ascontiguousarray(ptr, dtype=np.uint8)
+        kind = 0
+        pack = 1
+
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    refs = np.ascontiguousarray(refs, dtype=np.uint8)
+    b, m = reads.shape
+    n = refs.shape[1]
+    start_r = np.ascontiguousarray(start_read_pos, dtype=np.int32)
+    start_f = np.ascontiguousarray(start_ref_pos, dtype=np.int32)
+    scores_arr = (
+        None if scores is None else np.ascontiguousarray(scores, dtype=np.int32)
+    )
+
+    rt_buf = ft_buf = None
+    if read_texts is not None:
+        rt_buf = b"".join(
+            t.encode("latin-1").ljust(m, b"\0")[:m] for t in read_texts
+        )
+    if ref_texts is not None:
+        ft_buf = b"".join(
+            t.encode("latin-1").ljust(n, b"\0")[:n] for t in ref_texts
+        )
+
+    aln_cap = m + n
+    cigar_cap = 3 * aln_cap + 16
+    read_g = np.zeros((b, aln_cap), dtype=np.uint8)
+    ref_g = np.zeros((b, aln_cap), dtype=np.uint8)
+    cigar = np.zeros((b, cigar_cap), dtype=np.uint8)
+    meta = np.zeros((b, 8), dtype=np.int32)
+
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
+
+    rc = lib.val_decode_batch(
+        ptr_arr.ctypes.data_as(ctypes.c_void_p), kind, pack,
+        reads.ctypes.data_as(ctypes.c_void_p), refs.ctypes.data_as(ctypes.c_void_p),
+        rt_buf, ft_buf,
+        start_r.ctypes.data_as(ctypes.c_void_p),
+        start_f.ctypes.data_as(ctypes.c_void_p),
+        None if scores_arr is None else scores_arr.ctypes.data_as(ctypes.c_void_p),
+        b, m, n,
+        params.score_match, params.score_mismatch,
+        params.score_gap_read, params.score_gap_ref,
+        1 if Algorithm(algorithm) == Algorithm.NEEDLEMAN_WUNSCH else 0,
+        read_g.ctypes.data_as(ctypes.c_void_p),
+        ref_g.ctypes.data_as(ctypes.c_void_p),
+        cigar.ctypes.data_as(ctypes.c_void_p),
+        cigar_cap,
+        meta.ctypes.data_as(ctypes.c_void_p),
+        n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"val_decode_batch failed: {rc}")
+
+    out = []
+    rg_bytes = read_g.tobytes()
+    fg_bytes = ref_g.tobytes()
+    cg_bytes = cigar.tobytes()
+    for k in range(b):
+        (score, rs, re_, fs, fe, aln_len, buf_start, clen) = (int(x) for x in meta[k])
+        base = k * aln_cap
+        cb = k * cigar_cap
+        out.append(
+            Alignment(
+                read=rg_bytes[base : base + aln_len].decode("latin-1"),
+                ref=fg_bytes[base : base + aln_len].decode("latin-1"),
+                score=score,
+                cigar=cg_bytes[cb : cb + clen].decode("ascii"),
+                read_start=rs,
+                read_end=re_,
+                ref_start=fs,
+                ref_end=fe,
+                buffer_start=buf_start,
+                buffer_end=aln_cap - 1,
+            )
+        )
+    return out

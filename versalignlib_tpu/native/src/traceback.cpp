@@ -1,0 +1,194 @@
+// Native batch traceback decoder.
+//
+// The DP fill runs on TPU (Pallas kernels emit 2-bit-packed pointer words);
+// the backtrack walk is inherently sequential and data-dependent, so it runs
+// on host — this is the TPU-era analogue of the reference's scalar per-lane
+// backtracks (/root/reference/src/Kernels/AVX-SSE/SSEKernel.cpp:785-860) and
+// its OpenMP-parallel result collection (OpenCLKernel.cpp:613-645). Threaded
+// over pairs with std::thread.
+//
+// Pointer codes match versalignlib_tpu.types.Trace: 0 START, 1 UP, 2 LEFT,
+// 3 DIAG. Boundary semantics (implied row/col 0): row 0 = START; col 0 =
+// START for SW, UP for NW (DefaultKernel.cpp:304,395). Scores, when not
+// supplied, are reconstructed by path telescoping plus the NW column-0
+// boundary value (see ops/traceback.py).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int START = 0, UP = 1, LEFT = 2, DIAG = 3;
+
+struct Args {
+  const void *ptr_data;
+  int ptr_kind;  // 0 = dense uint8 (b, m, n); 1 = packed int32 (b, m, nc)
+  int pack;
+  const uint8_t *reads;  // (b, m) codes
+  const uint8_t *refs;   // (b, n) codes
+  const char *read_texts;  // optional (b, m) original chars
+  const char *ref_texts;   // optional (b, n)
+  const int32_t *start_r;
+  const int32_t *start_f;
+  const int32_t *scores_in;  // optional
+  int b, m, n;
+  int match, mismatch, gap_read, gap_ref;
+  int is_nw;
+  char *read_gapped;  // (b, m+n)
+  char *ref_gapped;   // (b, m+n)
+  char *cigar_out;    // (b, cigar_cap)
+  int cigar_cap;
+  int32_t *meta;  // (b, 8): score, read_start, read_end, ref_start, ref_end,
+                  //          aln_len, buffer_start, cigar_len
+};
+
+const char kCodeChar[6] = {'\0', 'A', 'T', 'C', 'G', 'N'};
+
+inline int sub_score(uint8_t a, uint8_t b, int match, int mismatch) {
+  bool valid = (a >= 1 && a <= 4) && (b >= 1 && b <= 4);
+  if (!valid) return 0;
+  return a == b ? match : mismatch;
+}
+
+inline int load_ptr(const Args &A, int pair, int i, int j) {
+  if (A.ptr_kind == 0) {
+    const uint8_t *p = static_cast<const uint8_t *>(A.ptr_data);
+    return p[(size_t)pair * A.m * A.n + (size_t)i * A.n + j];
+  }
+  int nc = (A.n + A.pack - 1) / A.pack;
+  const int32_t *p = static_cast<const int32_t *>(A.ptr_data);
+  int32_t word = p[(size_t)pair * A.m * nc + (size_t)i * nc + j / A.pack];
+  return (word >> (2 * (j % A.pack))) & 3;
+}
+
+void decode_pair(const Args &A, int k) {
+  const int m = A.m, n = A.n;
+  const int aln_cap = m + n;
+  char *rg = A.read_gapped + (size_t)k * aln_cap;
+  char *fg = A.ref_gapped + (size_t)k * aln_cap;
+  const uint8_t *read = A.reads + (size_t)k * m;
+  const uint8_t *ref = A.refs + (size_t)k * n;
+  const char *rt = A.read_texts ? A.read_texts + (size_t)k * m : nullptr;
+  const char *ft = A.ref_texts ? A.ref_texts + (size_t)k * n : nullptr;
+
+  int rp = A.start_r[k];
+  int fp = A.start_f[k];
+  const int start_rp = rp, start_fp = fp;
+
+  // Emit backwards into the buffer tail, reference-style
+  // (DefaultKernel.cpp:413-439), then shift to the front.
+  int pos = aln_cap;  // one past last written
+  int path_cost = 0;
+  int steps = 0;
+  while (steps <= aln_cap) {
+    int bt;
+    if (rp < 0) {
+      bt = START;  // boundary row 0
+    } else if (fp < 0) {
+      bt = A.is_nw ? UP : START;  // boundary col 0
+    } else {
+      bt = load_ptr(A, k, rp, fp);
+    }
+    if (bt == START) break;
+    --pos;
+    char rc = rt ? rt[rp < 0 ? 0 : rp] : kCodeChar[read[rp < 0 ? 0 : rp] <= 5 ? read[rp < 0 ? 0 : rp] : 0];
+    char fc = ft ? ft[fp < 0 ? 0 : fp] : kCodeChar[ref[fp < 0 ? 0 : fp] <= 5 ? ref[fp < 0 ? 0 : fp] : 0];
+    if (bt == UP) {
+      rg[pos] = rc;
+      fg[pos] = '-';
+      path_cost += A.gap_ref;
+      --rp;
+    } else if (bt == LEFT) {
+      rg[pos] = '-';
+      fg[pos] = fc;
+      path_cost += A.gap_read;
+      --fp;
+    } else {  // DIAG
+      rg[pos] = rc;
+      fg[pos] = fc;
+      path_cost += sub_score(read[rp], ref[fp], A.match, A.mismatch);
+      --rp;
+      --fp;
+    }
+    ++steps;
+  }
+
+  const int aln_len = aln_cap - pos;
+  // Shift to the front of the per-pair buffer.
+  std::memmove(rg, rg + pos, aln_len);
+  std::memmove(fg, fg + pos, aln_len);
+
+  int32_t score;
+  if (A.scores_in) {
+    score = A.scores_in[k];
+  } else {
+    int boundary = 0;
+    if (A.is_nw && fp < 0 && rp >= 0) boundary = (rp + 1) * A.gap_ref;
+    score = boundary + path_cost;
+  }
+
+  // CIGAR (M/I/D run-length) straight from the gapped strings.
+  char *cg = A.cigar_out + (size_t)k * A.cigar_cap;
+  int clen = 0;
+  int run = 0;
+  char op = 0;
+  for (int t = 0; t < aln_len; ++t) {
+    char cur_op = rg[t] == '-' ? 'D' : (fg[t] == '-' ? 'I' : 'M');
+    if (cur_op == op) {
+      ++run;
+    } else {
+      if (run > 0 && clen + 12 < A.cigar_cap)
+        clen += std::snprintf(cg + clen, A.cigar_cap - clen, "%d%c", run, op);
+      op = cur_op;
+      run = 1;
+    }
+  }
+  if (run > 0 && clen + 12 < A.cigar_cap)
+    clen += std::snprintf(cg + clen, A.cigar_cap - clen, "%d%c", run, op);
+
+  int32_t *mt = A.meta + (size_t)k * 8;
+  mt[0] = score;
+  mt[1] = rp + 1;            // read_start
+  mt[2] = start_rp + 1;      // read_end
+  mt[3] = fp + 1;            // ref_start
+  mt[4] = start_fp + 1;      // ref_end
+  mt[5] = aln_len;
+  mt[6] = aln_cap - 1 - steps;  // reference buffer_start (aln_pos + 1)
+  mt[7] = clen;
+}
+
+}  // namespace
+
+extern "C" int val_decode_batch(
+    const void *ptr_data, int ptr_kind, int pack, const uint8_t *reads,
+    const uint8_t *refs, const char *read_texts, const char *ref_texts,
+    const int32_t *start_r, const int32_t *start_f, const int32_t *scores_in,
+    int b, int m, int n, int match, int mismatch, int gap_read, int gap_ref,
+    int is_nw, char *read_gapped, char *ref_gapped, char *cigar_out,
+    int cigar_cap, int32_t *meta, int n_threads) {
+  Args A{ptr_data, ptr_kind, pack, reads, refs, read_texts, ref_texts,
+         start_r, start_f, scores_in, b, m, n, match, mismatch, gap_read,
+         gap_ref, is_nw, read_gapped, ref_gapped, cigar_out, cigar_cap, meta};
+  if (n_threads <= 1 || b < 64) {
+    for (int k = 0; k < b; ++k) decode_pair(A, k);
+    return 0;
+  }
+  std::atomic<int> next{0};
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; ++t) {
+    pool.emplace_back([&A, &next]() {
+      for (;;) {
+        int k = next.fetch_add(16);
+        if (k >= A.b) return;
+        int end = k + 16 < A.b ? k + 16 : A.b;
+        for (; k < end; ++k) decode_pair(A, k);
+      }
+    });
+  }
+  for (auto &th : pool) th.join();
+  return 0;
+}

@@ -318,15 +318,17 @@ def pallas_align_batch(
     algorithm: Algorithm,
     tie: TieBreak = TieBreak.DIAG_UP_LEFT,
     interpret: bool | None = None,
-    chunk_pairs: int = 4 * BLOCK_PAIRS,
+    chunk_pairs: int | None = None,
     read_texts: list[str] | None = None,
     ref_texts: list[str] | None = None,
 ) -> list[Alignment]:
     """Full-batch alignment: Pallas pointer fill + host traceback decode.
 
     Processes ``chunk_pairs`` pairs per device round to bound the packed
-    pointer matrix's HBM/host footprint (the reference's memory-driven
-    batching, OpenCLKernel.cpp:517-568).
+    pointer matrix's HBM/host/link footprint — the reference's memory-driven
+    batching (OpenCLKernel.cpp:517-568) with the budget set by the
+    device->host link (the pointer stream dominates: 2 bits/cell). Device
+    dispatch is pipelined one chunk ahead of the host decode.
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -342,45 +344,89 @@ def pallas_align_batch(
             for i in range(b)
         ]
     pack = _pick_pack(n)
+    if chunk_pairs is None:
+        # ~64MB of packed pointers per round, in whole pair blocks.
+        bytes_per_pair = m * (n // pack) * 4
+        blocks = max(1, (64 << 20) // (bytes_per_pair * BLOCK_PAIRS))
+        chunk_pairs = min(16, blocks) * BLOCK_PAIRS
     results: list[Alignment] = []
 
-    for lo in range(0, b, chunk_pairs):
+    def _dispatch(lo):
         r_np = np.asarray(reads[lo : lo + chunk_pairs])
         f_np = np.asarray(refs[lo : lo + chunk_pairs])
-        nb = r_np.shape[0]
-        g = max(1, -(-nb // BLOCK_PAIRS))
+        g = max(1, -(-r_np.shape[0] // BLOCK_PAIRS))
         mrp = _last_valid_pos(r_np, tie)
-        ptr, aux, hsel = _align_blocks(
+        dev = _align_blocks(
             _pack_blocks(r_np, g, m), _pack_blocks(f_np, g, n),
             _pack_vec(mrp, g), params, algorithm, tie, interpret,
         )
-        ptr = _unpack_pairs(ptr, g)[:nb]        # (nb, m, nc)
-        aux = _unpack_pairs(aux, g)[:nb]        # (nb, m, 3)
-        if local:
-            start_r = aux[:, m - 1, 0]
-            start_f = aux[:, m - 1, 1]
-            scores = aux[:, m - 1, 2]
-        else:
-            hsel = _unpack_pairs(hsel, g)[:nb]  # (nb, n+1)
-            row_args = aux[:, :, 1]             # (nb, m)
-            max_ref_pos = _last_valid_pos(f_np, tie)
-            gri = np.where(
-                mrp >= 0, row_args[np.arange(nb), np.maximum(mrp, 0)], 0
-            )
-            start_r = mrp
-            start_f = np.minimum(max_ref_pos, gri).astype(np.int32)
-            scores = np.where(
-                start_r >= 0, hsel[np.arange(nb), np.clip(start_f, -1, n - 1) + 1], 0
-            ).astype(np.int32)
+        return lo, r_np, f_np, mrp, g, dev
 
+    starts = list(range(0, b, chunk_pairs))
+    pending = []
+    for idx, start in enumerate(starts):
+        pending.append(_dispatch(start))
+        # Keep one chunk in flight ahead of the host decode.
+        if len(pending) < 2 and idx + 1 < len(starts):
+            continue
+        lo, r_np, f_np, mrp, g, (ptr, aux, hsel) = pending.pop(0)
+        results.extend(_decode_chunk(
+            lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm, tie,
+            pack, n, read_texts, ref_texts,
+        ))
+    for lo, r_np, f_np, mrp, g, (ptr, aux, hsel) in pending:
+        results.extend(_decode_chunk(
+            lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm, tie,
+            pack, n, read_texts, ref_texts,
+        ))
+    return results
+
+
+def _decode_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
+                  tie, pack, n, read_texts, ref_texts) -> list[Alignment]:
+    local = algorithm == Algorithm.SMITH_WATERMAN
+    m = r_np.shape[1]
+    nb = r_np.shape[0]
+    results: list[Alignment] = []
+    ptr = _unpack_pairs(ptr, g)[:nb]        # (nb, m, nc)
+    aux = _unpack_pairs(aux, g)[:nb]        # (nb, m, 3)
+    if local:
+        start_r = aux[:, m - 1, 0]
+        start_f = aux[:, m - 1, 1]
+        scores = aux[:, m - 1, 2]
+    else:
+        hsel = _unpack_pairs(hsel, g)[:nb]  # (nb, n+1)
+        row_args = aux[:, :, 1]             # (nb, m)
+        max_ref_pos = _last_valid_pos(f_np, tie)
+        gri = np.where(
+            mrp >= 0, row_args[np.arange(nb), np.maximum(mrp, 0)], 0
+        )
+        start_r = mrp
+        start_f = np.minimum(max_ref_pos, gri).astype(np.int32)
+        scores = np.where(
+            start_r >= 0, hsel[np.arange(nb), np.clip(start_f, -1, n - 1) + 1], 0
+        ).astype(np.int32)
+
+    rt = None if read_texts is None else read_texts[lo : lo + nb]
+    ft = None if ref_texts is None else ref_texts[lo : lo + nb]
+    try:
+        from versalignlib_tpu.native import decode_batch_native
+
+        results.extend(
+            decode_batch_native(
+                (ptr, pack), r_np, f_np, start_r, start_f, params,
+                algorithm, scores, rt, ft,
+            )
+        )
+    except ImportError:
         for k in range(nb):
             results.append(
                 tb.decode_one(
                     PackedPtr(ptr[k], pack, n), r_np[k], f_np[k],
                     int(start_r[k]), int(start_f[k]), params, algorithm,
                     int(scores[k]),
-                    None if read_texts is None else read_texts[lo + k],
-                    None if ref_texts is None else ref_texts[lo + k],
+                    None if rt is None else rt[k],
+                    None if ft is None else ft[k],
                 )
             )
     return results

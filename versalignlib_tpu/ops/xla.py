@@ -132,9 +132,20 @@ def align_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm,
     gap_read = params.score_gap_read
     ref_valid = (refs >= 1) & (refs <= 4)
 
+    # Boundary validity flavor: Default counts N valid; SSE only A/C/G/T.
+    if tie == TieBreak.DIAG_UP_LEFT:
+        read_invalid = reads == 0
+        ref_invalid = refs == 0
+    else:
+        read_invalid = ~((reads >= 1) & (reads <= 4))
+        ref_invalid = ~ref_valid
+    any_r = jnp.any(read_invalid, axis=1)
+    first_r = jnp.argmax(read_invalid, axis=1).astype(jnp.int32)
+    max_read_pos = jnp.where(any_r, first_r - 1, m - 1)
+
     def body(carry, x):
         i, read_col = x
-        prev, best_score, best_i, best_j = carry
+        prev, best_score, best_i, best_j, h_keep = carry
         sub = _sub_row(read_col[:, None], refs, params.score_match, params.score_mismatch)
         up_v = prev[:, 1:] + gap_ref
         diag_v = prev[:, :-1] + sub
@@ -168,17 +179,21 @@ def align_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm,
                 row_max > h[:, 0], jnp.argmax(cur, axis=1).astype(jnp.int32), 0
             )
             best_j = row_arg  # reused as the per-row index emission
+            # Capture the H row of each pair's last valid read row so the
+            # end-cell score is exact in every tie-break flavor.
+            h_keep = jnp.where((max_read_pos == i)[:, None], h, h_keep)
         out_row = (ptr_row, best_j) if not local else ptr_row
-        return (h, best_score, best_i, best_j), out_row
+        return (h, best_score, best_i, best_j, h_keep), out_row
 
     init = (
         jnp.zeros((b, n + 1), jnp.int32),
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), jnp.int32),
         jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b, n + 1), jnp.int32),
     )
     xs = (jnp.arange(m, dtype=jnp.int32), reads.T)
-    (h_last, best_score, best_i, best_j), ys = jax.lax.scan(body, init, xs)
+    (h_last, best_score, best_i, best_j, h_keep), ys = jax.lax.scan(body, init, xs)
 
     if local:
         ptr = jnp.transpose(ys, (1, 0, 2))  # (B, m, n)
@@ -186,16 +201,6 @@ def align_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm,
 
     ptr_rows, row_args = ys  # (m, B, n), (m, B)
     ptr = jnp.transpose(ptr_rows, (1, 0, 2))
-    # Boundary validity flavor: Default counts N valid; SSE only A/C/G/T.
-    if tie == TieBreak.DIAG_UP_LEFT:
-        read_invalid = reads == 0
-        ref_invalid = refs == 0
-    else:
-        read_invalid = ~((reads >= 1) & (reads <= 4))
-        ref_invalid = ~ref_valid
-    any_r = jnp.any(read_invalid, axis=1)
-    first_r = jnp.argmax(read_invalid, axis=1).astype(jnp.int32)
-    max_read_pos = jnp.where(any_r, first_r - 1, m - 1)
     any_f = jnp.any(ref_invalid, axis=1)
     first_f = jnp.argmax(ref_invalid, axis=1).astype(jnp.int32)
     max_ref_pos = jnp.where(any_f, first_f - 1, n - 1)
@@ -207,8 +212,16 @@ def align_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm,
         0,
     )
     start_ref = jnp.minimum(max_ref_pos, gri)
-    # NW score at the start cell is reconstructed host-side during decode.
-    return ptr, max_read_pos, start_ref, jnp.zeros((b,), jnp.int32)
+    # Exact end-cell score from the captured H row (0 when the end cell is
+    # on the boundary row -1, where H = 0).
+    score = jnp.where(
+        max_read_pos >= 0,
+        jnp.take_along_axis(
+            h_keep, jnp.clip(start_ref, -1, n - 1)[:, None] + 1, axis=1
+        )[:, 0],
+        0,
+    )
+    return ptr, max_read_pos, start_ref, score
 
 
 # ---------------------------------------------------------------------------
