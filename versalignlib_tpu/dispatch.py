@@ -161,7 +161,7 @@ class AlignmentEngine:
 # ---------------------------------------------------------------------------
 
 def _oracle_factory() -> Backend:
-    from versalignlib_tpu.ops import oracle
+    from versalignlib_tpu.ops import gotoh, oracle
 
     class OracleBackend:
         name = "oracle"
@@ -170,9 +170,13 @@ def _oracle_factory() -> Backend:
             return True
 
         def score_alignments(self, algorithm, reads, refs, params):
+            if params.affine:
+                return gotoh.score_alignments_affine(algorithm, reads, refs, params)
             return oracle.score_alignments(algorithm, reads, refs, params)
 
         def compute_alignments(self, algorithm, reads, refs, params, tie):
+            if params.affine:
+                return gotoh.compute_alignments_affine(algorithm, reads, refs, params)
             return oracle.compute_alignments(algorithm, reads, refs, params, tie)
 
     return OracleBackend()

@@ -30,6 +30,12 @@ class PallasBackend:
         return self._scorer(reads, refs, params, Algorithm(algorithm))
 
     def compute_alignments(self, algorithm, reads, refs, params, tie):
+        if params.affine:
+            from versalignlib_tpu.ops import gotoh
+
+            return gotoh.compute_alignments_affine(
+                Algorithm(algorithm), reads, refs, params
+            )
         try:
             from versalignlib_tpu.ops.pallas_align import pallas_align_batch
 

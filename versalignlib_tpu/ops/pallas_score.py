@@ -61,32 +61,52 @@ def _pick_unroll(n: int) -> int:
     return 1
 
 
-def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, *, m, n, unroll,
+#: -inf stand-in safe against int32 adds
+NEG_INF_I32 = -(2**30)
+
+
+def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
                   params: AlignmentParameters, local: bool):
     """One pair-block: reads (1, m, 8, 128), refs (1, n, 8, 128) int32 codes.
 
     h_ref: (n+1, 8, 128) int32 VMEM scratch (rolling H row).
+    f_ref: (n, 8, 128) int32 scratch (rolling Gotoh F row; affine only, else
+           a (1, 8, 128) placeholder).
     out_ref: (1, 8, 128) int32 best scores per pair.
+
+    Affine (Gotoh) mode threads the E value as a register carry down each
+    row (the within-row gap state is sequential per pair, so no lazy-F loop
+    is needed) and keeps the F row in a second VMEM scratch row — the
+    recurrence of ops/gotoh.py, one VMEM load/store pair per cell extra.
     """
     match = jnp.int32(params.score_match)
     mismatch = jnp.int32(params.score_mismatch)
     gap_read = jnp.int32(params.score_gap_read)
     gap_ref = jnp.int32(params.score_gap_ref)
+    affine = params.affine
+    open_read = jnp.int32(params.gap_open_read)
+    open_ref = jnp.int32(params.gap_open_ref)
     zero = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+    neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
     n_chunks = n // unroll
 
     # Fresh H row per grid step (scratch persists across grid iterations).
     h_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+    if affine:
+        f_ref[...] = jnp.full((n, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
 
     def row_body(i, best):
         read_col = reads_ref[0, i]                    # (8, 128)
         read_valid = (read_col >= 1) & (read_col <= 4)
 
         def chunk_body(c, carry):
-            h_left, h_diag, best = carry
+            h_left, h_diag, e_val, best = carry
             j0 = c * unroll
             old = h_ref[pl.ds(j0 + 1, unroll)]        # H_prev[j0+1 .. j0+U]
             ref_chunk = refs_ref[0, pl.ds(j0, unroll)]
+            if affine:
+                f_old = f_ref[pl.ds(j0, unroll)]
+                new_f = []
             new_vals = []
             for u in range(unroll):
                 up = old[u]
@@ -97,10 +117,18 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, *, m, n, unroll,
                     jnp.where(read_col == ref_col, match, mismatch),
                     0,
                 )
-                cur = jnp.maximum(
-                    jnp.maximum(h_diag + sub, up + gap_ref),
-                    h_left + gap_read,
-                )
+                if affine:
+                    f_val = jnp.maximum(up + open_ref + gap_ref,
+                                        f_old[u] + gap_ref)
+                    e_val = jnp.maximum(h_left + open_read + gap_read,
+                                        e_val + gap_read)
+                    cur = jnp.maximum(jnp.maximum(h_diag + sub, f_val), e_val)
+                    new_f.append(f_val)
+                else:
+                    cur = jnp.maximum(
+                        jnp.maximum(h_diag + sub, up + gap_ref),
+                        h_left + gap_read,
+                    )
                 if local:
                     cur = jnp.maximum(cur, 0)
                     best = jnp.maximum(best, cur)
@@ -108,10 +136,14 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, *, m, n, unroll,
                 h_left = cur
                 h_diag = up
             h_ref[pl.ds(j0 + 1, unroll)] = jnp.stack(new_vals)
-            return h_left, h_diag, best
+            if affine:
+                f_ref[pl.ds(j0, unroll)] = jnp.stack(new_f)
+            return h_left, h_diag, e_val, best
 
         h0 = h_ref[0]  # column-0 boundary: stays 0 in both score paths
-        _, _, best = jax.lax.fori_loop(0, n_chunks, chunk_body, (h0, h0, best))
+        _, _, _, best = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (h0, h0, neg_inf, best)
+        )
         if not local:
             # NW overlap score: max over the last column of every row
             # (DefaultKernel.cpp:177).
@@ -142,11 +174,11 @@ def _score_blocks(reads_b, refs_b, params: AlignmentParameters,
         _score_kernel, m=m, n=n, unroll=_pick_unroll(n),
         params=params, local=local,
     )
-    vmem_bytes = 4 * (
-        (n + 1) * BLOCK_PAIRS      # H scratch
-        + m * BLOCK_PAIRS          # reads block
-        + n * BLOCK_PAIRS          # refs block
-        + BLOCK_PAIRS              # out
+    vmem_bytes = 4 * BLOCK_PAIRS * (
+        (n + 1)                    # H scratch
+        + (n if params.affine else 1)  # F scratch
+        + 2 * (m + n)              # double-buffered read/ref blocks
+        + 2                        # out
     ) + 1024 * 1024                # headroom
     return pl.pallas_call(
         kernel,
@@ -163,6 +195,8 @@ def _score_blocks(reads_b, refs_b, params: AlignmentParameters,
                                        jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            pltpu.VMEM((n if params.affine else 1, BLOCK_SUBLANES, BLOCK_LANES),
+                       jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         cost_estimate=pl.CostEstimate(

@@ -58,34 +58,70 @@ def _row_solve(t_full, gap_read):
 # Score-only kernels
 # ---------------------------------------------------------------------------
 
+#: -inf stand-in safe against int32 adds
+NEG_INF = jnp.int32(-(2**30))
+
+
+def _row_solve_open(t_full, gap_open, gap_ext):
+    """Affine E row: E[j] = ext*j + cummax_{k<j}(t_full[k] + open - ext*k).
+
+    Returns (B, n) — E for columns 1..n (strictly-previous prefix).
+    """
+    n1 = t_full.shape[1]
+    j = jnp.arange(n1, dtype=jnp.int32)[None, :]
+    adj = t_full + gap_open - gap_ext * j
+    run = jax.lax.cummax(adj, axis=1)
+    return run[:, :-1] + gap_ext * j[:, 1:]
+
+
 @functools.partial(jax.jit, static_argnames=("params", "algorithm"))
 def score_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm):
-    """Batched scores. reads (B, m), refs (B, n) uint8 codes -> (B,) int32."""
+    """Batched scores. reads (B, m), refs (B, n) uint8 codes -> (B,) int32.
+
+    Linear gaps use the prefix-max row solve; affine (Gotoh) adds the F row
+    to the scan carry and the open-aware E prefix (see ops/gotoh.py).
+    """
     reads = reads.astype(jnp.int32)
     refs = refs.astype(jnp.int32)
     b, n = refs.shape
     local = algorithm == Algorithm.SMITH_WATERMAN
     gap_ref = jnp.int32(params.score_gap_ref)
     gap_read = params.score_gap_read
+    affine = params.affine
 
     def body(carry, read_col):
-        prev, best = carry  # prev: (B, n+1) H row; best: (B,)
+        prev, f_prev, best = carry  # prev: (B, n+1) H row
         sub = _sub_row(read_col[:, None], refs, params.score_match, params.score_mismatch)
-        t = jnp.maximum(prev[:, :-1] + sub, prev[:, 1:] + gap_ref)
+        if affine:
+            f_row = jnp.maximum(
+                prev[:, 1:] + params.gap_open_ref + gap_ref, f_prev + gap_ref
+            )
+            t = jnp.maximum(prev[:, :-1] + sub, f_row)
+        else:
+            f_row = f_prev
+            t = jnp.maximum(prev[:, :-1] + sub, prev[:, 1:] + gap_ref)
         if local:
             t = jnp.maximum(t, 0)
         t_full = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), t], axis=1)
-        h = _row_solve(t_full, gap_read)
+        if affine:
+            e_row = _row_solve_open(t_full, params.gap_open_read, gap_read)
+            h_inner = jnp.maximum(t, e_row)
+            if local:
+                h_inner = jnp.maximum(h_inner, 0)
+            h = jnp.concatenate([jnp.zeros((b, 1), jnp.int32), h_inner], axis=1)
+        else:
+            h = _row_solve(t_full, gap_read)
         if local:
             best = jnp.maximum(best, jnp.max(h, axis=1))
         else:
             # NW overlap score: max over the LAST column of every row
             # (DefaultKernel.cpp:177); the final-row max is added after.
             best = jnp.maximum(best, h[:, -1])
-        return (h, best), None
+        return (h, f_row, best), None
 
-    init = (jnp.zeros((b, n + 1), jnp.int32), jnp.zeros((b,), jnp.int32))
-    (h_last, best), _ = jax.lax.scan(body, init, reads.T)
+    f_init = jnp.full((b, n), NEG_INF, jnp.int32) if affine else jnp.zeros((b, n), jnp.int32)
+    init = (jnp.zeros((b, n + 1), jnp.int32), f_init, jnp.zeros((b,), jnp.int32))
+    (h_last, _, best), _ = jax.lax.scan(body, init, reads.T)
     if not local:
         best = jnp.maximum(best, jnp.max(h_last, axis=1))
         best = jnp.maximum(best, 0)
@@ -244,6 +280,13 @@ class XLABackend:
 
     def compute_alignments(self, algorithm, reads, refs, params, tie):
         algorithm = Algorithm(algorithm)
+        if params.affine:
+            # Affine traceback currently decodes through the Gotoh host
+            # implementation (device-side affine pointer emission is a
+            # planned extension; scores are device-accelerated already).
+            from versalignlib_tpu.ops import gotoh
+
+            return gotoh.compute_alignments_affine(algorithm, reads, refs, params)
         results: list[Alignment] = []
         for lo in range(0, reads.shape[0], self.align_chunk):
             r = jnp.asarray(reads[lo : lo + self.align_chunk])
