@@ -1,0 +1,335 @@
+"""Banded DP for long pairs (10-100kbp), tiled through VMEM.
+
+The reference has no banding and no intra-pair capacity strategy beyond
+spilling the pointer matrix to global memory (SURVEY.md §5 "long-context";
+alignment_kernels.cl:10-12) — sequence length is bounded by O(m*n) memory
+and int16 scores. This module is the greenfield long-pair path:
+
+- a diagonal band of static width W follows the main diagonal with per-row
+  offset ``o(i) = clamp(i*n//m - W/2, 0, n-W)``; cells outside the band are
+  -inf (standard banded alignment — an approximation by construction);
+- the read streams through VMEM in row tiles: a ``lax.scan`` over tiles
+  re-invokes a single-block Pallas kernel, carrying the (W+D, 8, 128) band
+  state and running best through HBM between tiles (~2MB per boundary vs
+  TILE*W*1024 cells of compute — negligible);
+- the ref window for a tile is a dynamic slice of size WIN = W + TILE*D
+  (D = max per-row band advance, ceil(n/m)), so neither sequence is ever
+  fully VMEM-resident: 100kbp pairs run in ~6MB of VMEM;
+- inter-pair packing is the same (8, 128)x1024 layout as the dense kernels.
+
+Scores use int32 (the reference's int16 would overflow beyond ~16kbp gaps);
+linear gaps (reference parity). Exactness vs the numpy banded oracle is
+gated by tests/test_banded.py, including band == full-matrix equivalence
+when W covers the whole ref.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from versalignlib_tpu.alphabet import substitution_scores
+from versalignlib_tpu.ops.pallas_score import (
+    BLOCK_LANES,
+    BLOCK_PAIRS,
+    BLOCK_SUBLANES,
+    NEG_INF_I32,
+    _is_tpu,
+)
+from versalignlib_tpu.params import AlignmentParameters
+from versalignlib_tpu.types import Algorithm
+
+
+def band_offsets(m_pad: int, m_real: int, n: int, band: int) -> np.ndarray:
+    """Per-row band start columns (0-based ref position of band cell 0).
+
+    Single source of truth shared by the oracle and the kernel wrapper.
+    """
+    i = np.arange(m_pad, dtype=np.int64)
+    o = (i * n) // max(m_real, 1) - band // 2
+    return np.clip(o, 0, max(n - band, 0)).astype(np.int32)
+
+
+def max_band_step(m_real: int, n: int) -> int:
+    """Max per-row band advance D = ceil(n/m) (offsets are monotone)."""
+    return max(1, -(-n // max(m_real, 1)))
+
+
+# ---------------------------------------------------------------------------
+# NumPy banded oracle (semantics definition)
+# ---------------------------------------------------------------------------
+
+def banded_score_oracle(read, ref, p: AlignmentParameters, band: int,
+                        algorithm: Algorithm,
+                        offsets: np.ndarray | None = None) -> int:
+    """Reference banded score: full-matrix DP with -inf outside the band.
+
+    Row 0 and (for band windows touching it) column 0 are 0 — the same free
+    boundaries as the dense kernels, restricted to the band.
+    """
+    read = np.asarray(read, dtype=np.int32)
+    ref = np.asarray(ref, dtype=np.int32)
+    m, n = read.size, ref.size
+    local = Algorithm(algorithm) == Algorithm.SMITH_WATERMAN
+    if offsets is None:
+        offsets = band_offsets(m, m, n, band)
+    band = min(band, n)
+    NEG = np.int64(NEG_INF_I32)
+    h = np.zeros((m + 1, n + 1), dtype=np.int64)
+    best = np.int64(0)
+    last_col = np.int64(NEG)
+    for i in range(1, m + 1):
+        o = int(offsets[i - 1])
+        prev = h[i - 1]
+        row = np.full(n + 1, NEG, dtype=np.int64)
+        row[0] = 0
+        lo, hi = o + 1, min(o + band, n)  # H columns in band
+        sub = substitution_scores(
+            read[i - 1], ref[lo - 1 : hi], p.score_match, p.score_mismatch
+        ).astype(np.int64)
+        for j in range(lo, hi + 1):
+            diag = prev[j - 1] + sub[j - lo]
+            up = prev[j] + p.score_gap_ref
+            left = row[j - 1] + p.score_gap_read
+            cur = max(diag, up, left)
+            if local:
+                cur = max(cur, 0)
+                best = max(best, cur)
+            row[j] = cur
+        h[i] = row
+        if not local and hi == n:
+            last_col = max(last_col, row[n])
+    if local:
+        return int(best)
+    final = max(int(h[m].max()), int(last_col), 0)
+    return final
+
+
+# ---------------------------------------------------------------------------
+# Pallas banded tile kernel
+# ---------------------------------------------------------------------------
+
+def _banded_tile_kernel(offs_ref, o_prev_ref, win_start_ref, reads_ref,
+                        ref_win_ref, band_in_ref, best_in_ref, band_out_ref,
+                        best_out_ref, *, tile, band, win, d_max, n,
+                        params: AlignmentParameters, local: bool):
+    """One row tile for one 1024-pair block.
+
+    Scalar-prefetch: offs (tile,) absolute band offsets; o_prev (1,) offset
+    of the preceding row; win_start (1,) ref-window origin.
+    band_in/out: (band + d_max, 8, 128) — indices >= band stay -inf.
+    best_in/out: (2, 8, 128) — [running best, NW last-column max].
+    """
+    match = jnp.int32(params.score_match)
+    mismatch = jnp.int32(params.score_mismatch)
+    gap_read = jnp.int32(params.score_gap_read)
+    gap_ref = jnp.int32(params.score_gap_ref)
+    neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+    zero = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+    unroll = 8 if band % 8 == 0 else (4 if band % 4 == 0 else (2 if band % 2 == 0 else 1))
+    n_chunks = band // unroll
+
+    band_out_ref[...] = band_in_ref[...]
+    best_out_ref[...] = best_in_ref[...]
+
+    def row_body(i, _):
+        o_cur = offs_ref[i]
+        o_pr = jax.lax.cond(i == 0, lambda: o_prev_ref[0], lambda: offs_ref[i - 1])
+        d = o_cur - o_pr
+        base = o_cur - win_start_ref[0]
+        read_col = reads_ref[i]
+        read_valid = (read_col >= 1) & (read_col <= 4)
+
+        at_left_edge = o_cur == 0
+        h_left0 = jnp.where(at_left_edge, zero, neg_inf)
+        # diag of band cell 0 = prev row's band[d-1] (d >= 1) else col-0/-inf.
+        diag_from_band = band_out_ref[jnp.maximum(d - 1, 0)]
+        h_diag0 = jnp.where(d >= 1, diag_from_band,
+                            jnp.where(at_left_edge, zero, neg_inf))
+
+        def chunk_body(c, carry):
+            h_left, h_diag, best = carry
+            k0 = c * unroll
+            old = band_out_ref[pl.ds(k0 + d, unroll)]
+            ref_chunk = ref_win_ref[pl.ds(base + k0, unroll)]
+            new_vals = []
+            for u in range(unroll):
+                up = old[u]
+                ref_col = ref_chunk[u]
+                valid = read_valid & (ref_col >= 1) & (ref_col <= 4)
+                sub = jnp.where(
+                    valid, jnp.where(read_col == ref_col, match, mismatch), 0
+                )
+                cur = jnp.maximum(
+                    jnp.maximum(h_diag + sub, up + gap_ref),
+                    h_left + gap_read,
+                )
+                # Keep -inf cells from polluting int32 range.
+                cur = jnp.maximum(cur, neg_inf)
+                if local:
+                    cur = jnp.maximum(cur, 0)
+                    best = jnp.maximum(best, cur)
+                new_vals.append(cur)
+                h_left = cur
+                h_diag = up
+            band_out_ref[pl.ds(k0, unroll)] = jnp.stack(new_vals)
+            return h_left, h_diag, best
+
+        best0 = best_out_ref[0]
+        _, _, best = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (h_left0, h_diag0, best0)
+        )
+        best_out_ref[0] = best
+        if not local:
+            # Track the matrix's last column when the band reaches it.
+            k_last = n - 1 - o_cur  # band index of H column n
+            @pl.when((k_last >= 0) & (k_last < band))
+            def _():
+                best_out_ref[1] = jnp.maximum(
+                    best_out_ref[1], band_out_ref[k_last]
+                )
+        return 0
+
+    jax.lax.fori_loop(0, tile, row_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "algorithm", "band", "tile", "d_max", "interpret"),
+)
+def _banded_score_blocks(reads_b, refs_b, offsets, params, algorithm,
+                         band: int, tile: int, d_max: int,
+                         interpret: bool = False):
+    """reads_b (G, m_pad, 8, 128); refs_b (G, n, 8, 128); offsets (m_pad,).
+
+    ``d_max`` is the true max per-row offset step (static, from the offsets).
+    """
+    g, m_pad = reads_b.shape[0], reads_b.shape[1]
+    n = refs_b.shape[1]
+    local = Algorithm(algorithm) == Algorithm.SMITH_WATERMAN
+    win = band + tile * d_max
+    n_tiles = m_pad // tile
+
+    # Pad ref blocks so any window slice is in-bounds; pad codes are 0
+    # (invalid, sub = 0) and band cells beyond n never feed the outputs.
+    refs_pad = jnp.pad(refs_b, ((0, 0), (0, win), (0, 0), (0, 0)))
+    win_starts = offsets[::tile]  # (n_tiles,)
+
+    kernel = functools.partial(
+        _banded_tile_kernel, tile=tile, band=band, win=win, d_max=d_max,
+        n=n, params=params, local=local,
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # reads tile
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # ref window
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # band in
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # best in
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # band out
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # best out
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((band + d_max, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((2, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        ),
+        input_output_aliases={5: 0, 6: 1},  # band_in/best_in donate to outs
+        interpret=interpret,
+    )
+
+    def run_block(rb, fb):
+        band_init = jnp.concatenate([
+            jnp.zeros((band, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jnp.full((d_max, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32),
+        ])
+        # Row 0 boundary within the first band window is 0; outside cells of
+        # the *boundary row* are also 0 (free leading gaps) — but band cells
+        # only ever read boundary values through d-shifted indices of the
+        # previous band, which the zero init provides.
+        best_init = jnp.stack([
+            jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32),
+        ])
+
+        def tile_step(carry, t):
+            band_state, best_state = carry
+            reads_tile = jax.lax.dynamic_slice(
+                rb, (t * tile, 0, 0), (tile, BLOCK_SUBLANES, BLOCK_LANES)
+            )
+            ws = win_starts[t]
+            ref_win = jax.lax.dynamic_slice(
+                fb, (ws, 0, 0), (win, BLOCK_SUBLANES, BLOCK_LANES)
+            )
+            offs_tile = jax.lax.dynamic_slice(offsets, (t * tile,), (tile,))
+            o_prev = jnp.where(
+                t == 0, offs_tile[:1], jax.lax.dynamic_slice(offsets, (jnp.maximum(t * tile - 1, 0),), (1,))
+            )
+            band_state, best_state = call(
+                offs_tile, o_prev, ws[None], reads_tile, ref_win,
+                band_state, best_state,
+            )
+            return (band_state, best_state), None
+
+        (band_state, best_state), _ = jax.lax.scan(
+            tile_step, (band_init, best_init), jnp.arange(n_tiles)
+        )
+        if local:
+            return best_state[0]
+        final_row = jnp.max(band_state[:band], axis=0)
+        out = jnp.maximum(best_state[1], final_row)
+        return jnp.maximum(out, 0)
+
+    return jax.lax.map(lambda args: run_block(*args), (reads_b, refs_pad))
+
+
+def banded_score_batch(
+    reads: np.ndarray,
+    refs: np.ndarray,
+    params: AlignmentParameters,
+    algorithm: Algorithm,
+    band: int = 512,
+    tile: int = 256,
+    interpret: bool | None = None,
+) -> np.ndarray:
+    """Banded batch scoring: (B, m) x (B, n) -> (B,) int32.
+
+    ``band`` is rounded down to the ref length; rows pad to a tile multiple
+    (invalid padding rows cannot change the score — diagonal sub-0
+    propagation only replays existing final-row values).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    b, m = reads.shape
+    n = refs.shape[1]
+    band = min(band, n)
+    tile = min(tile, max(8, m))
+    m_pad = -(-m // tile) * tile
+    g = max(1, -(-b // BLOCK_PAIRS))
+    b_pad = g * BLOCK_PAIRS
+
+    def pack(x, length, pad_len):
+        x = jnp.asarray(np.asarray(x)).astype(jnp.int32)
+        x = jnp.pad(x, ((0, b_pad - x.shape[0]), (0, pad_len - length)))
+        x = x.reshape(g, BLOCK_SUBLANES, BLOCK_LANES, pad_len)
+        return jnp.transpose(x, (0, 3, 1, 2))
+
+    offsets_np = band_offsets(m_pad, m, n, band)
+    d_max = int(np.diff(offsets_np).max(initial=1)) if m_pad > 1 else 1
+    d_max = max(d_max, 1)
+    out = _banded_score_blocks(
+        pack(reads, m, m_pad), pack(refs, n, n), jnp.asarray(offsets_np),
+        params, Algorithm(algorithm), band, tile, d_max, interpret,
+    )
+    return np.asarray(out.reshape(b_pad)[:b], dtype=np.int32)
