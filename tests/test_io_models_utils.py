@@ -1,0 +1,182 @@
+"""FASTA I/O, model families, CLI, capabilities, checkpoint, profiling."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_codes
+from versalignlib_tpu.io.fasta import parse_fasta, parse_fasta_with_names, write_fasta
+from versalignlib_tpu.models import (
+    affine_smith_waterman,
+    banded_needleman_wunsch,
+    needleman_wunsch,
+    smith_waterman,
+)
+from versalignlib_tpu.ops import oracle
+from versalignlib_tpu.types import Algorithm
+from versalignlib_tpu.utils.checkpoint import ScoreCheckpoint, run_scored_batch
+from versalignlib_tpu.utils.profiling import GcupsMeter
+
+
+# --- FASTA -----------------------------------------------------------------
+
+def test_parse_fasta_basic():
+    fa = io.StringIO(">a\nACGT\nTTTT\n>b\nGGGG\n")
+    assert parse_fasta(fa) == ["ACGTTTTT", "GGGG"]
+
+
+def test_parse_fasta_space_discards_record():
+    # Reference behavior (versalignUtil.h:76-81): a space kills the record.
+    fa = io.StringIO(">a\nACG T\nACGT\n>b\nCCCC\n")
+    assert parse_fasta(fa) == ["CCCC"]
+
+
+def test_parse_fasta_empty_line_terminates_record():
+    fa = io.StringIO(">a\nACGT\n\nTTTT\n>b\nGG\n")
+    # ACGT flushed at the blank line; TTTT ignored (no active record).
+    assert parse_fasta(fa) == ["ACGT", "GG"]
+
+
+def test_parse_fasta_no_trailing_newline(tmp_path):
+    p = tmp_path / "x.fa"
+    p.write_text(">a\nACGT")
+    assert parse_fasta(p) == ["ACGT"]
+
+
+def test_fasta_roundtrip(tmp_path):
+    p = tmp_path / "y.fa"
+    write_fasta(p, ["ACGT" * 30, "TT"], names=["r1", "r2"])
+    assert parse_fasta(p) == ["ACGT" * 30, "TT"]
+    assert parse_fasta_with_names(p)[0][0] == "r1"
+
+
+# --- models ----------------------------------------------------------------
+
+def test_model_families(rng, default_params):
+    reads = random_codes(rng, 8, 12)
+    refs = random_codes(rng, 8, 14)
+    sw = smith_waterman()
+    scores = sw.score(reads, refs, backend="xla")
+    want = oracle.score_alignments(Algorithm.SMITH_WATERMAN, reads, refs, default_params)
+    np.testing.assert_array_equal(scores, want)
+    alns = sw.align(reads, refs, backend="xla")
+    assert [a.score for a in alns] == [int(s) for s in scores]
+
+    nw = needleman_wunsch()
+    np.testing.assert_array_equal(
+        nw.score(reads, refs, backend="xla"),
+        oracle.score_alignments(Algorithm.NEEDLEMAN_WUNSCH, reads, refs, default_params),
+    )
+
+
+def test_affine_model():
+    m = affine_smith_waterman(gap_open=-4, gap_extend=-1)
+    s = m.score(["ACGTACGTAC"], ["ACGCGTAC"], backend="xla")
+    a = m.align(["ACGTACGTAC"], ["ACGCGTAC"], backend="xla")
+    assert int(s[0]) == a[0].score
+
+
+def test_banded_model(rng, default_params):
+    reads = random_codes(rng, 4, 40)
+    refs = random_codes(rng, 4, 40)
+    m = banded_needleman_wunsch(band=40, tile=8)
+    got = m.score(reads, refs)
+    want = oracle.score_alignments(Algorithm.NEEDLEMAN_WUNSCH, reads, refs, default_params)
+    np.testing.assert_array_equal(got, want)  # full band == dense
+    with pytest.raises(NotImplementedError):
+        m.align(reads, refs)
+
+
+# --- CLI -------------------------------------------------------------------
+
+def test_cli_end_to_end(tmp_path):
+    from versalignlib_tpu.cli import main
+    from versalignlib_tpu.io.fasta import write_fasta
+
+    reads = ["ACGTACGT", "TTTTACGT"]
+    refs = ["ACGTACGA", "ACGTAAAA"]
+    write_fasta(tmp_path / "reads.fa", reads)
+    write_fasta(tmp_path / "refs.fa", refs)
+    rc = main([
+        "--reads", str(tmp_path / "reads.fa"),
+        "--refs", str(tmp_path / "refs.fa"),
+        "--outdir", str(tmp_path), "--backend", "xla",
+    ])
+    assert rc == 0
+    for fn in ("scores_smith_waterman.txt", "alignments_smith_waterman.txt",
+               "scores_needleman_wunsch.txt", "alignments_needleman_wunsch.txt"):
+        assert (tmp_path / fn).exists(), fn
+    lines = (tmp_path / "scores_smith_waterman.txt").read_text().splitlines()
+    assert lines[0] == "ACGTACGT"
+    assert lines[2].lstrip("-").isdigit()
+
+
+def test_cli_count_mismatch(tmp_path):
+    from versalignlib_tpu.cli import main
+    from versalignlib_tpu.io.fasta import write_fasta
+
+    write_fasta(tmp_path / "reads.fa", ["ACGT"])
+    write_fasta(tmp_path / "refs.fa", ["ACGT", "ACGT"])
+    rc = main(["--reads", str(tmp_path / "reads.fa"),
+               "--refs", str(tmp_path / "refs.fa"),
+               "--outdir", str(tmp_path)])
+    assert rc == 1
+
+
+# --- checkpoint ------------------------------------------------------------
+
+def test_checkpoint_resume(tmp_path, rng, default_params):
+    reads = random_codes(rng, 25, 10)
+    refs = random_codes(rng, 25, 10)
+    calls = []
+
+    def score_fn(r, f):
+        calls.append(r.shape[0])
+        return oracle.score_alignments(Algorithm.SMITH_WATERMAN, r, f, default_params)
+
+    out1 = run_scored_batch(tmp_path / "ck", reads, refs, score_fn, chunk=10)
+    assert len(calls) == 3  # 10 + 10 + 5
+    want = oracle.score_alignments(Algorithm.SMITH_WATERMAN, reads, refs, default_params)
+    np.testing.assert_array_equal(out1, want)
+
+    # Resume: everything done -> no new calls.
+    calls.clear()
+    out2 = run_scored_batch(tmp_path / "ck", reads, refs, score_fn, chunk=10)
+    assert calls == []
+    np.testing.assert_array_equal(out2, want)
+
+    # Partial resume: drop one journal line, only that chunk re-runs.
+    journal = tmp_path / "ck" / "done.jsonl"
+    entries = [json.loads(x) for x in journal.read_text().splitlines()]
+    journal.write_text("\n".join(json.dumps(e) for e in entries if e["chunk"] != 1) + "\n")
+    calls.clear()
+    out3 = run_scored_batch(tmp_path / "ck", reads, refs, score_fn, chunk=10)
+    assert calls == [10]
+    np.testing.assert_array_equal(out3, want)
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    ScoreCheckpoint(tmp_path / "c2", total=10, chunk=5)
+    with pytest.raises(ValueError):
+        ScoreCheckpoint(tmp_path / "c2", total=20, chunk=5)
+
+
+# --- profiling / capabilities ----------------------------------------------
+
+def test_gcups_meter():
+    meter = GcupsMeter()
+    with meter.measure(1_000_000):
+        pass
+    assert meter.calls == 1
+    assert meter.gcups > 0
+    assert "GCUPS" in meter.report()
+
+
+def test_capabilities_probe():
+    from versalignlib_tpu.utils.capabilities import probe
+
+    caps = probe()
+    assert caps.platform in ("cpu", "tpu", "gpu")
+    assert caps.num_devices >= 1

@@ -1,0 +1,142 @@
+"""Command-line driver: the reference example app, TPU-native.
+
+Reproduces the behavior of the reference's ``Versalign`` executable
+(/root/reference/src/impl/main.cpp:74-215): load two FASTA files, run
+Smith-Waterman and Needleman-Wunsch in score and alignment mode, write the
+four result files (same filenames, main.cpp:133-155,169-189), then run the
+threads-vs-time benchmark table (here: backends-vs-GCUPS, replacing
+``time_kernel``'s OpenMP thread sweep, main.cpp:240-295).
+
+Usage:
+    python -m versalignlib_tpu --reads reads.fa --refs refs.fa [--outdir .]
+    python -m versalignlib_tpu --selftest     # synthetic data demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+from versalignlib_tpu import (
+    Algorithm,
+    AlignmentEngine,
+    AlignmentParameters,
+    available_backends,
+)
+from versalignlib_tpu.alphabet import pad_and_encode
+from versalignlib_tpu.io.fasta import parse_fasta
+from versalignlib_tpu.utils.logging import get_logger
+from versalignlib_tpu.utils.profiling import GcupsMeter
+
+_log = get_logger("cli")
+
+#: Output filenames, matching main.cpp:133-155,169-189.
+OUT_FILES = {
+    (Algorithm.SMITH_WATERMAN, "score"): "scores_smith_waterman.txt",
+    (Algorithm.SMITH_WATERMAN, "align"): "alignments_smith_waterman.txt",
+    (Algorithm.NEEDLEMAN_WUNSCH, "score"): "scores_needleman_wunsch.txt",
+    (Algorithm.NEEDLEMAN_WUNSCH, "align"): "alignments_needleman_wunsch.txt",
+}
+
+
+def _write_scores(path, reads, refs, scores):
+    # Reference format: "<read>\n<ref>\n<score>\n" per pair (main.cpp:133-144).
+    with open(path, "w") as f:
+        for r, q, s in zip(reads, refs, scores):
+            f.write(f"{r}\n{q}\n{int(s)}\n")
+
+
+def _write_alignments(path, alignments):
+    # Reference format: the two gapped strings per pair (main.cpp:146-155).
+    with open(path, "w") as f:
+        for a in alignments:
+            f.write(f"{a.read}\n{a.ref}\n{a.cigar}\t{a.score}\n")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="versalignlib_tpu", description=__doc__)
+    ap.add_argument("--reads", help="FASTA file of reads")
+    ap.add_argument("--refs", help="FASTA file of references")
+    ap.add_argument("--outdir", default=".", help="output directory")
+    ap.add_argument("--backend", default="auto",
+                    help=f"kernel backend (auto|{'|'.join(sorted(available_backends()))})")
+    ap.add_argument("--match", type=int, default=2)
+    ap.add_argument("--mismatch", type=int, default=-1)
+    ap.add_argument("--gap-read", type=int, default=-3)
+    ap.add_argument("--gap-ref", type=int, default=-3)
+    ap.add_argument("--gap-open", type=int, default=0,
+                    help="affine gap-open penalty (0 = linear, reference model)")
+    ap.add_argument("--bench", action="store_true",
+                    help="run the backend benchmark table afterwards")
+    ap.add_argument("--selftest", action="store_true",
+                    help="run on synthetic sequences instead of files")
+    args = ap.parse_args(argv)
+
+    params = AlignmentParameters(
+        score_match=args.match, score_mismatch=args.mismatch,
+        score_gap_read=args.gap_read, score_gap_ref=args.gap_ref,
+        gap_open_read=args.gap_open, gap_open_ref=args.gap_open,
+    )
+
+    if args.selftest:
+        rng = np.random.default_rng(0)
+        bases = np.array(list("ACGT"))
+        reads = ["".join(rng.choice(bases, size=64)) for _ in range(128)]
+        refs = ["".join(rng.choice(bases, size=96)) for _ in range(128)]
+    else:
+        if not args.reads or not args.refs:
+            ap.error("--reads and --refs are required (or use --selftest)")
+        reads = parse_fasta(args.reads)
+        refs = parse_fasta(args.refs)
+        if len(reads) != len(refs):
+            # main.cpp:93-102 semantics.
+            print(
+                f"Read number ({len(reads)}) differs from ref number "
+                f"({len(refs)}) - exiting.", file=sys.stderr,
+            )
+            return 1
+
+    outdir = pathlib.Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    engine = AlignmentEngine(params=params, backend=args.backend)
+    _log.info("using backend %s over %d pairs", engine.backend.name, len(reads))
+
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        scores = engine.score_alignments(algorithm, reads, refs)
+        _write_scores(outdir / OUT_FILES[(algorithm, "score")], reads, refs, scores)
+        alns = engine.compute_alignments(algorithm, reads, refs)
+        _write_alignments(outdir / OUT_FILES[(algorithm, "align")], alns)
+        print(f"{algorithm.name}: wrote {len(reads)} scores + alignments")
+
+    if args.bench:
+        run_benchmark_table(reads, refs, params)
+    return 0
+
+
+def run_benchmark_table(reads, refs, params) -> None:
+    """Backends-vs-throughput TSV, the analogue of time_kernel's table."""
+    reads_enc = pad_and_encode(reads)
+    refs_enc = pad_and_encode(refs)
+    cells = reads_enc.shape[0] * reads_enc.shape[1] * refs_enc.shape[1]
+    print("backend\tmode\tseconds/call\tGCUPS")
+    for name in available_backends():
+        from versalignlib_tpu.dispatch import get_backend
+
+        backend = get_backend(name)
+        meter = GcupsMeter()
+        with meter.measure(cells):  # warm/compile
+            backend.score_alignments(Algorithm.SMITH_WATERMAN, reads_enc, refs_enc, params)
+        meter = GcupsMeter()
+        for _ in range(3):
+            with meter.measure(cells):
+                backend.score_alignments(
+                    Algorithm.SMITH_WATERMAN, reads_enc, refs_enc, params
+                )
+        print(f"{name}\tscore\t{meter.seconds / meter.calls:.6f}\t{meter.gcups:.2f}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

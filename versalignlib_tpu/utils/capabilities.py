@@ -1,0 +1,56 @@
+"""Runtime capability probing.
+
+The TPU-era analogue of the reference's CPUID gate
+(``check_avx2_support``, /root/reference/src/util/versalignUtil.cpp:78-181,
+used to conditionally register the AVX backend, main.cpp:80-83): probe the
+JAX platform once, cache it, and let the dispatcher pick the best backend.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+from versalignlib_tpu.utils.logging import get_logger
+
+_log = get_logger("capabilities")
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceCapabilities:
+    platform: str          # "tpu" | "cpu" | "gpu"
+    device_kind: str
+    num_devices: int
+    supports_pallas_compiled: bool
+    #: bytes of VMEM per core (TPU) — bounds dense kernel ref lengths
+    vmem_bytes: int
+
+    @property
+    def max_dense_ref_len(self) -> int:
+        """Largest ref length whose H row + blocks fit VMEM (int32 cells)."""
+        # H row (n+1) + F row (n) + in blocks, ~4KB per row entry per block.
+        return max(0, self.vmem_bytes // (4 * 1024 * 4))
+
+
+@functools.lru_cache(maxsize=1)
+def probe() -> DeviceCapabilities:
+    try:
+        import jax
+
+        devices = jax.devices()
+        platform = devices[0].platform
+        kind = getattr(devices[0], "device_kind", platform)
+        n = len(devices)
+    except Exception as exc:
+        _log.warning("device probe failed: %s", exc)
+        return DeviceCapabilities("none", "none", 0, False, 0)
+    vmem = 16 * 2 ** 20 if platform == "tpu" else 0  # ~16MB VMEM per core
+    caps = DeviceCapabilities(
+        platform=platform,
+        device_kind=kind,
+        num_devices=n,
+        supports_pallas_compiled=platform == "tpu",
+        vmem_bytes=vmem,
+    )
+    _log.info("device capabilities: %s", caps)
+    return caps

@@ -1,0 +1,108 @@
+"""Streaming checkpoint/resume for huge batch runs.
+
+The reference has nothing resumable — results stream to text files from the
+driver (main.cpp:133-155) and a crash loses everything. For pod-scale runs
+(BASELINE config 5: 10M+ pairs), this module makes batch scoring restartable:
+scores land in a memmapped array, chunk completion is journaled, and
+``resume`` skips finished chunks. Crash-consistent by construction: a chunk
+is journaled only after its scores are flushed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+
+import numpy as np
+
+from versalignlib_tpu.utils.logging import get_logger
+
+_log = get_logger("checkpoint")
+
+
+@dataclasses.dataclass
+class ScoreCheckpoint:
+    """Chunked score-run state rooted at ``directory``."""
+
+    directory: pathlib.Path
+    total: int
+    chunk: int
+
+    def __post_init__(self) -> None:
+        self.directory = pathlib.Path(self.directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        meta_path = self.directory / "meta.json"
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            if meta["total"] != self.total or meta["chunk"] != self.chunk:
+                raise ValueError(
+                    f"checkpoint {self.directory} was created with "
+                    f"total={meta['total']} chunk={meta['chunk']}; refusing "
+                    f"to resume with total={self.total} chunk={self.chunk}"
+                )
+        else:
+            meta_path.write_text(json.dumps({"total": self.total, "chunk": self.chunk}))
+        self._scores = np.lib.format.open_memmap(
+            self.directory / "scores.npy", mode="r+" if (self.directory / "scores.npy").exists() else "w+",
+            dtype=np.int32, shape=(self.total,),
+        )
+        self._journal = self.directory / "done.jsonl"
+
+    def done_chunks(self) -> set[int]:
+        if not self._journal.exists():
+            return set()
+        done = set()
+        for line in self._journal.read_text().splitlines():
+            if line.strip():
+                done.add(json.loads(line)["chunk"])
+        return done
+
+    def pending_chunks(self) -> list[tuple[int, int, int]]:
+        """[(chunk_index, lo, hi)] not yet completed."""
+        done = self.done_chunks()
+        out = []
+        n_chunks = -(-self.total // self.chunk)
+        for c in range(n_chunks):
+            if c not in done:
+                out.append((c, c * self.chunk, min((c + 1) * self.chunk, self.total)))
+        return out
+
+    def commit(self, chunk_index: int, lo: int, scores: np.ndarray) -> None:
+        """Write one chunk's scores and journal completion (flush order
+        guarantees crash consistency)."""
+        self._scores[lo : lo + scores.shape[0]] = scores
+        self._scores.flush()
+        with open(self._journal, "a") as f:
+            f.write(json.dumps({"chunk": chunk_index, "lo": lo,
+                                "n": int(scores.shape[0])}) + "\n")
+
+    def scores(self) -> np.ndarray:
+        return np.asarray(self._scores)
+
+    def is_complete(self) -> bool:
+        return not self.pending_chunks()
+
+
+def run_scored_batch(
+    checkpoint_dir,
+    reads: np.ndarray,
+    refs: np.ndarray,
+    score_fn,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Score a huge batch with resume-on-restart.
+
+    ``score_fn(reads_chunk, refs_chunk) -> (n,) int32``. Already-completed
+    chunks (from a previous run) are skipped.
+    """
+    ckpt = ScoreCheckpoint(checkpoint_dir, total=reads.shape[0], chunk=chunk)
+    pending = ckpt.pending_chunks()
+    if not pending:
+        _log.info("checkpoint complete; returning stored scores")
+        return ckpt.scores()
+    _log.info("resuming: %d/%d chunks pending", len(pending),
+              -(-reads.shape[0] // chunk))
+    for c, lo, hi in pending:
+        ckpt.commit(c, lo, np.asarray(score_fn(reads[lo:hi], refs[lo:hi]), dtype=np.int32))
+    return ckpt.scores()
