@@ -1,0 +1,69 @@
+"""Data-parallel mesh layer on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_codes
+from versalignlib_tpu.ops import oracle
+from versalignlib_tpu.parallel import distributed_score_batch, make_mesh
+from versalignlib_tpu.types import Algorithm, TieBreak
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH])
+def test_distributed_scores_match_oracle(rng, mesh, default_params, algorithm):
+    reads = random_codes(rng, 33, 12, padded=True)  # 33: uneven shard sizes
+    refs = random_codes(rng, 33, 15, padded=True)
+    got = distributed_score_batch(reads, refs, default_params, algorithm,
+                                  mesh=mesh, impl="xla")
+    want = oracle.score_alignments(algorithm, reads, refs, default_params)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_distributed_align_device(rng, mesh, default_params):
+    import jax.numpy as jnp
+
+    from versalignlib_tpu.ops.traceback import decode_batch
+    from versalignlib_tpu.parallel.distributed import distributed_align_device
+
+    b = 16
+    reads = random_codes(rng, b, 10)
+    refs = random_codes(rng, b, 12)
+    ptr, sr, sf, best = distributed_align_device(
+        jnp.asarray(reads), jnp.asarray(refs), default_params,
+        Algorithm.SMITH_WATERMAN, TieBreak.DIAG_UP_LEFT, mesh,
+    )
+    alns = decode_batch(np.asarray(ptr), reads, refs, np.asarray(sr),
+                        np.asarray(sf), default_params,
+                        Algorithm.SMITH_WATERMAN, np.asarray(best))
+    want = oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs, default_params)
+    for g, w in zip(alns, want):
+        assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+
+
+def test_mesh_helpers():
+    m = make_mesh(4)
+    assert m.devices.size == 4
+    with pytest.raises(ValueError):
+        make_mesh(10_000)
+
+
+def test_engine_with_mesh(rng, mesh, default_params):
+    from versalignlib_tpu import AlignmentEngine
+
+    engine = AlignmentEngine(backend="xla", mesh=mesh)
+    reads = random_codes(rng, 12, 10)
+    refs = random_codes(rng, 12, 10)
+    got = engine.score_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+    want = oracle.score_alignments(Algorithm.SMITH_WATERMAN, reads, refs, default_params)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)

@@ -117,10 +117,14 @@ class AlignmentEngine:
         params: AlignmentParameters = DEFAULT_PARAMETERS,
         backend: str = "auto",
         tie: TieBreak = TieBreak.DIAG_UP_LEFT,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional jax.sharding.Mesh — scoring then runs
+        data-parallel over its ``data`` axis (parallel/distributed.py)."""
         self.params = params
         self.backend = get_backend(backend)
         self.tie = tie
+        self.mesh = mesh
 
     def _prepare(self, reads, refs) -> tuple[np.ndarray, np.ndarray]:
         if isinstance(reads, np.ndarray) and reads.dtype == np.uint8 and reads.ndim == 2:
@@ -142,6 +146,14 @@ class AlignmentEngine:
         self, algorithm: Algorithm, reads, refs
     ) -> np.ndarray:
         reads_enc, refs_enc = self._prepare(reads, refs)
+        if self.mesh is not None:
+            from versalignlib_tpu.parallel.distributed import distributed_score_batch
+
+            impl = "pallas" if self.backend.name == "pallas" else "xla"
+            return distributed_score_batch(
+                reads_enc, refs_enc, self.params, algorithm,
+                mesh=self.mesh, impl=impl,
+            )
         return np.asarray(
             self.backend.score_alignments(algorithm, reads_enc, refs_enc, self.params),
             dtype=np.int32,
