@@ -143,3 +143,22 @@ def test_affine_engine_routing(rng):
     scores = engine.score_alignments(Algorithm.SMITH_WATERMAN, ["ACGTACGT"], ["ACGGTACG"])
     alns = engine.compute_alignments(Algorithm.SMITH_WATERMAN, ["ACGTACGT"], ["ACGGTACG"])
     assert int(scores[0]) == alns[0].score
+
+
+def test_xla_affine_align_matches_oracle(rng):
+    """Device affine pointer plane + native decode vs the Gotoh oracle."""
+    from versalignlib_tpu.ops.xla import XLABackend
+    from versalignlib_tpu.types import TieBreak
+
+    p = AFFINE_PARAMS[1]
+    backend = XLABackend()
+    reads = random_codes(rng, 24, 14, padded=True, n_prob=0.05)
+    refs = random_codes(rng, 24, 19, padded=True, n_prob=0.05)
+    for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        got = backend.compute_alignments(alg, reads, refs, p, TieBreak.DIAG_UP_LEFT)
+        want = gotoh.compute_alignments_affine(alg, reads, refs, p)
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert (g.read, g.ref, g.score, g.cigar) == (
+                w.read, w.ref, w.score, w.cigar), (i, alg, g, w)
+            assert (g.read_start, g.read_end, g.ref_start, g.ref_end) == (
+                w.read_start, w.read_end, w.ref_start, w.ref_end), (i, alg)

@@ -54,7 +54,7 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # starts, scores
             ctypes.c_int, ctypes.c_int, ctypes.c_int,         # b, m, n
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # scoring
-            ctypes.c_int,                                     # is_nw
+            ctypes.c_int, ctypes.c_int,                       # is_nw, is_affine
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # out bufs
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int,      # cigar_cap, meta, threads
         ]
@@ -78,6 +78,7 @@ def decode_batch_native(
     read_texts: list[str] | None = None,
     ref_texts: list[str] | None = None,
     n_threads: int | None = None,
+    affine: bool = False,
 ):
     """Batch traceback decode through the C++ library.
 
@@ -140,6 +141,7 @@ def decode_batch_native(
         params.score_match, params.score_mismatch,
         params.score_gap_read, params.score_gap_ref,
         1 if Algorithm(algorithm) == Algorithm.NEEDLEMAN_WUNSCH else 0,
+        1 if affine else 0,
         read_g.ctypes.data_as(ctypes.c_void_p),
         ref_g.ctypes.data_as(ctypes.c_void_p),
         cigar.ctypes.data_as(ctypes.c_void_p),

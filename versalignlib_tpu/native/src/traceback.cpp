@@ -38,6 +38,7 @@ struct Args {
   int b, m, n;
   int match, mismatch, gap_read, gap_ref;
   int is_nw;
+  int is_affine;  // 4-bit codes: hptr(2b) | e_ext<<2 | f_ext<<3
   char *read_gapped;  // (b, m+n)
   char *ref_gapped;   // (b, m+n)
   char *cigar_out;    // (b, cigar_cap)
@@ -55,6 +56,8 @@ inline int sub_score(uint8_t a, uint8_t b, int match, int mismatch) {
 }
 
 inline int load_ptr(const Args &A, int pair, int i, int j) {
+  const int bits = A.is_affine ? 4 : 2;
+  const int mask = A.is_affine ? 15 : 3;
   if (A.ptr_kind == 0) {
     const uint8_t *p = static_cast<const uint8_t *>(A.ptr_data);
     return p[(size_t)pair * A.m * A.n + (size_t)i * A.n + j];
@@ -62,7 +65,7 @@ inline int load_ptr(const Args &A, int pair, int i, int j) {
   int nc = (A.n + A.pack - 1) / A.pack;
   const int32_t *p = static_cast<const int32_t *>(A.ptr_data);
   int32_t word = p[(size_t)pair * A.m * nc + (size_t)i * nc + j / A.pack];
-  return (word >> (2 * (j % A.pack))) & 3;
+  return (word >> (bits * (j % A.pack))) & mask;
 }
 
 void decode_pair(const Args &A, int k) {
@@ -161,6 +164,107 @@ void decode_pair(const Args &A, int k) {
   mt[7] = clen;
 }
 
+void decode_pair_affine(const Args &A, int k) {
+  // Three-state (H/E/F) walk mirroring gotoh._affine_traceback: state H
+  // follows hptr; E/F emit LEFT/UP steps and return to H when the extend
+  // bit is clear. Scores must be supplied by the caller (the device kernels
+  // emit exact end-cell scores).
+  const int m = A.m, n = A.n;
+  const int aln_cap = m + n;
+  char *rg = A.read_gapped + (size_t)k * aln_cap;
+  char *fg = A.ref_gapped + (size_t)k * aln_cap;
+  const uint8_t *read = A.reads + (size_t)k * m;
+  const uint8_t *ref = A.refs + (size_t)k * n;
+  const char *rt = A.read_texts ? A.read_texts + (size_t)k * m : nullptr;
+  const char *ft = A.ref_texts ? A.ref_texts + (size_t)k * n : nullptr;
+
+  int rp = A.start_r[k];
+  int fp = A.start_f[k];
+  const int start_rp = rp, start_fp = fp;
+  int pos = aln_cap;
+  int steps = 0;
+  int state = 0;  // 0=H, 1=F(up), 2=E(left)
+  while (steps <= aln_cap) {
+    if (rp < 0) break;  // boundary row 0
+    char rc = rt ? rt[rp] : kCodeChar[read[rp] <= 5 ? read[rp] : 0];
+    if (fp < 0) {
+      if (!A.is_nw) break;
+      --pos;
+      rg[pos] = rc;
+      fg[pos] = '-';
+      --rp;
+      ++steps;
+      continue;
+    }
+    char fc = ft ? ft[fp] : kCodeChar[ref[fp] <= 5 ? ref[fp] : 0];
+    int code = load_ptr(A, k, rp, fp);
+    int hptr = code & 3;
+    if (state == 0) {
+      if (hptr == START) break;
+      if (hptr == DIAG) {
+        --pos;
+        rg[pos] = rc;
+        fg[pos] = fc;
+        --rp;
+        --fp;
+        ++steps;
+      } else if (hptr == UP) {
+        state = 1;
+      } else {
+        state = 2;
+      }
+    } else if (state == 1) {
+      --pos;
+      rg[pos] = rc;
+      fg[pos] = '-';
+      --rp;
+      if (!((code >> 3) & 1)) state = 0;
+      ++steps;
+    } else {
+      --pos;
+      rg[pos] = '-';
+      fg[pos] = fc;
+      --fp;
+      if (!((code >> 2) & 1)) state = 0;
+      ++steps;
+    }
+  }
+
+  const int aln_len = aln_cap - pos;
+  std::memmove(rg, rg + pos, aln_len);
+  std::memmove(fg, fg + pos, aln_len);
+
+  int32_t score = A.scores_in ? A.scores_in[k] : 0;
+
+  char *cg = A.cigar_out + (size_t)k * A.cigar_cap;
+  int clen = 0;
+  int run = 0;
+  char op = 0;
+  for (int t = 0; t < aln_len; ++t) {
+    char cur_op = rg[t] == '-' ? 'D' : (fg[t] == '-' ? 'I' : 'M');
+    if (cur_op == op) {
+      ++run;
+    } else {
+      if (run > 0 && clen + 12 < A.cigar_cap)
+        clen += std::snprintf(cg + clen, A.cigar_cap - clen, "%d%c", run, op);
+      op = cur_op;
+      run = 1;
+    }
+  }
+  if (run > 0 && clen + 12 < A.cigar_cap)
+    clen += std::snprintf(cg + clen, A.cigar_cap - clen, "%d%c", run, op);
+
+  int32_t *mt = A.meta + (size_t)k * 8;
+  mt[0] = score;
+  mt[1] = rp + 1;
+  mt[2] = start_rp + 1;
+  mt[3] = fp + 1;
+  mt[4] = start_fp + 1;
+  mt[5] = aln_len;
+  mt[6] = aln_cap - 1 - steps;
+  mt[7] = clen;
+}
+
 }  // namespace
 
 extern "C" int val_decode_batch(
@@ -168,24 +272,26 @@ extern "C" int val_decode_batch(
     const uint8_t *refs, const char *read_texts, const char *ref_texts,
     const int32_t *start_r, const int32_t *start_f, const int32_t *scores_in,
     int b, int m, int n, int match, int mismatch, int gap_read, int gap_ref,
-    int is_nw, char *read_gapped, char *ref_gapped, char *cigar_out,
-    int cigar_cap, int32_t *meta, int n_threads) {
+    int is_nw, int is_affine, char *read_gapped, char *ref_gapped,
+    char *cigar_out, int cigar_cap, int32_t *meta, int n_threads) {
   Args A{ptr_data, ptr_kind, pack, reads, refs, read_texts, ref_texts,
          start_r, start_f, scores_in, b, m, n, match, mismatch, gap_read,
-         gap_ref, is_nw, read_gapped, ref_gapped, cigar_out, cigar_cap, meta};
+         gap_ref, is_nw, is_affine, read_gapped, ref_gapped, cigar_out,
+         cigar_cap, meta};
+  auto decode = A.is_affine ? decode_pair_affine : decode_pair;
   if (n_threads <= 1 || b < 64) {
-    for (int k = 0; k < b; ++k) decode_pair(A, k);
+    for (int k = 0; k < b; ++k) decode(A, k);
     return 0;
   }
   std::atomic<int> next{0};
   std::vector<std::thread> pool;
   for (int t = 0; t < n_threads; ++t) {
-    pool.emplace_back([&A, &next]() {
+    pool.emplace_back([&A, &next, decode]() {
       for (;;) {
         int k = next.fetch_add(16);
         if (k >= A.b) return;
         int end = k + 16 < A.b ? k + 16 : A.b;
-        for (; k < end; ++k) decode_pair(A, k);
+        for (; k < end; ++k) decode(A, k);
       }
     });
   }

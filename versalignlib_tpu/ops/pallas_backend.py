@@ -31,11 +31,13 @@ class PallasBackend:
 
     def compute_alignments(self, algorithm, reads, refs, params, tie):
         if params.affine:
-            from versalignlib_tpu.ops import gotoh
+            # Affine align: XLA pointer-plane kernel (device) + native decode
+            # (a Pallas affine pointer kernel is a planned optimization).
+            if self._xla is None:
+                from versalignlib_tpu.ops.xla import XLABackend
 
-            return gotoh.compute_alignments_affine(
-                Algorithm(algorithm), reads, refs, params
-            )
+                self._xla = XLABackend()
+            return self._xla.compute_alignments(algorithm, reads, refs, params, tie)
         try:
             from versalignlib_tpu.ops.pallas_align import pallas_align_batch
 

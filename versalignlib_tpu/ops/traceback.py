@@ -156,3 +156,50 @@ def decode_batch(
             )
         )
     return out
+
+
+def decode_batch_affine(
+    ptr: np.ndarray,
+    reads: np.ndarray,
+    refs: np.ndarray,
+    start_read_pos: np.ndarray,
+    start_ref_pos: np.ndarray,
+    params: AlignmentParameters,
+    algorithm: Algorithm,
+    scores: np.ndarray,
+    read_texts: list[str] | None = None,
+    ref_texts: list[str] | None = None,
+) -> list[Alignment]:
+    """Decode affine 4-bit pointer planes (hptr | e_ext<<2 | f_ext<<3).
+
+    Prefers the native C++ state machine; falls back to the Python walker in
+    ops/gotoh.py. Scores must be supplied (the device kernels emit exact
+    end-cell scores).
+    """
+    try:
+        from versalignlib_tpu.native import decode_batch_native
+
+        return decode_batch_native(
+            ptr, reads, refs, start_read_pos, start_ref_pos, params,
+            algorithm, scores, read_texts, ref_texts, affine=True,
+        )
+    except ImportError:
+        pass
+    from versalignlib_tpu.ops.gotoh import _affine_traceback
+
+    is_nw = Algorithm(algorithm) == Algorithm.NEEDLEMAN_WUNSCH
+    out = []
+    m, n = reads.shape[1], refs.shape[1]
+    for i in range(ptr.shape[0]):
+        full = np.zeros((m + 1, n + 1), np.uint8)
+        full[1:, 1:] = ptr[i]
+        out.append(
+            _affine_traceback(
+                reads[i], refs[i], full, int(start_read_pos[i]),
+                int(start_ref_pos[i]), int(scores[i]),
+                None if read_texts is None else read_texts[i],
+                None if ref_texts is None else ref_texts[i],
+                nw_boundary=is_nw,
+            )
+        )
+    return out

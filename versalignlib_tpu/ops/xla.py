@@ -261,6 +261,123 @@ def align_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm,
 
 
 # ---------------------------------------------------------------------------
+# Affine (Gotoh) alignment kernel: 4-bit pointer plane
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("params", "algorithm"))
+def align_affine_batch(reads, refs, params: AlignmentParameters,
+                       algorithm: Algorithm):
+    """Affine pointer-plane fill (see ops/gotoh.py for the pointer model).
+
+    Returns (ptr, start_read_pos, start_ref_pos, score): ptr is (B, m, n)
+    uint8 with hptr(2b) | e_ext<<2 | f_ext<<3. Tie order DIAG > UP(F) >
+    LEFT(E); extend beats open on gap ties (gaps coalesce).
+    """
+    reads = reads.astype(jnp.int32)
+    refs = refs.astype(jnp.int32)
+    b, m = reads.shape
+    n = refs.shape[1]
+    local = algorithm == Algorithm.SMITH_WATERMAN
+    ext_f = jnp.int32(params.score_gap_ref)
+    ext_r = params.score_gap_read
+    open_f = jnp.int32(params.gap_open_ref)
+    open_r = jnp.int32(params.gap_open_read)
+
+    # NW end-cell validity: the affine NW variant uses the Default flavor
+    # (code != 0 counts valid), matching gotoh.nw_align_affine.
+    read_invalid = reads == 0
+    ref_invalid = refs == 0
+    any_r = jnp.any(read_invalid, axis=1)
+    first_r = jnp.argmax(read_invalid, axis=1).astype(jnp.int32)
+    max_read_pos = jnp.where(any_r, first_r - 1, m - 1)
+
+    d, u, l, s = (jnp.uint8(Trace.DIAG), jnp.uint8(Trace.UP),
+                  jnp.uint8(Trace.LEFT), jnp.uint8(Trace.START))
+
+    def body(carry, x):
+        i, read_col = x
+        prev, f_prev, best_score, best_i, best_j, h_keep = carry
+        sub = _sub_row(read_col[:, None], refs, params.score_match, params.score_mismatch)
+        f_row = jnp.maximum(prev[:, 1:] + open_f + ext_f, f_prev + ext_f)
+        diag_v = prev[:, :-1] + sub
+        t = jnp.maximum(diag_v, f_row)
+        if local:
+            t = jnp.maximum(t, 0)
+            col0 = jnp.zeros((b, 1), jnp.int32)
+        else:
+            col0 = open_f + (i + 1) * jnp.full((b, 1), 1, jnp.int32) * ext_f
+        t_full = jnp.concatenate([col0, t], axis=1)
+        e_row = _row_solve_open(t_full, open_r, ext_r)
+        h_inner = jnp.maximum(t, e_row)
+        if local:
+            h_inner = jnp.maximum(h_inner, 0)
+        h = jnp.concatenate([col0, h_inner], axis=1)
+
+        hp = jnp.where(h_inner == diag_v, d,
+                       jnp.where(h_inner == f_row, u,
+                                 jnp.where(h_inner == e_row, l, s)))
+        if local:
+            hp = jnp.where(h_inner == 0, s, hp)
+        e_shift = jnp.concatenate(
+            [jnp.full((b, 1), NEG_INF, jnp.int32), e_row[:, :-1]], axis=1
+        )
+        e_ext = (e_row == e_shift + ext_r).astype(jnp.uint8)
+        f_ext = (f_row == f_prev + ext_f).astype(jnp.uint8)
+        ptr_row = hp | (e_ext << 2) | (f_ext << 3)
+
+        if local:
+            row_max = jnp.max(h_inner, axis=1)
+            row_arg = jnp.argmax(h_inner, axis=1).astype(jnp.int32)
+            upd = row_max > best_score
+            best_score = jnp.where(upd, row_max, best_score)
+            best_i = jnp.where(upd, i, best_i)
+            best_j = jnp.where(upd, row_arg, best_j)
+        else:
+            row_max = jnp.max(h_inner, axis=1)
+            best_j = jnp.where(
+                row_max > h[:, 0], jnp.argmax(h_inner, axis=1).astype(jnp.int32), 0
+            )
+            h_keep = jnp.where((max_read_pos == i)[:, None], h, h_keep)
+        out_row = (ptr_row, best_j) if not local else ptr_row
+        return (h, f_row, best_score, best_i, best_j, h_keep), out_row
+
+    init = (
+        jnp.zeros((b, n + 1), jnp.int32),
+        jnp.full((b, n), NEG_INF, jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b,), jnp.int32),
+        jnp.zeros((b, n + 1), jnp.int32),
+    )
+    xs = (jnp.arange(m, dtype=jnp.int32), reads.T)
+    (h_last, _, best_score, best_i, best_j, h_keep), ys = jax.lax.scan(body, init, xs)
+
+    if local:
+        ptr = jnp.transpose(ys, (1, 0, 2))
+        return ptr, best_i, best_j, best_score
+
+    ptr_rows, row_args = ys
+    ptr = jnp.transpose(ptr_rows, (1, 0, 2))
+    any_f = jnp.any(ref_invalid, axis=1)
+    first_f = jnp.argmax(ref_invalid, axis=1).astype(jnp.int32)
+    max_ref_pos = jnp.where(any_f, first_f - 1, n - 1)
+    gri = jnp.where(
+        max_read_pos >= 0,
+        jnp.take_along_axis(row_args.T, jnp.maximum(max_read_pos, 0)[:, None], axis=1)[:, 0],
+        0,
+    )
+    start_ref = jnp.minimum(max_ref_pos, gri)
+    score = jnp.where(
+        max_read_pos >= 0,
+        jnp.take_along_axis(
+            h_keep, jnp.clip(start_ref, -1, n - 1)[:, None] + 1, axis=1
+        )[:, 0],
+        0,
+    )
+    return ptr, max_read_pos, start_ref, score
+
+
+# ---------------------------------------------------------------------------
 # Backend adapter
 # ---------------------------------------------------------------------------
 
@@ -281,12 +398,20 @@ class XLABackend:
     def compute_alignments(self, algorithm, reads, refs, params, tie):
         algorithm = Algorithm(algorithm)
         if params.affine:
-            # Affine traceback currently decodes through the Gotoh host
-            # implementation (device-side affine pointer emission is a
-            # planned extension; scores are device-accelerated already).
-            from versalignlib_tpu.ops import gotoh
-
-            return gotoh.compute_alignments_affine(algorithm, reads, refs, params)
+            results: list[Alignment] = []
+            for lo in range(0, reads.shape[0], self.align_chunk):
+                r = jnp.asarray(reads[lo : lo + self.align_chunk])
+                f = jnp.asarray(refs[lo : lo + self.align_chunk])
+                ptr, sr, sf, sc = align_affine_batch(r, f, params, algorithm)
+                results.extend(
+                    tb.decode_batch_affine(
+                        np.asarray(ptr), reads[lo : lo + self.align_chunk],
+                        refs[lo : lo + self.align_chunk],
+                        np.asarray(sr), np.asarray(sf), params, algorithm,
+                        np.asarray(sc),
+                    )
+                )
+            return results
         results: list[Alignment] = []
         for lo in range(0, reads.shape[0], self.align_chunk):
             r = jnp.asarray(reads[lo : lo + self.align_chunk])
