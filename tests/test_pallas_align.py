@@ -66,3 +66,18 @@ def test_chunked_batches(rng, default_params):
         Algorithm.NEEDLEMAN_WUNSCH, reads, refs, default_params
     )
     _check(got, want)
+
+
+def test_pallas_affine_align_matches_gotoh(rng):
+    from versalignlib_tpu.ops import gotoh
+    from versalignlib_tpu.ops.pallas_align import pallas_align_affine_batch
+
+    p = AlignmentParameters(score_match=2, score_mismatch=-1, score_gap_read=-1,
+                            score_gap_ref=-1, gap_open_read=-4, gap_open_ref=-4)
+    reads = random_codes(rng, 14, 12, padded=True, n_prob=0.05)
+    refs = random_codes(rng, 14, 18, padded=True, n_prob=0.05)
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        got = pallas_align_affine_batch(reads, refs, p, algorithm, interpret=True)
+        want = gotoh.compute_alignments_affine(algorithm, reads, refs, p)
+        for g, w in zip(got, want):
+            assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)

@@ -430,3 +430,293 @@ def _decode_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
                 )
             )
     return results
+
+
+# ---------------------------------------------------------------------------
+# Affine (Gotoh) variant: 4-bit codes, 8 per int32 word
+# ---------------------------------------------------------------------------
+
+def _pick_pack_affine(n: int) -> int:
+    for u in (8, 4, 2):
+        if n % u == 0:
+            return u
+    return 1
+
+
+def _affine_align_kernel(*refs_args, m, n, pack, params: AlignmentParameters,
+                         local: bool):
+    """Affine pointer-row fill; 4-bit codes hptr(2b)|e_ext<<2|f_ext<<3.
+
+    Same grid/scratch layout as the linear kernel plus a persisted Gotoh F
+    row; E is a register carry within each row (see ops/pallas_score.py).
+    Tie order DIAG > UP(F) > LEFT(E); extend beats open on gap ties.
+    """
+    from versalignlib_tpu.ops.pallas_score import NEG_INF_I32
+
+    if local:
+        (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref,
+         h_ref, best_ref, f_ref) = refs_args
+        hsel_ref = hkeep_ref = None
+    else:
+        (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref, hsel_ref,
+         h_ref, best_ref, f_ref, hkeep_ref) = refs_args
+    i = pl.program_id(1)
+    match = jnp.int32(params.score_match)
+    mismatch = jnp.int32(params.score_mismatch)
+    ext_r = jnp.int32(params.score_gap_read)
+    ext_f = jnp.int32(params.score_gap_ref)
+    open_r = jnp.int32(params.gap_open_read)
+    open_f = jnp.int32(params.gap_open_ref)
+    n_chunks = n // pack
+    zeros = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+    neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        h_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+        best_ref[...] = jnp.zeros((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+        f_ref[...] = jnp.full((n, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+        if not local:
+            hkeep_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+
+    read_col = reads_ref[0, 0]
+    read_valid = (read_col >= 1) & (read_col <= 4)
+
+    if local:
+        col0 = zeros
+        h_diag0 = zeros
+    else:
+        # gotoh boundary: H[i+1][0] = open_f + (i+1)*ext_f; H[0][0] = 0.
+        col0 = open_f + jnp.full((BLOCK_SUBLANES, BLOCK_LANES), i + 1, jnp.int32) * ext_f
+        prev_col0 = open_f + jnp.full((BLOCK_SUBLANES, BLOCK_LANES), i, jnp.int32) * ext_f
+        h_diag0 = jnp.where(i == 0, zeros, prev_col0)
+    h_ref[0] = col0
+
+    if local:
+        best0, bi0, bj0 = best_ref[0], best_ref[1], best_ref[2]
+    else:
+        best0, bi0, bj0 = col0, zeros, zeros
+
+    d_code = jnp.int32(Trace.DIAG)
+    u_code = jnp.int32(Trace.UP)
+    l_code = jnp.int32(Trace.LEFT)
+    s_code = jnp.int32(Trace.START)
+
+    def chunk_body(c, carry):
+        h_left, h_diag, e_val, best, bi, bj = carry
+        j0 = c * pack
+        old = h_ref[pl.ds(j0 + 1, pack)]
+        ref_chunk = refs_ref[0, pl.ds(j0, pack)]
+        f_old = f_ref[pl.ds(j0, pack)]
+        new_vals = []
+        new_f = []
+        word = zeros
+        for u in range(pack):
+            up = old[u]
+            ref_col = ref_chunk[u]
+            valid = read_valid & (ref_col >= 1) & (ref_col <= 4)
+            sub = jnp.where(
+                valid, jnp.where(read_col == ref_col, match, mismatch), 0
+            )
+            f_val = jnp.maximum(up + open_f + ext_f, f_old[u] + ext_f)
+            e_new = jnp.maximum(h_left + open_r + ext_r, e_val + ext_r)
+            diag_v = h_diag + sub
+            cur = jnp.maximum(jnp.maximum(diag_v, f_val), e_new)
+            if local:
+                cur = jnp.maximum(cur, 0)
+
+            hp = jnp.where(cur == diag_v, d_code,
+                           jnp.where(cur == f_val, u_code,
+                                     jnp.where(cur == e_new, l_code, s_code)))
+            if local:
+                hp = jnp.where(cur == 0, s_code, hp)
+            e_ext_bit = (e_new == e_val + ext_r).astype(jnp.int32)
+            f_ext_bit = (f_val == f_old[u] + ext_f).astype(jnp.int32)
+            code = hp | (e_ext_bit << 2) | (f_ext_bit << 3)
+            word = word | (code << (4 * u))
+
+            gt = cur > best
+            best = jnp.where(gt, cur, best)
+            if local:
+                bi = jnp.where(gt, i, bi)
+            bj = jnp.where(gt, j0 + u, bj)
+
+            new_vals.append(cur)
+            new_f.append(f_val)
+            h_left = cur
+            h_diag = up
+            e_val = e_new
+        h_ref[pl.ds(j0 + 1, pack)] = jnp.stack(new_vals)
+        f_ref[pl.ds(j0, pack)] = jnp.stack(new_f)
+        ptr_ref[0, 0, c] = word
+        return h_left, h_diag, e_val, best, bi, bj
+
+    init = (col0, h_diag0, neg_inf, best0, bi0, bj0)
+    _, _, _, best, bi, bj = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+    if local:
+        best_ref[0] = best
+        best_ref[1] = bi
+        best_ref[2] = bj
+        aux_ref[0, 0, 0] = bi
+        aux_ref[0, 0, 1] = bj
+        aux_ref[0, 0, 2] = best
+    else:
+        aux_ref[0, 0, 0] = zeros
+        aux_ref[0, 0, 1] = bj
+        aux_ref[0, 0, 2] = best
+        mask = mrp_ref[0] == i
+        def keep_body(j, _):
+            hkeep_ref[j] = jnp.where(mask, h_ref[j], hkeep_ref[j])
+            return 0
+        jax.lax.fori_loop(0, n + 1, keep_body, 0)
+        @pl.when(i == m - 1)
+        def _():
+            hsel_ref[0] = hkeep_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("params", "algorithm", "interpret"))
+def _affine_align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
+                         interpret: bool = False):
+    """Affine analogue of _align_blocks; same output structure."""
+    from versalignlib_tpu.ops.pallas_score import NEG_INF_I32  # noqa: F401
+
+    g, m = reads_b.shape[0], reads_b.shape[1]
+    n = refs_b.shape[1]
+    local = algorithm == Algorithm.SMITH_WATERMAN
+    pack = _pick_pack_affine(n)
+    kernel = functools.partial(
+        _affine_align_kernel, m=m, n=n, pack=pack, params=params, local=local
+    )
+    nc = n // pack
+    out_specs = [
+        pl.BlockSpec((1, 1, nc, BLOCK_SUBLANES, BLOCK_LANES),
+                     lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, 3, BLOCK_SUBLANES, BLOCK_LANES),
+                     lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((g, m, nc, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((g, m, 3, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        pltpu.VMEM((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        pltpu.VMEM((n, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),  # F row
+    ]
+    if not local:
+        out_specs.append(
+            pl.BlockSpec((1, n + 1, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda gg, ii: (gg, 0, 0, 0), memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((g, n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
+        scratch_shapes.append(
+            pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
+    vmem_bytes = 4 * BLOCK_PAIRS * 2 * (
+        1 + n + 1 + nc + 3 + (0 if local else (n + 1))
+    ) + 4 * BLOCK_PAIRS * (2 * (n + 1) + 4 + (0 if local else (n + 1)))       + 1024 * 1024
+    out = pl.pallas_call(
+        kernel,
+        grid=(g, m),
+        in_specs=[
+            pl.BlockSpec((1, 1, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda gg, ii: (gg, ii, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda gg, ii: (gg, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda gg, ii: (gg, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        interpret=interpret,
+    )(reads_b, refs_b, mrp_b)
+    if local:
+        ptr, aux = out
+        return ptr, aux, None
+    return out
+
+
+def _unpack_affine_words(words: np.ndarray, pack: int, n: int) -> np.ndarray:
+    """(b, m, nc) int32 -> (b, m, n) uint8 4-bit codes (python fallback)."""
+    b, m, nc = words.shape
+    out = np.zeros((b, m, n), dtype=np.uint8)
+    for u in range(pack):
+        cols = np.arange(u, n, pack)
+        out[:, :, cols] = ((words >> (4 * u)) & 15).astype(np.uint8)[:, :, : cols.size]
+    return out
+
+
+def pallas_align_affine_batch(
+    reads: np.ndarray,
+    refs: np.ndarray,
+    params: AlignmentParameters,
+    algorithm: Algorithm,
+    interpret: bool | None = None,
+    chunk_pairs: int | None = None,
+    read_texts: list[str] | None = None,
+    ref_texts: list[str] | None = None,
+) -> list[Alignment]:
+    """Affine full-batch alignment on the Pallas path (canonical tie order)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    algorithm = Algorithm(algorithm)
+    local = algorithm == Algorithm.SMITH_WATERMAN
+    b, m = reads.shape
+    n = refs.shape[1]
+    if m == 0 or n == 0:
+        return [
+            tb.decode_one(np.zeros((1, 1), np.uint8), reads[i], refs[i],
+                          -1, -1, params, algorithm)
+            for i in range(b)
+        ]
+    pack = _pick_pack_affine(n)
+    if chunk_pairs is None:
+        bytes_per_pair = m * (n // pack) * 4
+        blocks = max(1, (64 << 20) // (bytes_per_pair * BLOCK_PAIRS))
+        chunk_pairs = min(16, blocks) * BLOCK_PAIRS
+    results: list[Alignment] = []
+    for lo in range(0, b, chunk_pairs):
+        r_np = np.asarray(reads[lo : lo + chunk_pairs])
+        f_np = np.asarray(refs[lo : lo + chunk_pairs])
+        nb = r_np.shape[0]
+        g = max(1, -(-nb // BLOCK_PAIRS))
+        # Affine NW boundary validity is the Default flavor (code != 0).
+        mrp = _last_valid_pos(r_np, TieBreak.DIAG_UP_LEFT)
+        ptr, aux, hsel = _affine_align_blocks(
+            _pack_blocks(r_np, g, m), _pack_blocks(f_np, g, n),
+            _pack_vec(mrp, g), params, algorithm, interpret,
+        )
+        ptr = _unpack_pairs(ptr, g)[:nb]
+        aux = _unpack_pairs(aux, g)[:nb]
+        if local:
+            start_r = aux[:, m - 1, 0]
+            start_f = aux[:, m - 1, 1]
+            scores = aux[:, m - 1, 2]
+        else:
+            hsel = _unpack_pairs(hsel, g)[:nb]
+            row_args = aux[:, :, 1]
+            max_ref_pos = _last_valid_pos(f_np, TieBreak.DIAG_UP_LEFT)
+            gri = np.where(mrp >= 0, row_args[np.arange(nb), np.maximum(mrp, 0)], 0)
+            start_r = mrp
+            start_f = np.minimum(max_ref_pos, gri).astype(np.int32)
+            scores = np.where(
+                start_r >= 0, hsel[np.arange(nb), np.clip(start_f, -1, n - 1) + 1], 0
+            ).astype(np.int32)
+        rt = None if read_texts is None else read_texts[lo : lo + nb]
+        ft = None if ref_texts is None else ref_texts[lo : lo + nb]
+        try:
+            from versalignlib_tpu.native import decode_batch_native
+
+            results.extend(decode_batch_native(
+                (ptr, pack), r_np, f_np, start_r, start_f, params, algorithm,
+                scores, rt, ft, affine=True,
+            ))
+        except ImportError:
+            dense = _unpack_affine_words(ptr, pack, n)
+            results.extend(tb.decode_batch_affine(
+                dense, r_np, f_np, start_r, start_f, params, algorithm,
+                scores, rt, ft,
+            ))
+    return results

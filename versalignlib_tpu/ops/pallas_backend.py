@@ -31,13 +31,12 @@ class PallasBackend:
 
     def compute_alignments(self, algorithm, reads, refs, params, tie):
         if params.affine:
-            # Affine align: XLA pointer-plane kernel (device) + native decode
-            # (a Pallas affine pointer kernel is a planned optimization).
-            if self._xla is None:
-                from versalignlib_tpu.ops.xla import XLABackend
+            from versalignlib_tpu.ops.pallas_align import pallas_align_affine_batch
 
-                self._xla = XLABackend()
-            return self._xla.compute_alignments(algorithm, reads, refs, params, tie)
+            return pallas_align_affine_batch(
+                reads, refs, params, Algorithm(algorithm),
+                interpret=self._scorer.interpret,
+            )
         try:
             from versalignlib_tpu.ops.pallas_align import pallas_align_batch
 
