@@ -66,3 +66,48 @@ def test_wide_band_finds_distant_hit(default_params):
                               interpret=True)
     assert wide[0] == 20
     assert narrow[0] < wide[0]
+
+
+def test_banded_align_full_band_equals_dense(rng, default_params):
+    from versalignlib_tpu.ops.banded import banded_align_batch
+    from versalignlib_tpu.types import TieBreak
+
+    reads = random_codes(rng, 6, 20)
+    refs = random_codes(rng, 6, 20)
+    got = banded_align_batch(reads, refs, default_params,
+                             Algorithm.SMITH_WATERMAN, band=20, tile=10,
+                             interpret=True)
+    want = oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs,
+                                     default_params, TieBreak.DIAG_UP_LEFT)
+    for g, w in zip(got, want):
+        assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+
+
+def test_banded_align_nw_score_consistency(rng, default_params):
+    from versalignlib_tpu.ops.banded import banded_align_batch, banded_score_batch
+
+    reads = random_codes(rng, 5, 30, padded=True)
+    refs = random_codes(rng, 5, 36, padded=True)
+    alns = banded_align_batch(reads, refs, default_params,
+                              Algorithm.NEEDLEMAN_WUNSCH, band=12, tile=6,
+                              interpret=True)
+    scores = banded_score_batch(reads, refs, default_params,
+                                Algorithm.NEEDLEMAN_WUNSCH, band=12, tile=6,
+                                interpret=True)
+    assert [a.score for a in alns] == [int(s) for s in scores]
+
+
+def test_banded_align_narrow_band_snp(default_params):
+    # Nearly identical 60bp pair, one substitution: 60M through a 16-band.
+    from versalignlib_tpu.ops.banded import banded_align_batch
+
+    rng = np.random.default_rng(13)
+    seq = rng.integers(1, 5, size=(3, 60)).astype(np.uint8)
+    mut = seq.copy()
+    mut[:, 30] = (mut[:, 30] % 4) + 1
+    alns = banded_align_batch(seq, mut, default_params,
+                              Algorithm.SMITH_WATERMAN, band=16, tile=10,
+                              interpret=True)
+    for a in alns:
+        assert a.cigar == "60M"
+        assert a.score in (117, 120)  # one mismatch (or silent same-base "mutation")

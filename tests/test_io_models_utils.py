@@ -85,8 +85,8 @@ def test_banded_model(rng, default_params):
     got = m.score(reads, refs)
     want = oracle.score_alignments(Algorithm.NEEDLEMAN_WUNSCH, reads, refs, default_params)
     np.testing.assert_array_equal(got, want)  # full band == dense
-    with pytest.raises(NotImplementedError):
-        m.align(reads, refs)
+    alns = m.align(reads, refs)
+    assert [a.score for a in alns] == [int(s) for s in got]
 
 
 # --- CLI -------------------------------------------------------------------

@@ -62,9 +62,12 @@ class AlignmentModel:
 
     def align(self, reads, refs, backend: str = "auto") -> list[Alignment]:
         if self.banded:
-            raise NotImplementedError(
-                "banded models are score-only (traceback over a moving band "
-                "is a planned extension)"
+            from versalignlib_tpu.ops.banded import banded_align_batch
+
+            reads_enc, refs_enc = self._encode(reads, refs)
+            return banded_align_batch(
+                reads_enc, refs_enc, self.params, self.algorithm,
+                band=self.band, tile=self.band_tile,
             )
         reads_enc, refs_enc = self._encode(reads, refs)
         from versalignlib_tpu.dispatch import get_backend

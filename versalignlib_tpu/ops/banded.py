@@ -333,3 +333,317 @@ def banded_score_batch(
         params, Algorithm(algorithm), band, tile, d_max, interpret,
     )
     return np.asarray(out.reshape(b_pad)[:b], dtype=np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Banded traceback (additive; score path above stays pointer-free)
+# ---------------------------------------------------------------------------
+#
+# Semantics (greenfield — the reference has no banding): the banded SW
+# alignment starts at the global argmax within the band and walks until a
+# START pointer; the banded NW (overlap) alignment starts at the best of
+# {last-column cells inside the band, final-row band cells} and walks until
+# it leaves the matrix through row 0 or column 0 (free leading gaps). The
+# pointer model is the linear DIAG > UP > LEFT order with SW zero-force —
+# the canonical flavor. Pointers pack 2-bit x pack per int32, band-relative.
+
+def _banded_tb_kernel(offs_ref, o_prev_ref, win_start_ref, row_base_ref,
+                      reads_ref, ref_win_ref, band_in_ref, best_in_ref,
+                      band_out_ref, best_out_ref, ptr_ref, *, tile, band,
+                      d_max, n, pack, params: AlignmentParameters,
+                      local: bool):
+    """Tile kernel emitting band-relative packed pointers.
+
+    best_in/out: (4, 8, 128) int32 —
+      SW: [best, bi_abs, bj_abs, unused]; NW: [lc_best, lc_i, unused, unused].
+    ptr_ref: (tile, band//pack, 8, 128) int32 out.
+    """
+    match = jnp.int32(params.score_match)
+    mismatch = jnp.int32(params.score_mismatch)
+    gap_read = jnp.int32(params.score_gap_read)
+    gap_ref = jnp.int32(params.score_gap_ref)
+    neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+    zero = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+    n_chunks = band // pack
+    d_code, u_code, l_code, s_code = (jnp.int32(3), jnp.int32(1),
+                                      jnp.int32(2), jnp.int32(0))
+
+    band_out_ref[...] = band_in_ref[...]
+    best_out_ref[...] = best_in_ref[...]
+
+    def row_body(i, _):
+        o_cur = offs_ref[i]
+        o_pr = jax.lax.cond(i == 0, lambda: o_prev_ref[0], lambda: offs_ref[i - 1])
+        d = o_cur - o_pr
+        base = o_cur - win_start_ref[0]
+        row_abs = row_base_ref[0] + i
+        read_col = reads_ref[i]
+        read_valid = (read_col >= 1) & (read_col <= 4)
+
+        at_left_edge = o_cur == 0
+        h_left0 = jnp.where(at_left_edge, zero, neg_inf)
+        diag_from_band = band_out_ref[jnp.maximum(d - 1, 0)]
+        h_diag0 = jnp.where(d >= 1, diag_from_band,
+                            jnp.where(at_left_edge, zero, neg_inf))
+
+        def chunk_body(c, carry):
+            h_left, h_diag, best, bi, bj = carry
+            k0 = c * pack
+            old = band_out_ref[pl.ds(k0 + d, pack)]
+            ref_chunk = ref_win_ref[pl.ds(base + k0, pack)]
+            new_vals = []
+            word = zero
+            for u in range(pack):
+                up = old[u]
+                ref_col = ref_chunk[u]
+                valid = read_valid & (ref_col >= 1) & (ref_col <= 4)
+                sub = jnp.where(
+                    valid, jnp.where(read_col == ref_col, match, mismatch), 0
+                )
+                diag_v = h_diag + sub
+                up_v = up + gap_ref
+                left_v = h_left + gap_read
+                cur = jnp.maximum(jnp.maximum(diag_v, up_v), left_v)
+                cur = jnp.maximum(cur, neg_inf)
+                if local:
+                    cur = jnp.maximum(cur, 0)
+                ptr = jnp.where(cur == diag_v, d_code,
+                                jnp.where(cur == up_v, u_code,
+                                          jnp.where(cur == left_v, l_code, s_code)))
+                if local:
+                    ptr = jnp.where(cur == 0, s_code, ptr)
+                    gt = cur > best
+                    best = jnp.where(gt, cur, best)
+                    bi = jnp.where(gt, row_abs, bi)
+                    bj = jnp.where(gt, o_cur + k0 + u, bj)
+                word = word | (ptr << (2 * u))
+                new_vals.append(cur)
+                h_left = cur
+                h_diag = up
+            band_out_ref[pl.ds(k0, pack)] = jnp.stack(new_vals)
+            ptr_ref[i, c] = word
+            return h_left, h_diag, best, bi, bj
+
+        init = (h_left0, h_diag0, best_out_ref[0], best_out_ref[1], best_out_ref[2])
+        _, _, best, bi, bj = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        if local:
+            best_out_ref[0] = best
+            best_out_ref[1] = bi
+            best_out_ref[2] = bj
+        else:
+            k_last = n - 1 - o_cur
+            @pl.when((k_last >= 0) & (k_last < band))
+            def _():
+                lc = band_out_ref[k_last]
+                gt = lc > best_out_ref[0]
+                best_out_ref[1] = jnp.where(gt, row_abs, best_out_ref[1])
+                best_out_ref[0] = jnp.maximum(best_out_ref[0], lc)
+        return 0
+
+    jax.lax.fori_loop(0, tile, row_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "algorithm", "band", "tile", "d_max", "interpret"),
+)
+def _banded_align_blocks(reads_b, refs_b, offsets, params, algorithm,
+                         band: int, tile: int, d_max: int,
+                         interpret: bool = False):
+    """Banded fill emitting pointers.
+
+    Returns (ptr (G, m_pad, band//pack, 8, 128), best (G, 4, 8, 128),
+    final_band (G, band+d_max, 8, 128)).
+    """
+    g, m_pad = reads_b.shape[0], reads_b.shape[1]
+    n = refs_b.shape[1]
+    local = Algorithm(algorithm) == Algorithm.SMITH_WATERMAN
+    pack = 8 if band % 8 == 0 else (4 if band % 4 == 0 else (2 if band % 2 == 0 else 1))
+    win = band + tile * d_max
+    n_tiles = m_pad // tile
+    refs_pad = jnp.pad(refs_b, ((0, 0), (0, win), (0, 0), (0, 0)))
+    win_starts = offsets[::tile]
+
+    kernel = functools.partial(
+        _banded_tb_kernel, tile=tile, band=band, d_max=d_max, n=n, pack=pack,
+        params=params, local=local,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # reads tile
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # ref window
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # band in
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # best in
+            ],
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((band + d_max, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((tile, band // pack, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        ),
+        input_output_aliases={6: 0, 7: 1},
+        interpret=interpret,
+    )
+
+    def run_block(rb, fb):
+        band_init = jnp.concatenate([
+            jnp.zeros((band, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jnp.full((d_max, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32),
+        ])
+        best_init = jnp.stack([
+            jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32) if local
+            else jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32),
+            jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        ])
+
+        def tile_step(carry, t):
+            band_state, best_state = carry
+            reads_tile = jax.lax.dynamic_slice(
+                rb, (t * tile, 0, 0), (tile, BLOCK_SUBLANES, BLOCK_LANES))
+            ws = win_starts[t]
+            ref_win = jax.lax.dynamic_slice(
+                fb, (ws, 0, 0), (win, BLOCK_SUBLANES, BLOCK_LANES))
+            offs_tile = jax.lax.dynamic_slice(offsets, (t * tile,), (tile,))
+            o_prev = jnp.where(
+                t == 0, offs_tile[:1],
+                jax.lax.dynamic_slice(offsets, (jnp.maximum(t * tile - 1, 0),), (1,)))
+            band_state, best_state, ptr_tile = call(
+                offs_tile, o_prev, ws[None], (t * tile)[None], reads_tile,
+                ref_win, band_state, best_state,
+            )
+            return (band_state, best_state), ptr_tile
+
+        (band_state, best_state), ptrs = jax.lax.scan(
+            tile_step, (band_init, best_init), jnp.arange(n_tiles))
+        ptr_full = ptrs.reshape(m_pad, band // pack,
+                                BLOCK_SUBLANES, BLOCK_LANES)
+        return ptr_full, best_state, band_state
+
+    return jax.lax.map(lambda args: run_block(*args), (reads_b, refs_pad))
+
+
+def banded_align_batch(
+    reads: np.ndarray,
+    refs: np.ndarray,
+    params: AlignmentParameters,
+    algorithm: Algorithm,
+    band: int = 512,
+    tile: int = 256,
+    interpret: bool | None = None,
+):
+    """Banded full alignment (pointers + host decode). Memory: the pointer
+    stream is 2 bits x band per row per pair; batch accordingly for long
+    reads (e.g. 16kbp x 512 band = 2MB/pair)."""
+    from versalignlib_tpu.types import Alignment, Trace, cigar_from_gapped
+
+    if interpret is None:
+        interpret = not _is_tpu()
+    algorithm = Algorithm(algorithm)
+    local = algorithm == Algorithm.SMITH_WATERMAN
+    b, m = reads.shape
+    n = refs.shape[1]
+    band = min(band, n)
+    tile = min(tile, max(8, m))
+    m_pad = -(-m // tile) * tile
+    g = max(1, -(-b // BLOCK_PAIRS))
+    b_pad = g * BLOCK_PAIRS
+    pack = 8 if band % 8 == 0 else (4 if band % 4 == 0 else (2 if band % 2 == 0 else 1))
+
+    def pack_arr(x, length, pad_len):
+        x = jnp.asarray(np.asarray(x)).astype(jnp.int32)
+        x = jnp.pad(x, ((0, b_pad - x.shape[0]), (0, pad_len - length)))
+        x = x.reshape(g, BLOCK_SUBLANES, BLOCK_LANES, pad_len)
+        return jnp.transpose(x, (0, 3, 1, 2))
+
+    offsets_np = band_offsets(m_pad, m, n, band)
+    d_max = max(int(np.diff(offsets_np).max(initial=1)), 1) if m_pad > 1 else 1
+    ptr, best, final_band = _banded_align_blocks(
+        pack_arr(reads, m, m_pad), pack_arr(refs, n, n),
+        jnp.asarray(offsets_np), params, algorithm, band, tile, d_max,
+        interpret,
+    )
+    # (G, m_pad, nc, 8, 128) -> (B, m_pad, nc) etc.
+    ptr = np.asarray(ptr).transpose(0, 3, 4, 1, 2).reshape(
+        b_pad, m_pad, band // pack)[:b]
+    best = np.asarray(best).transpose(0, 2, 3, 1).reshape(b_pad, 4)[:b]
+    final_band = np.asarray(final_band).transpose(0, 2, 3, 1).reshape(
+        b_pad, band + d_max)[:b]
+
+    results = []
+    for k in range(b):
+        if local:
+            score, bi, bj = int(best[k, 0]), int(best[k, 1]), int(best[k, 2])
+        else:
+            # Overlap end: best of tracked last-column cells vs final row.
+            lc_best, lc_i = int(best[k, 0]), int(best[k, 1])
+            fr = final_band[k, :band]
+            fr_k = int(np.argmax(fr))
+            fr_best = int(fr[fr_k])
+            # Final (padded) row index m_pad-1, absolute column from offsets.
+            if fr_best >= lc_best:
+                score, bi, bj = fr_best, m_pad - 1, int(offsets_np[m_pad - 1]) + fr_k
+            else:
+                score, bi, bj = lc_best, lc_i, n - 1
+            score = max(score, 0)
+        results.append(_banded_decode_one(
+            ptr[k], reads[k], refs[k], offsets_np, pack, band,
+            bi, bj, score, params, local))
+    return results
+
+
+def _banded_decode_one(ptr_words, read, ref, offsets, pack, band,
+                       start_i, start_j, score, params, local):
+    """Host walk over band-relative packed pointers."""
+    from versalignlib_tpu.ops.traceback import _text_from_codes
+    from versalignlib_tpu.types import Alignment, Trace, cigar_from_gapped
+
+    m, n = read.shape[0], ref.shape[0]
+    read_text = _text_from_codes(read)
+    ref_text = _text_from_codes(ref)
+    rp, fp = start_i, start_j
+    rg, fg = [], []
+    steps = 0
+    max_steps = ptr_words.shape[0] + n + 2
+    while rp >= 0 and fp >= 0 and steps <= max_steps:
+        k = fp - int(offsets[rp])
+        if k < 0 or k >= band:
+            break  # walked off the band: treat as boundary
+        word = int(ptr_words[rp, k // pack])
+        bt = (word >> (2 * (k % pack))) & 3
+        if bt == Trace.START:
+            break
+        if bt == Trace.UP:
+            rg.append(read_text[rp] if rp < m else "\0")
+            fg.append("-")
+            rp -= 1
+        elif bt == Trace.LEFT:
+            rg.append("-")
+            fg.append(ref_text[fp])
+            fp -= 1
+        else:
+            rg.append(read_text[rp] if rp < m else "\0")
+            fg.append(ref_text[fp])
+            rp -= 1
+            fp -= 1
+        steps += 1
+    read_g = "".join(reversed(rg))
+    ref_g = "".join(reversed(fg))
+    aln_length = m + n
+    return Alignment(
+        read=read_g, ref=ref_g, score=int(score),
+        cigar=cigar_from_gapped(read_g, ref_g),
+        read_start=rp + 1, read_end=start_i + 1,
+        ref_start=fp + 1, ref_end=start_j + 1,
+        buffer_start=aln_length - 1 - steps, buffer_end=aln_length - 1,
+    )
