@@ -70,3 +70,24 @@ def test_native_texts_preserved(default_params):
     )
     assert got[0].read == "acGTac"
     assert got[0].ref == "ACgtAC"
+
+
+def test_native_fasta_matches_python(tmp_path):
+    from versalignlib_tpu.alphabet import pad_and_encode
+    from versalignlib_tpu.io.fasta import parse_fasta
+
+    fa = tmp_path / "z.fa"
+    fa.write_text(
+        ">a\nACGTacgt\nNNTT\n>bad\nAC GT\n>b\nGGGG\n\nignored\n>c desc\nc\n"
+    )
+    codes, lengths = native.parse_fasta_codes(fa)
+    seqs = parse_fasta(fa)
+    want = pad_and_encode(seqs)
+    assert codes.shape == want.shape
+    np.testing.assert_array_equal(codes, want)
+    assert list(lengths) == [len(s) for s in seqs]
+
+
+def test_native_fasta_missing_file(tmp_path):
+    with pytest.raises(OSError):
+        native.parse_fasta_codes(tmp_path / "nope.fa")

@@ -19,13 +19,13 @@ backend (/root/reference/src/util/versalignUtil.cpp:91-181).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Protocol, Sequence
+from typing import Callable, Protocol
 
 import numpy as np
 
 from versalignlib_tpu.alphabet import pad_and_encode
 from versalignlib_tpu.params import AlignmentParameters, DEFAULT_PARAMETERS
-from versalignlib_tpu.types import AlignMode, Algorithm, Alignment, TieBreak
+from versalignlib_tpu.types import Algorithm, Alignment, TieBreak
 from versalignlib_tpu.utils.logging import get_logger
 
 _log = get_logger("dispatch")

@@ -46,6 +46,16 @@ def _load() -> ctypes.CDLL | None:
         except Exception as exc:  # missing toolchain etc. -> python fallback
             _build_error = str(exc)
             return None
+        lib.val_fasta_scan.restype = ctypes.c_int
+        lib.val_fasta_scan.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.val_fasta_read.restype = ctypes.c_int
+        lib.val_fasta_read.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
         lib.val_decode_batch.restype = ctypes.c_int
         lib.val_decode_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,      # ptr, kind, pack
@@ -175,3 +185,32 @@ def decode_batch_native(
             )
         )
     return out
+
+
+def parse_fasta_codes(path) -> tuple[np.ndarray, np.ndarray]:
+    """Native fused FASTA parse + encode + pad.
+
+    Returns (codes (n, max_len) uint8, lengths (n,) int64). Raises
+    ImportError when the native library is unavailable (callers fall back to
+    io.fasta.parse_fasta + alphabet.pad_and_encode).
+    """
+    lib = _load()
+    if lib is None:
+        raise ImportError(f"native fasta parser unavailable: {_build_error}")
+    import ctypes as ct
+
+    n = ct.c_int64()
+    mx = ct.c_int64()
+    path_b = str(path).encode()
+    if lib.val_fasta_scan(path_b, ct.byref(n), ct.byref(mx)) != 0:
+        raise OSError(f"cannot read FASTA file: {path}")
+    codes = np.zeros((n.value, max(mx.value, 1)), dtype=np.uint8)
+    lengths = np.zeros(n.value, dtype=np.int64)
+    if n.value:
+        rc = lib.val_fasta_read(
+            path_b, codes.ctypes.data_as(ct.c_void_p), n.value,
+            codes.shape[1], lengths.ctypes.data_as(ct.c_void_p),
+        )
+        if rc != 0:
+            raise OSError(f"FASTA parse failed: {path}")
+    return codes, lengths

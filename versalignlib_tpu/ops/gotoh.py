@@ -34,9 +34,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from versalignlib_tpu.alphabet import is_valid_base, substitution_scores
+from versalignlib_tpu.alphabet import substitution_scores
 from versalignlib_tpu.params import AlignmentParameters
-from versalignlib_tpu.types import Algorithm, Alignment, TieBreak, Trace, cigar_from_gapped
+from versalignlib_tpu.types import Algorithm, Alignment, Trace, cigar_from_gapped
 
 #: -inf stand-in safe against int32 adds
 NEG_INF = np.int32(-(2**30))

@@ -8,11 +8,8 @@ fill and scalar backtrack (SSEKernel.cpp:785-860).
 
 from __future__ import annotations
 
-import numpy as np
-
-from versalignlib_tpu.ops.pallas_score import PallasScorer, _is_tpu
-from versalignlib_tpu.params import AlignmentParameters
-from versalignlib_tpu.types import Algorithm, TieBreak
+from versalignlib_tpu.ops.pallas_score import PallasScorer
+from versalignlib_tpu.types import Algorithm
 
 
 class PallasBackend:
