@@ -6,6 +6,14 @@ value = GCUPS (1e9 DP cell updates/sec); vs_baseline = value / 50, the
 north-star target from BASELINE.json (the reference publishes no numbers of
 its own — BASELINE.md).
 
+Methodology: this environment reaches the TPU through a tunnel with ~25ms
+of fixed per-call RTT and an async dispatch whose block_until_ready is
+unreliable, so each call is timed to full host materialization and the
+device throughput is taken as the MARGINAL rate between two batch sizes
+(slope of time vs batch), which cancels constant per-call overheads:
+
+    GCUPS = (B2 - B1) * m * n / (t(B2) - t(B1)) / 1e9
+
 Correctness is asserted before timing: a random subset of the scored batch
 must match the golden-gated numpy oracle bit-for-bit.
 """
@@ -15,6 +23,16 @@ import sys
 import time
 
 import numpy as np
+
+
+def _time_call(fn, reps: int = 5) -> float:
+    """Min-of-reps wall time of fn() with full materialization."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> int:
@@ -29,43 +47,47 @@ def main() -> int:
 
     on_tpu = jax.devices()[0].platform == "tpu"
     p = AlignmentParameters()
-    B, m, n = 4096, 512, 512
+    m, n = 512, 512
+    b1, b2 = (4096, 16384) if on_tpu else (64, 256)
     rng = np.random.default_rng(42)
-    reads = rng.integers(1, 5, size=(B, m)).astype(np.uint8)
-    refs = rng.integers(1, 5, size=(B, n)).astype(np.uint8)
-    r, f = jnp.asarray(reads), jnp.asarray(refs)
+
+    def make(b):
+        reads = rng.integers(1, 5, size=(b, m)).astype(np.uint8)
+        refs = rng.integers(1, 5, size=(b, n)).astype(np.uint8)
+        return reads, refs, jnp.asarray(reads), jnp.asarray(refs)
+
+    reads1, refs1, r1, f1 = make(b1)
+    _, _, r2, f2 = make(b2)
 
     if on_tpu:
-        fn = lambda: score_batch_device(r, f, p, Algorithm.SMITH_WATERMAN, False)
+        fn1 = lambda: score_batch_device(r1, f1, p, Algorithm.SMITH_WATERMAN, False)
+        fn2 = lambda: score_batch_device(r2, f2, p, Algorithm.SMITH_WATERMAN, False)
     else:
-        # CPU fallback so the harness still emits a number off-TPU.
-        fn = lambda: xla_score_batch(r, f, p, Algorithm.SMITH_WATERMAN)
+        fn1 = lambda: xla_score_batch(r1, f1, p, Algorithm.SMITH_WATERMAN)
+        fn2 = lambda: xla_score_batch(r2, f2, p, Algorithm.SMITH_WATERMAN)
 
-    out = fn()
-    out.block_until_ready()
+    out1 = np.asarray(fn1())  # compile + warm
+    np.asarray(fn2())
 
     # Correctness gate (bit-exact vs golden-gated oracle on a subset).
-    sub = rng.integers(0, B, size=32)
-    want = oracle.score_alignments(Algorithm.SMITH_WATERMAN, reads[sub], refs[sub], p)
-    got = np.asarray(out)[sub]
-    if not np.array_equal(got, want):
+    sub = rng.integers(0, b1, size=24)
+    want = oracle.score_alignments(Algorithm.SMITH_WATERMAN, reads1[sub], refs1[sub], p)
+    if not np.array_equal(out1[sub], want):
         print("FATAL: score mismatch vs oracle", file=sys.stderr)
         print(json.dumps({"metric": "sw_512x512_score_gcups", "value": 0.0,
                           "unit": "GCUPS", "vs_baseline": 0.0}))
         return 1
 
-    iters = 10 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-
-    cells = B * m * n
-    gcups = cells / dt / 1e9
+    t1 = _time_call(fn1)
+    t2 = _time_call(fn2)
+    if t2 <= t1:  # degenerate timing; fall back to the large-batch rate
+        gcups = b2 * m * n / t2 / 1e9
+    else:
+        gcups = (b2 - b1) * m * n / (t2 - t1) / 1e9
     print(
-        f"[bench] platform={jax.devices()[0].platform} B={B} {m}x{n} SW "
-        f"time/call={dt*1e3:.2f}ms GCUPS={gcups:.2f}",
+        f"[bench] platform={jax.devices()[0].platform} {m}x{n} SW "
+        f"t({b1})={t1*1e3:.1f}ms t({b2})={t2*1e3:.1f}ms "
+        f"marginal GCUPS={gcups:.2f}",
         file=sys.stderr,
     )
     print(json.dumps({
