@@ -67,3 +67,17 @@ def test_graft_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_engine_mesh_align(rng, mesh, default_params):
+    from versalignlib_tpu import AlignmentEngine
+    from versalignlib_tpu.ops import oracle as orc
+
+    engine = AlignmentEngine(backend="xla", mesh=mesh)
+    reads = random_codes(rng, 13, 10)  # uneven across 8 devices
+    refs = random_codes(rng, 13, 12)
+    got = engine.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+    want = orc.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs, default_params)
+    assert len(got) == 13
+    for g, w in zip(got, want):
+        assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
