@@ -111,3 +111,24 @@ def test_banded_align_narrow_band_snp(default_params):
     for a in alns:
         assert a.cigar == "60M"
         assert a.score in (117, 120)  # one mismatch (or silent same-base "mutation")
+
+
+def test_banded_affine_scores(rng):
+    from versalignlib_tpu.ops import gotoh
+    from versalignlib_tpu.ops.banded import band_offsets
+
+    p = AlignmentParameters(score_match=2, score_mismatch=-1, score_gap_read=-1,
+                            score_gap_ref=-1, gap_open_read=-4, gap_open_ref=-4)
+    reads = random_codes(rng, 5, 32, padded=True)
+    refs = random_codes(rng, 5, 40, padded=True)
+    band, tile = 16, 8
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        got = banded_score_batch(reads, refs, p, algorithm, band=band,
+                                 tile=tile, interpret=True)
+        want = _oracle_batch(reads, refs, p, band, tile, algorithm)
+        np.testing.assert_array_equal(got, want)
+    # full band degenerates to the dense Gotoh scores
+    got = banded_score_batch(reads, refs, p, Algorithm.SMITH_WATERMAN,
+                             band=40, tile=8, interpret=True)
+    want = gotoh.score_alignments_affine(Algorithm.SMITH_WATERMAN, reads, refs, p)
+    np.testing.assert_array_equal(got, want)

@@ -180,3 +180,22 @@ def test_capabilities_probe():
     caps = probe()
     assert caps.platform in ("cpu", "tpu", "gpu")
     assert caps.num_devices >= 1
+
+
+# --- debug -----------------------------------------------------------------
+
+def test_debug_dump_matrices(default_params):
+    from versalignlib_tpu.alphabet import encode
+    from versalignlib_tpu.debug import dump_matrices, format_matrix
+
+    read, ref = encode("ACGT"), encode("ACGT")
+    h, ptr = dump_matrices(read, ref, default_params, Algorithm.SMITH_WATERMAN)
+    assert h.shape == (5, 5)
+    assert int(h[4, 4]) == 8
+    text = format_matrix(h, ptr)
+    assert "\\" in text  # diagonal pointers on the match path
+
+    p_aff = default_params.replace(gap_open_read=-4, gap_open_ref=-4,
+                                   score_gap_read=-1, score_gap_ref=-1)
+    h, e, f, ptr = dump_matrices(read, ref, p_aff, Algorithm.SMITH_WATERMAN)
+    assert h.shape == e.shape == f.shape == (5, 5)

@@ -81,27 +81,40 @@ def banded_score_oracle(read, ref, p: AlignmentParameters, band: int,
     band = min(band, n)
     NEG = np.int64(NEG_INF_I32)
     h = np.zeros((m + 1, n + 1), dtype=np.int64)
+    f = np.full((m + 1, n + 1), NEG, dtype=np.int64)
     best = np.int64(0)
     last_col = np.int64(NEG)
     for i in range(1, m + 1):
         o = int(offsets[i - 1])
         prev = h[i - 1]
+        f_prev = f[i - 1]
         row = np.full(n + 1, NEG, dtype=np.int64)
+        f_row = np.full(n + 1, NEG, dtype=np.int64)
         row[0] = 0
         lo, hi = o + 1, min(o + band, n)  # H columns in band
         sub = substitution_scores(
             read[i - 1], ref[lo - 1 : hi], p.score_match, p.score_mismatch
         ).astype(np.int64)
+        e = NEG
         for j in range(lo, hi + 1):
             diag = prev[j - 1] + sub[j - lo]
-            up = prev[j] + p.score_gap_ref
-            left = row[j - 1] + p.score_gap_read
-            cur = max(diag, up, left)
+            if p.affine:
+                f_row[j] = max(prev[j] + p.gap_open_ref + p.score_gap_ref,
+                               f_prev[j] + p.score_gap_ref, NEG)
+                e = max(row[j - 1] + p.gap_open_read + p.score_gap_read,
+                        e + p.score_gap_read, NEG)
+                cur = max(diag, f_row[j], e)
+            else:
+                up = prev[j] + p.score_gap_ref
+                left = row[j - 1] + p.score_gap_read
+                cur = max(diag, up, left)
+            cur = max(cur, NEG)
             if local:
                 cur = max(cur, 0)
                 best = max(best, cur)
             row[j] = cur
         h[i] = row
+        f[i] = f_row
         if not local and hi == n:
             last_col = max(last_col, row[n])
     if local:
@@ -115,8 +128,9 @@ def banded_score_oracle(read, ref, p: AlignmentParameters, band: int,
 # ---------------------------------------------------------------------------
 
 def _banded_tile_kernel(offs_ref, o_prev_ref, win_start_ref, reads_ref,
-                        ref_win_ref, band_in_ref, best_in_ref, band_out_ref,
-                        best_out_ref, *, tile, band, win, d_max, n,
+                        ref_win_ref, band_in_ref, best_in_ref, fband_in_ref,
+                        band_out_ref, best_out_ref, fband_out_ref, *, tile,
+                        band, win, d_max, n,
                         params: AlignmentParameters, local: bool):
     """One row tile for one 1024-pair block.
 
@@ -129,6 +143,9 @@ def _banded_tile_kernel(offs_ref, o_prev_ref, win_start_ref, reads_ref,
     mismatch = jnp.int32(params.score_mismatch)
     gap_read = jnp.int32(params.score_gap_read)
     gap_ref = jnp.int32(params.score_gap_ref)
+    affine = params.affine
+    open_r = jnp.int32(params.gap_open_read)
+    open_f = jnp.int32(params.gap_open_ref)
     neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
     zero = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
     unroll = 8 if band % 8 == 0 else (4 if band % 4 == 0 else (2 if band % 2 == 0 else 1))
@@ -136,6 +153,8 @@ def _banded_tile_kernel(offs_ref, o_prev_ref, win_start_ref, reads_ref,
 
     band_out_ref[...] = band_in_ref[...]
     best_out_ref[...] = best_in_ref[...]
+    if affine:
+        fband_out_ref[...] = fband_in_ref[...]
 
     def row_body(i, _):
         o_cur = offs_ref[i]
@@ -153,10 +172,13 @@ def _banded_tile_kernel(offs_ref, o_prev_ref, win_start_ref, reads_ref,
                             jnp.where(at_left_edge, zero, neg_inf))
 
         def chunk_body(c, carry):
-            h_left, h_diag, best = carry
+            h_left, h_diag, e_val, best = carry
             k0 = c * unroll
             old = band_out_ref[pl.ds(k0 + d, unroll)]
             ref_chunk = ref_win_ref[pl.ds(base + k0, unroll)]
+            if affine:
+                f_old = fband_out_ref[pl.ds(k0 + d, unroll)]
+                new_f = []
             new_vals = []
             for u in range(unroll):
                 up = old[u]
@@ -165,10 +187,22 @@ def _banded_tile_kernel(offs_ref, o_prev_ref, win_start_ref, reads_ref,
                 sub = jnp.where(
                     valid, jnp.where(read_col == ref_col, match, mismatch), 0
                 )
-                cur = jnp.maximum(
-                    jnp.maximum(h_diag + sub, up + gap_ref),
-                    h_left + gap_read,
-                )
+                if affine:
+                    f_val = jnp.maximum(
+                        jnp.maximum(up + open_f + gap_ref, f_old[u] + gap_ref),
+                        neg_inf,
+                    )
+                    e_val = jnp.maximum(
+                        jnp.maximum(h_left + open_r + gap_read, e_val + gap_read),
+                        neg_inf,
+                    )
+                    cur = jnp.maximum(jnp.maximum(h_diag + sub, f_val), e_val)
+                    new_f.append(f_val)
+                else:
+                    cur = jnp.maximum(
+                        jnp.maximum(h_diag + sub, up + gap_ref),
+                        h_left + gap_read,
+                    )
                 # Keep -inf cells from polluting int32 range.
                 cur = jnp.maximum(cur, neg_inf)
                 if local:
@@ -178,11 +212,13 @@ def _banded_tile_kernel(offs_ref, o_prev_ref, win_start_ref, reads_ref,
                 h_left = cur
                 h_diag = up
             band_out_ref[pl.ds(k0, unroll)] = jnp.stack(new_vals)
-            return h_left, h_diag, best
+            if affine:
+                fband_out_ref[pl.ds(k0, unroll)] = jnp.stack(new_f)
+            return h_left, h_diag, e_val, best
 
         best0 = best_out_ref[0]
-        _, _, best = jax.lax.fori_loop(
-            0, n_chunks, chunk_body, (h_left0, h_diag0, best0)
+        _, _, _, best = jax.lax.fori_loop(
+            0, n_chunks, chunk_body, (h_left0, h_diag0, neg_inf, best0)
         )
         best_out_ref[0] = best
         if not local:
@@ -224,6 +260,7 @@ def _banded_score_blocks(reads_b, refs_b, offsets, params, algorithm,
         _banded_tile_kernel, tile=tile, band=band, win=win, d_max=d_max,
         n=n, params=params, local=local,
     )
+    fband_rows = (band + d_max) if params.affine else 1
 
     call = pl.pallas_call(
         kernel,
@@ -235,17 +272,20 @@ def _banded_score_blocks(reads_b, refs_b, offsets, params, algorithm,
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # ref window
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # band in
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # best in
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # f band in
             ],
             out_specs=(
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # band out
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # best out
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # f band out
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((band + d_max, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
             jax.ShapeDtypeStruct((2, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((fband_rows, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
         ),
-        input_output_aliases={5: 0, 6: 1},  # band_in/best_in donate to outs
+        input_output_aliases={5: 0, 6: 1, 7: 2},
         interpret=interpret,
     )
 
@@ -263,8 +303,12 @@ def _banded_score_blocks(reads_b, refs_b, offsets, params, algorithm,
             jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32),
         ])
 
+        fband_init = jnp.full(
+            (fband_rows, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32
+        )
+
         def tile_step(carry, t):
-            band_state, best_state = carry
+            band_state, best_state, fband_state = carry
             reads_tile = jax.lax.dynamic_slice(
                 rb, (t * tile, 0, 0), (tile, BLOCK_SUBLANES, BLOCK_LANES)
             )
@@ -276,14 +320,14 @@ def _banded_score_blocks(reads_b, refs_b, offsets, params, algorithm,
             o_prev = jnp.where(
                 t == 0, offs_tile[:1], jax.lax.dynamic_slice(offsets, (jnp.maximum(t * tile - 1, 0),), (1,))
             )
-            band_state, best_state = call(
+            band_state, best_state, fband_state = call(
                 offs_tile, o_prev, ws[None], reads_tile, ref_win,
-                band_state, best_state,
+                band_state, best_state, fband_state,
             )
-            return (band_state, best_state), None
+            return (band_state, best_state, fband_state), None
 
-        (band_state, best_state), _ = jax.lax.scan(
-            tile_step, (band_init, best_init), jnp.arange(n_tiles)
+        (band_state, best_state, _), _ = jax.lax.scan(
+            tile_step, (band_init, best_init, fband_init), jnp.arange(n_tiles)
         )
         if local:
             return best_state[0]
