@@ -199,3 +199,70 @@ def test_debug_dump_matrices(default_params):
                                    score_gap_read=-1, score_gap_ref=-1)
     h, e, f, ptr = dump_matrices(read, ref, p_aff, Algorithm.SMITH_WATERMAN)
     assert h.shape == e.shape == f.shape == (5, 5)
+
+
+# --- timers / logging ------------------------------------------------------
+
+def test_timer_and_bench_result():
+    from versalignlib_tpu.utils.timers import BenchResult, Timer, time_batched_call
+
+    t = Timer()
+    t.start()
+    t.stop()
+    assert t.elapsed_seconds() >= 0
+    assert t.elapsed_micros() >= 0
+
+    calls = []
+    res = time_batched_call(
+        lambda: calls.append(1), cells_per_call=1000, pairs_per_call=10,
+        warmup=1, iters=3,
+    )
+    assert len(calls) == 4
+    assert isinstance(res, BenchResult)
+    assert res.gcups > 0 and res.pairs_per_second > 0
+
+
+def test_logging_reference_levels():
+    import logging
+
+    from versalignlib_tpu.utils import logging as vlog
+
+    records = []
+
+    class Sink(logging.Handler):
+        def emit(self, record):
+            records.append((record.levelno, record.name, record.getMessage()))
+
+    root = logging.getLogger("versalignlib_tpu")
+    sink = Sink()
+    root.addHandler(sink)
+    vlog.set_level("INFO")
+    try:
+        vlog.log(0, "test-component", "info message")
+        vlog.log(3, "test-component", "drastic message", "extra line")
+        vlog.log(2, "test-component", "sparse level")
+    finally:
+        vlog.set_level("WARNING")
+        root.removeHandler(sink)
+    levels = [r[0] for r in records]
+    # Reference numeric levels: 0=INFO, 3=DRASTIC(CRITICAL), 2 falls to ERROR
+    # (CustomLogger.h:22-35).
+    assert levels == [logging.INFO, logging.CRITICAL, logging.ERROR]
+    assert records[0][1] == "versalignlib_tpu.test-component"
+    assert "extra line" in records[1][2]
+
+
+def test_engine_tie_flavor(rng, default_params):
+    from versalignlib_tpu import AlignmentEngine
+    from versalignlib_tpu.ops import oracle
+    from versalignlib_tpu.types import TieBreak
+
+    reads = random_codes(rng, 10, 12, padded=True, n_prob=0.1)
+    refs = random_codes(rng, 10, 12, padded=True, n_prob=0.1)
+    for tie in (TieBreak.DIAG_UP_LEFT, TieBreak.DIAG_LEFT_UP):
+        engine = AlignmentEngine(backend="xla", tie=tie)
+        got = engine.compute_alignments(Algorithm.NEEDLEMAN_WUNSCH, reads, refs)
+        want = oracle.compute_alignments(Algorithm.NEEDLEMAN_WUNSCH, reads, refs,
+                                         default_params, tie)
+        for g, w in zip(got, want):
+            assert (g.read, g.ref, g.cigar) == (w.read, w.ref, w.cigar)

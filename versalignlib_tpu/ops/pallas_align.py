@@ -237,7 +237,8 @@ def _align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
         1 + n + 1          # reads row, refs block, mrp
         + nc + 3           # ptr row, aux row
         + (0 if local else (n + 1))  # hsel
-    ) + 4 * BLOCK_PAIRS * ((n + 1) + 4 + (0 if local else (n + 1)))       + 1024 * 1024
+    ) + 4 * BLOCK_PAIRS * ((n + 1) + 4 + (0 if local else (n + 1))) \
+        + 1024 * 1024
     out = pl.pallas_call(
         kernel,
         grid=(g, m),
