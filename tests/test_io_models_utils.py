@@ -266,3 +266,13 @@ def test_engine_tie_flavor(rng, default_params):
                                          default_params, tie)
         for g, w in zip(got, want):
             assert (g.read, g.ref, g.cigar) == (w.read, w.ref, w.cigar)
+
+
+def test_cli_selftest_and_bench_table(tmp_path, capsys):
+    from versalignlib_tpu.cli import main
+
+    rc = main(["--selftest", "--outdir", str(tmp_path), "--backend", "xla"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "SMITH_WATERMAN" in out and "NEEDLEMAN_WUNSCH" in out
+    assert (tmp_path / "scores_needleman_wunsch.txt").exists()
