@@ -132,3 +132,27 @@ def test_banded_affine_scores(rng):
                              band=40, tile=8, interpret=True)
     want = gotoh.score_alignments_affine(Algorithm.SMITH_WATERMAN, reads, refs, p)
     np.testing.assert_array_equal(got, want)
+
+
+def test_banded_align_steep_band(rng, default_params):
+    # n >> m: per-row band steps d > 1 exercise the shifted-band traceback.
+    from versalignlib_tpu.ops.banded import banded_align_batch, banded_score_batch
+
+    reads = random_codes(rng, 4, 20)
+    refs = random_codes(rng, 4, 70)
+    alns = banded_align_batch(reads, refs, default_params,
+                              Algorithm.SMITH_WATERMAN, band=16, tile=5,
+                              interpret=True)
+    scores = banded_score_batch(reads, refs, default_params,
+                                Algorithm.SMITH_WATERMAN, band=16, tile=5,
+                                interpret=True)
+    assert [a.score for a in alns] == [int(s) for s in scores]
+    # Walked path must replay the score exactly (banded SW: path sum).
+    for a, r, f in zip(alns, reads, refs):
+        cost = 0
+        for rc, fc in zip(a.read, a.ref):
+            if rc == "-" or fc == "-":
+                cost += -3
+            else:
+                cost += 2 if rc == fc else -1
+        assert cost == a.score, (a, cost)

@@ -48,3 +48,27 @@ def test_params_interface():
         p.param_int("bogus")
     with pytest.raises(ValueError):
         AlignmentParameters(score_gap_read=1)
+
+
+def test_empty_and_degenerate_batches():
+    import numpy as np
+
+    from versalignlib_tpu.ops.pallas_backend import PallasBackend
+    from versalignlib_tpu.params import DEFAULT_PARAMETERS
+
+    eng = AlignmentEngine(backend="xla")
+    assert eng.score_alignments(Algorithm.SMITH_WATERMAN, [], []).shape == (0,)
+    assert eng.compute_alignments(Algorithm.SMITH_WATERMAN, [], []) == []
+    np.testing.assert_array_equal(
+        eng.score_alignments(Algorithm.SMITH_WATERMAN, ["", "ACGT"], ["ACGT", "ACGT"]),
+        [0, 8],
+    )
+    np.testing.assert_array_equal(
+        eng.score_alignments(Algorithm.NEEDLEMAN_WUNSCH, ["", ""], ["", ""]), [0, 0]
+    )
+    pb = PallasBackend(interpret=True)
+    out = pb.score_alignments(
+        Algorithm.SMITH_WATERMAN, np.zeros((0, 5), np.uint8),
+        np.zeros((0, 5), np.uint8), DEFAULT_PARAMETERS,
+    )
+    assert out.shape == (0,)
