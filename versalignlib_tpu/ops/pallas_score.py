@@ -65,6 +65,10 @@ def _pick_unroll(n: int) -> int:
 NEG_INF_I32 = -(2**30)
 
 
+#: rows advanced together per pass (lead rows live in registers)
+WAVE_ROWS = 4
+
+
 def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
                   params: AlignmentParameters, local: bool):
     """One pair-block: reads (1, m, 8, 128), refs (1, n, 8, 128) int32 codes.
@@ -74,13 +78,14 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
     a (1, 8, 128) placeholder).
     out_ref: (1, 8, 128) int32 best scores per pair.
 
-    The main loop is a **2-row wavefront**: rows i and i+1 advance together
-    with row i+1 one column behind, so row i lives entirely in registers —
-    the scratch row is read once (row i-1) and written once (row i+1) per
-    column pair. This halves VMEM traffic and loop overhead per cell vs the
-    naive rolling row (measured 1.5x on v5e). Odd-m tails run a single-row
-    pass. Affine (Gotoh) mode threads E as a register carry per row and the
-    F row through the same 2-row scheme (see ops/gotoh.py for the model).
+    The main loop is an **R-row register wavefront** (R = WAVE_ROWS): R
+    consecutive read rows advance down each column in one pass, row r
+    consuming row r-1's just-computed value from a register, so the VMEM H
+    row is read once and written once per R cells. This cuts VMEM traffic
+    and loop overhead by R vs the naive rolling row (R=4 measured 1.9x over
+    R=1 on v5e; R=8 regresses on register pressure). Tail rows (m % R) run
+    single-row passes. Affine (Gotoh) mode threads per-row E carries and
+    chains F through the same register wave (model: ops/gotoh.py).
     """
     match = jnp.int32(params.score_match)
     mismatch = jnp.int32(params.score_mismatch)
@@ -102,111 +107,81 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
         valid = read_valid & (ref_col >= 1) & (ref_col <= 4)
         return jnp.where(valid, jnp.where(read_col == ref_col, match, mismatch), 0)
 
-    def lin_cell(sub, diag, up, left, best):
-        cur = jnp.maximum(jnp.maximum(diag + sub, up + gap_ref),
-                          left + gap_read)
-        if local:
-            cur = jnp.maximum(cur, 0)
-            best = jnp.maximum(best, cur)
-        return cur, best
+    def make_group_body(R, base=None):
+        """Row-group DP pass. ``base``: static start row (tail) or None to
+        derive from the loop index (main fori over groups of R)."""
 
-    def aff_cell(sub, diag, h_up, f_up, e_val, left, best):
-        f_val = jnp.maximum(h_up + open_ref + gap_ref, f_up + gap_ref)
-        e_val = jnp.maximum(left + open_read + gap_read, e_val + gap_read)
-        cur = jnp.maximum(jnp.maximum(diag + sub, f_val), e_val)
-        if local:
-            cur = jnp.maximum(cur, 0)
-            best = jnp.maximum(best, cur)
-        return cur, f_val, e_val, best
+        def group_body(idx, best):
+            i0 = idx * R if base is None else base
+            rcs = [reads_ref[0, i0 + r] for r in range(R)]
+            rvs = [(rc >= 1) & (rc <= 4) for rc in rcs]
+            h0 = h_ref[0]  # column-0 boundary: 0 in both score paths
 
-    def row_pair_body(ip, best):
-        i = ip * 2
-        rc0 = reads_ref[0, i]
-        rc1 = reads_ref[0, i + 1]
-        rv0 = (rc0 >= 1) & (rc0 <= 4)
-        rv1 = (rc1 >= 1) & (rc1 <= 4)
-        h0 = h_ref[0]  # column-0 boundary: 0 in both score paths
-
-        def chunk_body(c, carry):
-            a_left, a_diag, b_left, b_diag, ea, eb, fa_prev, best = carry
-            j0 = c * unroll
-            old = h_ref[pl.ds(j0 + 1, unroll)]     # row i-1
-            ref_chunk = refs_ref[0, pl.ds(j0, unroll)]
-            if affine:
-                f_old = f_ref[pl.ds(j0, unroll)]   # F of row i-1
-                new_f = []
-            store_vals = []
-            for u in range(unroll):
-                up0 = old[u]
-                ref_col = ref_chunk[u]
-                s0 = sub_of(rc0, rv0, ref_col)
-                s1 = sub_of(rc1, rv1, ref_col)
+            def chunk_body(c, carry):
+                lefts, diags, evals, best = carry
+                j0 = c * unroll
+                old = h_ref[pl.ds(j0 + 1, unroll)]   # row i0-1 values
+                ref_chunk = refs_ref[0, pl.ds(j0, unroll)]
                 if affine:
-                    a, fa, ea, best = aff_cell(s0, a_diag, up0, f_old[u], ea, a_left, best)
-                    b, fb, eb, best = aff_cell(s1, b_diag, a, fa, eb, b_left, best)
-                    new_f.append(fb)
-                else:
-                    a, best = lin_cell(s0, a_diag, up0, a_left, best)
-                    b, best = lin_cell(s1, b_diag, a, b_left, best)
-                store_vals.append(b)
-                a_diag = up0
-                a_left = a
-                b_diag = a
-                b_left = b
-            h_ref[pl.ds(j0 + 1, unroll)] = jnp.stack(store_vals)
-            if affine:
-                f_ref[pl.ds(j0, unroll)] = jnp.stack(new_f)
-            return a_left, a_diag, b_left, b_diag, ea, eb, fa_prev, best
-
-        init = (h0, h0, h0, h0, neg_inf, neg_inf, zero, best)
-        a_last, _, b_last, _, _, _, _, best = jax.lax.fori_loop(
-            0, n_chunks, chunk_body, init)
-        if not local:
-            # NW overlap: max over the LAST column of both rows
-            # (DefaultKernel.cpp:177). a_last/b_last hold H_i[n]/H_{i+1}[n].
-            best = jnp.maximum(best, jnp.maximum(a_last, b_last))
-        return best
-
-    def single_row_body(i, best):
-        read_col = reads_ref[0, i]
-        read_valid = (read_col >= 1) & (read_col <= 4)
-
-        def chunk_body(c, carry):
-            h_left, h_diag, e_val, best = carry
-            j0 = c * unroll
-            old = h_ref[pl.ds(j0 + 1, unroll)]
-            ref_chunk = refs_ref[0, pl.ds(j0, unroll)]
-            if affine:
-                f_old = f_ref[pl.ds(j0, unroll)]
-                new_f = []
-            new_vals = []
-            for u in range(unroll):
-                up = old[u]
-                s = sub_of(read_col, read_valid, ref_chunk[u])
+                    f_old = f_ref[pl.ds(j0, unroll)]
+                    f_store = []
+                store_vals = []
+                for u in range(unroll):
+                    ref_col = ref_chunk[u]
+                    up = old[u]
+                    f_up = f_old[u] if affine else None
+                    new_lefts, new_diags, new_evals = [], [], []
+                    for r in range(R):
+                        s = sub_of(rcs[r], rvs[r], ref_col)
+                        if affine:
+                            f_val = jnp.maximum(up + open_ref + gap_ref,
+                                                f_up + gap_ref)
+                            e_val = jnp.maximum(
+                                lefts[r] + open_read + gap_read,
+                                evals[r] + gap_read)
+                            # SW: fuse the zero-clamp into the e-branch max.
+                            e_in = jnp.maximum(e_val, 0) if local else e_val
+                            cur = jnp.maximum(jnp.maximum(diags[r] + s, f_val),
+                                              e_in)
+                            new_evals.append(e_val)
+                            f_up = f_val
+                        else:
+                            l_in = lefts[r] + gap_read
+                            if local:
+                                l_in = jnp.maximum(l_in, 0)
+                            cur = jnp.maximum(jnp.maximum(diags[r] + s,
+                                                          up + gap_ref),
+                                              l_in)
+                        if local:
+                            best = jnp.maximum(best, cur)
+                        new_diags.append(up)
+                        new_lefts.append(cur)
+                        up = cur
+                    lefts, diags = new_lefts, new_diags
+                    if affine:
+                        evals = new_evals
+                        f_store.append(f_up)   # row R-1's F value
+                    store_vals.append(up)      # row R-1's H value
+                h_ref[pl.ds(j0 + 1, unroll)] = jnp.stack(store_vals)
                 if affine:
-                    cur, f_val, e_val, best = aff_cell(
-                        s, h_diag, up, f_old[u], e_val, h_left, best)
-                    new_f.append(f_val)
-                else:
-                    cur, best = lin_cell(s, h_diag, up, h_left, best)
-                new_vals.append(cur)
-                h_left = cur
-                h_diag = up
-            h_ref[pl.ds(j0 + 1, unroll)] = jnp.stack(new_vals)
-            if affine:
-                f_ref[pl.ds(j0, unroll)] = jnp.stack(new_f)
-            return h_left, h_diag, e_val, best
+                    f_ref[pl.ds(j0, unroll)] = jnp.stack(f_store)
+                return lefts, diags, evals, best
 
-        h0 = h_ref[0]
-        h_last, _, _, best = jax.lax.fori_loop(
-            0, n_chunks, chunk_body, (h0, h0, neg_inf, best))
-        if not local:
-            best = jnp.maximum(best, h_last)
-        return best
+            init = ([h0] * R, [h0] * R, [neg_inf] * R, best)
+            lefts, _, _, best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+            if not local:
+                # NW overlap: max over the LAST column of every row
+                # (DefaultKernel.cpp:177); lefts[r] holds H_{i0+r}[n].
+                for r in range(R):
+                    best = jnp.maximum(best, lefts[r])
+            return best
 
-    best = jax.lax.fori_loop(0, m // 2, row_pair_body, zero)
-    if m % 2:
-        best = single_row_body(m - 1, best)
+        return group_body
+
+    R = WAVE_ROWS
+    best = jax.lax.fori_loop(0, m // R, make_group_body(R), zero)
+    for tail_row in range((m // R) * R, m):
+        best = make_group_body(1, base=tail_row)(0, best)
     if not local:
         # ... and over the entire final row (DefaultKernel.cpp:189-191);
         # clamped >= 0 because the reference's globalMax starts at 0.
