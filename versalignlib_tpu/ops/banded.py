@@ -127,17 +127,28 @@ def banded_score_oracle(read, ref, p: AlignmentParameters, band: int,
 # Pallas banded tile kernel
 # ---------------------------------------------------------------------------
 
-def _banded_tile_kernel(offs_ref, o_prev_ref, win_start_ref, reads_ref,
-                        ref_win_ref, band_in_ref, best_in_ref, fband_in_ref,
-                        band_out_ref, best_out_ref, fband_out_ref, *, tile,
-                        band, win, d_max, n,
+def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
+                        ref_win_ref, state_in_ref, best_in_ref, fstate_in_ref,
+                        state_out_ref, best_out_ref, fstate_out_ref,
+                        bounce_ref, *,
+                        tile, band, win, shift_cap, n,
                         params: AlignmentParameters, local: bool):
-    """One row tile for one 1024-pair block.
+    """One row tile for one 1024-pair block — window-relative formulation.
 
-    Scalar-prefetch: offs (tile,) absolute band offsets; o_prev (1,) offset
-    of the preceding row; win_start (1,) ref-window origin.
-    band_in/out: (band + d_max, 8, 128) — indices >= band stay -inf.
-    best_in/out: (2, 8, 128) — [running best, NW last-column max].
+    The DP state lives at WINDOW-relative positions (window = the union of
+    this tile's per-row bands, size ``win`` = band + tile*d_max): cell w of
+    the state maps to DP column ``win_start + w + 1``. Rows iterate the FULL
+    window with cells outside the row's band forced to -inf by a
+    scalar-predicated mask, so every inner-loop address is affine in the
+    loop index — data-dependent addressing (which stalls Mosaic's pipeline,
+    ~30us/row measured on the shifted-band design) happens only ONCE per
+    tile, in the state re-base copy. State buffers carry ``shift_cap`` extra
+    -inf-filled rows so the re-base slice stays in bounds.
+
+    Scalar-prefetch: offs (tile,) per-row band starts; win_start (1,);
+    prev_ws (1,) previous tile's win_start (== win_start on the first tile).
+    best_in/out: (2, 8, 128) [running best | NW last-column max, aux].
+    fstate_*: Gotoh F state, same layout ((1, 8, 128) dummy when linear).
     """
     match = jnp.int32(params.score_match)
     mismatch = jnp.int32(params.score_mismatch)
@@ -148,36 +159,63 @@ def _banded_tile_kernel(offs_ref, o_prev_ref, win_start_ref, reads_ref,
     open_f = jnp.int32(params.gap_open_ref)
     neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
     zero = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
-    unroll = 8 if band % 8 == 0 else (4 if band % 4 == 0 else (2 if band % 2 == 0 else 1))
-    n_chunks = band // unroll
+    unroll = 8 if win % 8 == 0 else (4 if win % 4 == 0 else (2 if win % 2 == 0 else 1))
+    n_chunks = win // unroll
+    win_start = win_start_ref[0]
 
-    band_out_ref[...] = band_in_ref[...]
+    # Re-base the carried state to this tile's window (shift >= 0, bounded
+    # by shift_cap; rows beyond `win` in the buffers are permanently -inf).
+    # state_in aliases state_out, so bounce through scratch (the shifted
+    # ranges overlap) and capture the first row's diagonal boundary — the
+    # previous row's value at column win_start — before it is shifted away.
+    shift = win_start - prev_ws_ref[0]
+    pre_diag = jnp.where(
+        shift >= 1,
+        state_in_ref[jnp.maximum(shift - 1, 0)],
+        jnp.where(win_start == 0,
+                  jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                  jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)),
+    )
+    bounce_ref[...] = state_in_ref[pl.ds(shift, win)]
+    state_out_ref[pl.ds(0, win)] = bounce_ref[...]
+    state_out_ref[pl.ds(win, shift_cap)] = jnp.full(
+        (shift_cap, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
     best_out_ref[...] = best_in_ref[...]
     if affine:
-        fband_out_ref[...] = fband_in_ref[...]
+        bounce_ref[...] = fstate_in_ref[pl.ds(shift, win)]
+        fstate_out_ref[pl.ds(0, win)] = bounce_ref[...]
+        fstate_out_ref[pl.ds(win, shift_cap)] = jnp.full(
+            (shift_cap, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+
+    # NW: window index of DP column n (band cells beyond are -inf anyway).
+    w_lastcol = (n - 1) - win_start
 
     def row_body(i, _):
         o_cur = offs_ref[i]
-        o_pr = jax.lax.cond(i == 0, lambda: o_prev_ref[0], lambda: offs_ref[i - 1])
-        d = o_cur - o_pr
-        base = o_cur - win_start_ref[0]
+        lo_w = o_cur - win_start          # first in-band window index
+        hi_w = lo_w + band                # one past last in-band index
         read_col = reads_ref[i]
         read_valid = (read_col >= 1) & (read_col <= 4)
-
-        at_left_edge = o_cur == 0
-        h_left0 = jnp.where(at_left_edge, zero, neg_inf)
-        # diag of band cell 0 = prev row's band[d-1] (d >= 1) else col-0/-inf.
-        diag_from_band = band_out_ref[jnp.maximum(d - 1, 0)]
-        h_diag0 = jnp.where(d >= 1, diag_from_band,
-                            jnp.where(at_left_edge, zero, neg_inf))
+        at_col0 = win_start == 0
+        h_left0 = jnp.where(at_col0, zero, neg_inf)
+        # Column win_start of the previous row: for the tile's first row it
+        # may lie inside the pre-shift window (pre_diag); for later rows it
+        # is left of every band and only the col-0 boundary survives.
+        h_diag0 = jnp.where(i == 0, pre_diag, h_left0)
 
         def chunk_body(c, carry):
             h_left, h_diag, e_val, best = carry
             k0 = c * unroll
-            old = band_out_ref[pl.ds(k0 + d, unroll)]
-            ref_chunk = ref_win_ref[pl.ds(base + k0, unroll)]
+            old = state_out_ref[pl.ds(k0, unroll)]
+            ref_chunk = ref_win_ref[pl.ds(k0, unroll)]
+            # Vectorized band mask: scalar-predicated selects would insert a
+            # scalar->vector broadcast stall per cell (~30us/row measured);
+            # an iota comparison keeps the whole row on the VPU.
+            w_vec = jax.lax.broadcasted_iota(
+                jnp.int32, (unroll, BLOCK_SUBLANES, BLOCK_LANES), 0) + k0
+            band_mask = (w_vec >= lo_w) & (w_vec < hi_w)
             if affine:
-                f_old = fband_out_ref[pl.ds(k0 + d, unroll)]
+                f_old = fstate_out_ref[pl.ds(k0, unroll)]
                 new_f = []
             new_vals = []
             for u in range(unroll):
@@ -190,45 +228,41 @@ def _banded_tile_kernel(offs_ref, o_prev_ref, win_start_ref, reads_ref,
                 if affine:
                     f_val = jnp.maximum(
                         jnp.maximum(up + open_f + gap_ref, f_old[u] + gap_ref),
-                        neg_inf,
-                    )
+                        neg_inf)
                     e_val = jnp.maximum(
                         jnp.maximum(h_left + open_r + gap_read, e_val + gap_read),
-                        neg_inf,
-                    )
+                        neg_inf)
                     cur = jnp.maximum(jnp.maximum(h_diag + sub, f_val), e_val)
-                    new_f.append(f_val)
                 else:
                     cur = jnp.maximum(
                         jnp.maximum(h_diag + sub, up + gap_ref),
-                        h_left + gap_read,
-                    )
-                # Keep -inf cells from polluting int32 range.
+                        h_left + gap_read)
                 cur = jnp.maximum(cur, neg_inf)
+                in_band = band_mask[u]
                 if local:
-                    cur = jnp.maximum(cur, 0)
-                    best = jnp.maximum(best, cur)
+                    cur = jnp.where(in_band, jnp.maximum(cur, 0), neg_inf)
+                    best = jnp.maximum(best, jnp.where(in_band, cur, zero))
+                else:
+                    cur = jnp.where(in_band, cur, neg_inf)
+                if affine:
+                    f_val = jnp.where(in_band, f_val, neg_inf)
+                    new_f.append(f_val)
                 new_vals.append(cur)
                 h_left = cur
                 h_diag = up
-            band_out_ref[pl.ds(k0, unroll)] = jnp.stack(new_vals)
+            state_out_ref[pl.ds(k0, unroll)] = jnp.stack(new_vals)
             if affine:
-                fband_out_ref[pl.ds(k0, unroll)] = jnp.stack(new_f)
+                fstate_out_ref[pl.ds(k0, unroll)] = jnp.stack(new_f)
             return h_left, h_diag, e_val, best
 
-        best0 = best_out_ref[0]
-        _, _, _, best = jax.lax.fori_loop(
-            0, n_chunks, chunk_body, (h_left0, h_diag0, neg_inf, best0)
-        )
+        init = (h_left0, h_diag0, neg_inf, best_out_ref[0])
+        _, _, _, best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
         best_out_ref[0] = best
         if not local:
-            # Track the matrix's last column when the band reaches it.
-            k_last = n - 1 - o_cur  # band index of H column n
-            @pl.when((k_last >= 0) & (k_last < band))
+            @pl.when((w_lastcol >= 0) & (w_lastcol < win))
             def _():
                 best_out_ref[1] = jnp.maximum(
-                    best_out_ref[1], band_out_ref[k_last]
-                )
+                    best_out_ref[1], state_out_ref[w_lastcol])
         return 0
 
     jax.lax.fori_loop(0, tile, row_body, 0)
@@ -248,8 +282,10 @@ def _banded_score_blocks(reads_b, refs_b, offsets, params, algorithm,
     g, m_pad = reads_b.shape[0], reads_b.shape[1]
     n = refs_b.shape[1]
     local = Algorithm(algorithm) == Algorithm.SMITH_WATERMAN
-    win = band + tile * d_max
+    shift_cap = tile * d_max      # max inter-tile window advance
+    win = band + shift_cap
     n_tiles = m_pad // tile
+    state_rows = win + shift_cap  # -inf tail keeps the re-base slice in bounds
 
     # Pad ref blocks so any window slice is in-bounds; pad codes are 0
     # (invalid, sub = 0) and band cells beyond n never feed the outputs.
@@ -257,11 +293,10 @@ def _banded_score_blocks(reads_b, refs_b, offsets, params, algorithm,
     win_starts = offsets[::tile]  # (n_tiles,)
 
     kernel = functools.partial(
-        _banded_tile_kernel, tile=tile, band=band, win=win, d_max=d_max,
-        n=n, params=params, local=local,
+        _banded_tile_kernel, tile=tile, band=band, win=win,
+        shift_cap=shift_cap, n=n, params=params, local=local,
     )
-    fband_rows = (band + d_max) if params.affine else 1
-
+    fstate_rows = state_rows if params.affine else 1
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -270,69 +305,65 @@ def _banded_score_blocks(reads_b, refs_b, offsets, params, algorithm,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # reads tile
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # ref window
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # band in
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # state in
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # best in
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # f band in
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # f state in
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # band out
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # state out
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # best out
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # f band out
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # f state out
             ),
+            scratch_shapes=[
+                pltpu.VMEM((win, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((band + d_max, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((state_rows, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
             jax.ShapeDtypeStruct((2, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-            jax.ShapeDtypeStruct((fband_rows, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((fstate_rows, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
         ),
-        input_output_aliases={5: 0, 6: 1, 7: 2},
+        input_output_aliases={5: 0, 6: 1, 7: 2},  # donate state/best/fstate
         interpret=interpret,
     )
 
     def run_block(rb, fb):
-        band_init = jnp.concatenate([
-            jnp.zeros((band, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-            jnp.full((d_max, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32),
+        # Row 0 boundary: H[0][j] = 0 for every column (free leading gaps) —
+        # the initial window state is all zeros; the -inf tail never moves.
+        state_init = jnp.concatenate([
+            jnp.zeros((win, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jnp.full((shift_cap, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32),
         ])
-        # Row 0 boundary within the first band window is 0; outside cells of
-        # the *boundary row* are also 0 (free leading gaps) — but band cells
-        # only ever read boundary values through d-shifted indices of the
-        # previous band, which the zero init provides.
         best_init = jnp.stack([
-            jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32) if local
+            else jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32),
             jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32),
         ])
-
-        fband_init = jnp.full(
-            (fband_rows, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32
-        )
+        fstate_init = jnp.full(
+            (fstate_rows, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
 
         def tile_step(carry, t):
-            band_state, best_state, fband_state = carry
+            state, best, fstate = carry
             reads_tile = jax.lax.dynamic_slice(
-                rb, (t * tile, 0, 0), (tile, BLOCK_SUBLANES, BLOCK_LANES)
-            )
+                rb, (t * tile, 0, 0), (tile, BLOCK_SUBLANES, BLOCK_LANES))
             ws = win_starts[t]
             ref_win = jax.lax.dynamic_slice(
-                fb, (ws, 0, 0), (win, BLOCK_SUBLANES, BLOCK_LANES)
-            )
+                fb, (ws, 0, 0), (win, BLOCK_SUBLANES, BLOCK_LANES))
             offs_tile = jax.lax.dynamic_slice(offsets, (t * tile,), (tile,))
-            o_prev = jnp.where(
-                t == 0, offs_tile[:1], jax.lax.dynamic_slice(offsets, (jnp.maximum(t * tile - 1, 0),), (1,))
+            prev_ws = jnp.where(t == 0, ws, win_starts[jnp.maximum(t - 1, 0)])
+            state, best, fstate = call(
+                offs_tile, ws[None], prev_ws[None], reads_tile, ref_win,
+                state, best, fstate,
             )
-            band_state, best_state, fband_state = call(
-                offs_tile, o_prev, ws[None], reads_tile, ref_win,
-                band_state, best_state, fband_state,
-            )
-            return (band_state, best_state, fband_state), None
+            return (state, best, fstate), None
 
-        (band_state, best_state, _), _ = jax.lax.scan(
-            tile_step, (band_init, best_init, fband_init), jnp.arange(n_tiles)
-        )
+        (state, best, _), _ = jax.lax.scan(
+            tile_step, (state_init, best_init, fstate_init),
+            jnp.arange(n_tiles))
         if local:
-            return best_state[0]
-        final_row = jnp.max(band_state[:band], axis=0)
-        out = jnp.maximum(best_state[1], final_row)
+            return best[0]
+        final_row = jnp.max(state[:win], axis=0)
+        out = jnp.maximum(best[1], final_row)
         return jnp.maximum(out, 0)
 
     return jax.lax.map(lambda args: run_block(*args), (reads_b, refs_pad))
