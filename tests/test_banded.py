@@ -156,3 +156,15 @@ def test_banded_align_steep_band(rng, default_params):
             else:
                 cost += 2 if rc == fc else -1
         assert cost == a.score, (a, cost)
+
+
+def test_banded_align_rejects_affine(rng):
+    from versalignlib_tpu.ops.banded import banded_align_batch
+
+    p = AlignmentParameters(score_match=2, score_mismatch=-1, score_gap_read=-1,
+                            score_gap_ref=-1, gap_open_read=-4, gap_open_ref=-4)
+    reads = random_codes(rng, 2, 10)
+    refs = random_codes(rng, 2, 10)
+    with pytest.raises(NotImplementedError):
+        banded_align_batch(reads, refs, p, Algorithm.SMITH_WATERMAN, band=10,
+                           tile=5, interpret=True)

@@ -190,82 +190,100 @@ def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
     # NW: window index of DP column n (band cells beyond are -inf anyway).
     w_lastcol = (n - 1) - win_start
 
-    def row_body(i, _):
-        o_cur = offs_ref[i]
-        lo_w = o_cur - win_start          # first in-band window index
-        hi_w = lo_w + band                # one past last in-band index
-        read_col = reads_ref[i]
-        read_valid = (read_col >= 1) & (read_col <= 4)
-        at_col0 = win_start == 0
-        h_left0 = jnp.where(at_col0, zero, neg_inf)
-        # Column win_start of the previous row: for the tile's first row it
-        # may lie inside the pre-shift window (pre_diag); for later rows it
-        # is left of every band and only the col-0 boundary survives.
-        h_diag0 = jnp.where(i == 0, pre_diag, h_left0)
+    # R-row register wavefront (same scheme as the dense kernel): R rows of
+    # the tile advance down each column together, row r consuming row r-1's
+    # just-computed masked value from a register. R must divide tile.
+    R = 4 if tile % 4 == 0 else (2 if tile % 2 == 0 else 1)
+    at_col0 = win_start == 0
+    h_bound = jnp.where(at_col0, zero, neg_inf)
+
+    def group_body(ig, _):
+        i0 = ig * R
+        rcs = [reads_ref[i0 + r] for r in range(R)]
+        rvs = [(rc >= 1) & (rc <= 4) for rc in rcs]
+        lows = [offs_ref[i0 + r] - win_start for r in range(R)]
+        # Column win_start of the row above: inside the pre-shift window only
+        # for the tile's very first row (pre_diag); for every other row it is
+        # left of all bands and only the col-0 boundary survives.
+        diag0s = [jnp.where((ig == 0) & (r == 0), pre_diag, h_bound)
+                  for r in range(R)]
 
         def chunk_body(c, carry):
-            h_left, h_diag, e_val, best = carry
+            lefts, diags, evals, best, lc_best = carry
             k0 = c * unroll
             old = state_out_ref[pl.ds(k0, unroll)]
             ref_chunk = ref_win_ref[pl.ds(k0, unroll)]
-            # Vectorized band mask: scalar-predicated selects would insert a
-            # scalar->vector broadcast stall per cell (~30us/row measured);
-            # an iota comparison keeps the whole row on the VPU.
+            # Vectorized band masks: scalar-predicated selects would insert
+            # a scalar->vector broadcast stall per cell; iota comparisons
+            # keep the whole row on the VPU.
             w_vec = jax.lax.broadcasted_iota(
                 jnp.int32, (unroll, BLOCK_SUBLANES, BLOCK_LANES), 0) + k0
-            band_mask = (w_vec >= lo_w) & (w_vec < hi_w)
+            masks = [(w_vec >= lows[r]) & (w_vec < lows[r] + band)
+                     for r in range(R)]
+            if not local:
+                wlc_mask = w_vec == w_lastcol
             if affine:
                 f_old = fstate_out_ref[pl.ds(k0, unroll)]
-                new_f = []
-            new_vals = []
+                f_store = []
+            store_vals = []
             for u in range(unroll):
-                up = old[u]
                 ref_col = ref_chunk[u]
-                valid = read_valid & (ref_col >= 1) & (ref_col <= 4)
-                sub = jnp.where(
-                    valid, jnp.where(read_col == ref_col, match, mismatch), 0
-                )
+                up = old[u]
+                f_up = f_old[u] if affine else None
+                new_lefts, new_diags, new_evals = [], [], []
+                for r in range(R):
+                    valid = rvs[r] & (ref_col >= 1) & (ref_col <= 4)
+                    sub = jnp.where(
+                        valid, jnp.where(rcs[r] == ref_col, match, mismatch), 0
+                    )
+                    if affine:
+                        f_val = jnp.maximum(
+                            jnp.maximum(up + open_f + gap_ref, f_up + gap_ref),
+                            neg_inf)
+                        e_val = jnp.maximum(
+                            jnp.maximum(lefts[r] + open_r + gap_read,
+                                        evals[r] + gap_read),
+                            neg_inf)
+                        cur = jnp.maximum(jnp.maximum(diags[r] + sub, f_val),
+                                          e_val)
+                        new_evals.append(e_val)
+                    else:
+                        cur = jnp.maximum(
+                            jnp.maximum(diags[r] + sub, up + gap_ref),
+                            lefts[r] + gap_read)
+                    cur = jnp.maximum(cur, neg_inf)
+                    in_band = masks[r][u]
+                    if local:
+                        cur = jnp.where(in_band, jnp.maximum(cur, 0), neg_inf)
+                        best = jnp.maximum(best, jnp.where(in_band, cur, zero))
+                    else:
+                        cur = jnp.where(in_band, cur, neg_inf)
+                        lc_best = jnp.maximum(
+                            lc_best, jnp.where(wlc_mask[u], cur, neg_inf))
+                    if affine:
+                        f_up = jnp.where(in_band, f_val, neg_inf)
+                    new_diags.append(up)
+                    new_lefts.append(cur)
+                    up = cur
+                lefts, diags = new_lefts, new_diags
                 if affine:
-                    f_val = jnp.maximum(
-                        jnp.maximum(up + open_f + gap_ref, f_old[u] + gap_ref),
-                        neg_inf)
-                    e_val = jnp.maximum(
-                        jnp.maximum(h_left + open_r + gap_read, e_val + gap_read),
-                        neg_inf)
-                    cur = jnp.maximum(jnp.maximum(h_diag + sub, f_val), e_val)
-                else:
-                    cur = jnp.maximum(
-                        jnp.maximum(h_diag + sub, up + gap_ref),
-                        h_left + gap_read)
-                cur = jnp.maximum(cur, neg_inf)
-                in_band = band_mask[u]
-                if local:
-                    cur = jnp.where(in_band, jnp.maximum(cur, 0), neg_inf)
-                    best = jnp.maximum(best, jnp.where(in_band, cur, zero))
-                else:
-                    cur = jnp.where(in_band, cur, neg_inf)
-                if affine:
-                    f_val = jnp.where(in_band, f_val, neg_inf)
-                    new_f.append(f_val)
-                new_vals.append(cur)
-                h_left = cur
-                h_diag = up
-            state_out_ref[pl.ds(k0, unroll)] = jnp.stack(new_vals)
+                    evals = new_evals
+                    f_store.append(f_up)     # row R-1's F value
+                store_vals.append(up)        # row R-1's H value
+            state_out_ref[pl.ds(k0, unroll)] = jnp.stack(store_vals)
             if affine:
-                fstate_out_ref[pl.ds(k0, unroll)] = jnp.stack(new_f)
-            return h_left, h_diag, e_val, best
+                fstate_out_ref[pl.ds(k0, unroll)] = jnp.stack(f_store)
+            return lefts, diags, evals, best, lc_best
 
-        init = (h_left0, h_diag0, neg_inf, best_out_ref[0])
-        _, _, _, best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        init = ([h_bound] * R, diag0s, [neg_inf] * R,
+                best_out_ref[0], best_out_ref[1])
+        _, _, _, best, lc_best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
         best_out_ref[0] = best
         if not local:
-            @pl.when((w_lastcol >= 0) & (w_lastcol < win))
-            def _():
-                best_out_ref[1] = jnp.maximum(
-                    best_out_ref[1], state_out_ref[w_lastcol])
+            best_out_ref[1] = lc_best
         return 0
 
-    jax.lax.fori_loop(0, tile, row_body, 0)
+    jax.lax.fori_loop(0, tile // R, group_body, 0)
 
 
 @functools.partial(
@@ -622,6 +640,11 @@ def banded_align_batch(
     reads (e.g. 16kbp x 512 band = 2MB/pair)."""
     from versalignlib_tpu.types import Alignment, Trace, cigar_from_gapped
 
+    if params.affine:
+        raise NotImplementedError(
+            "banded traceback is linear-gap only (affine banded is "
+            "score-only; see TODO.md)"
+        )
     if interpret is None:
         interpret = not _is_tpu()
     algorithm = Algorithm(algorithm)
