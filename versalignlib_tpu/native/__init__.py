@@ -56,6 +56,15 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p,
         ]
+        lib.val_decode_banded.restype = ctypes.c_int
+        lib.val_decode_banded.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ]
         lib.val_decode_batch.restype = ctypes.c_int
         lib.val_decode_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,      # ptr, kind, pack
@@ -214,3 +223,75 @@ def parse_fasta_codes(path) -> tuple[np.ndarray, np.ndarray]:
         if rc != 0:
             raise OSError(f"FASTA parse failed: {path}")
     return codes, lengths
+
+
+def decode_banded_native(
+    words: np.ndarray,      # (b, m_rows, nc) int32 band-relative packed ptrs
+    pack: int,
+    band: int,
+    offsets: np.ndarray,    # (m_rows,) int32 band start per row
+    reads: np.ndarray,
+    refs: np.ndarray,
+    start_read_pos: np.ndarray,
+    start_ref_pos: np.ndarray,
+    params,
+    algorithm,
+    scores: np.ndarray,
+    n_threads: int | None = None,
+):
+    """Banded traceback decode through the C++ library (linear gaps)."""
+    from versalignlib_tpu.types import Alignment
+
+    lib = _load()
+    if lib is None:
+        raise ImportError(f"native decoder unavailable: {_build_error}")
+    import ctypes as ct
+
+    words = np.ascontiguousarray(words, dtype=np.int32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int32)
+    reads = np.ascontiguousarray(reads, dtype=np.uint8)
+    refs = np.ascontiguousarray(refs, dtype=np.uint8)
+    start_r = np.ascontiguousarray(start_read_pos, dtype=np.int32)
+    start_f = np.ascontiguousarray(start_ref_pos, dtype=np.int32)
+    scores = np.ascontiguousarray(scores, dtype=np.int32)
+    b, m = reads.shape
+    n = refs.shape[1]
+    m_rows = words.shape[1]
+    aln_cap = m + n
+    cigar_cap = 3 * aln_cap + 16
+    read_g = np.zeros((b, aln_cap), dtype=np.uint8)
+    ref_g = np.zeros((b, aln_cap), dtype=np.uint8)
+    cigar = np.zeros((b, cigar_cap), dtype=np.uint8)
+    meta = np.zeros((b, 8), dtype=np.int32)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
+    rc = lib.val_decode_banded(
+        words.ctypes.data_as(ct.c_void_p), pack, band,
+        offsets.ctypes.data_as(ct.c_void_p),
+        reads.ctypes.data_as(ct.c_void_p), refs.ctypes.data_as(ct.c_void_p),
+        start_r.ctypes.data_as(ct.c_void_p), start_f.ctypes.data_as(ct.c_void_p),
+        scores.ctypes.data_as(ct.c_void_p),
+        b, m_rows, m, n,
+        read_g.ctypes.data_as(ct.c_void_p), ref_g.ctypes.data_as(ct.c_void_p),
+        cigar.ctypes.data_as(ct.c_void_p), cigar_cap,
+        meta.ctypes.data_as(ct.c_void_p), n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"val_decode_banded failed: {rc}")
+    out = []
+    rg_bytes = read_g.tobytes()
+    fg_bytes = ref_g.tobytes()
+    cg_bytes = cigar.tobytes()
+    for k in range(b):
+        (score, rs, re_, fs, fe, aln_len, buf_start, clen) = (int(x) for x in meta[k])
+        base = k * aln_cap
+        cb = k * cigar_cap
+        out.append(Alignment(
+            read=rg_bytes[base : base + aln_len].decode("latin-1"),
+            ref=fg_bytes[base : base + aln_len].decode("latin-1"),
+            score=score,
+            cigar=cg_bytes[cb : cb + clen].decode("ascii"),
+            read_start=rs, read_end=re_, ref_start=fs, ref_end=fe,
+            buffer_start=buf_start, buffer_end=aln_cap - 1,
+        ))
+    return out

@@ -265,7 +265,117 @@ void decode_pair_affine(const Args &A, int k) {
   mt[7] = clen;
 }
 
+void decode_pair_banded(const Args &A, const int32_t *offsets, int band,
+                        int m_rows, int k) {
+  // Band-relative pointer walk (linear gaps, canonical flavor): pointer of
+  // cell (i, j) lives at band index j - offsets[i]; leaving the band ends
+  // the walk (banded paths are confined by construction). NW (overlap)
+  // variant stops at the free row-0 / col-0 boundaries. The pointer matrix
+  // has m_rows >= A.m rows (row padding); read characters are bounded by
+  // the true read length A.m.
+  const int m = A.m, n = A.n;
+  const int aln_cap = m + n;
+  char *rg = A.read_gapped + (size_t)k * aln_cap;
+  char *fg = A.ref_gapped + (size_t)k * aln_cap;
+  const uint8_t *read = A.reads + (size_t)k * m;
+  const uint8_t *ref = A.refs + (size_t)k * n;
+  const int nc = (band + A.pack - 1) / A.pack;
+  const int32_t *words = static_cast<const int32_t *>(A.ptr_data) +
+                         (size_t)k * m_rows * nc;
+
+  int rp = A.start_r[k];
+  int fp = A.start_f[k];
+  const int start_rp = rp, start_fp = fp;
+  int pos = aln_cap;
+  int steps = 0;
+  while (steps <= aln_cap && rp >= 0 && fp >= 0 && rp < m_rows) {
+    int kb = fp - offsets[rp];
+    if (kb < 0 || kb >= band) break;
+    int32_t word = words[(size_t)rp * nc + kb / A.pack];
+    int bt = (word >> (2 * (kb % A.pack))) & 3;
+    if (bt == START) break;
+    char rc = rp < m ? kCodeChar[read[rp] <= 5 ? read[rp] : 0] : '\0';
+    char fc = kCodeChar[ref[fp] <= 5 ? ref[fp] : 0];
+    --pos;
+    if (bt == UP) {
+      rg[pos] = rc;
+      fg[pos] = '-';
+      --rp;
+    } else if (bt == LEFT) {
+      rg[pos] = '-';
+      fg[pos] = fc;
+      --fp;
+    } else {
+      rg[pos] = rc;
+      fg[pos] = fc;
+      --rp;
+      --fp;
+    }
+    ++steps;
+  }
+
+  const int aln_len = aln_cap - pos;
+  std::memmove(rg, rg + pos, aln_len);
+  std::memmove(fg, fg + pos, aln_len);
+
+  char *cg = A.cigar_out + (size_t)k * A.cigar_cap;
+  int clen = 0, run = 0;
+  char op = 0;
+  for (int t = 0; t < aln_len; ++t) {
+    char cur_op = rg[t] == '-' ? 'D' : (fg[t] == '-' ? 'I' : 'M');
+    if (cur_op == op) {
+      ++run;
+    } else {
+      if (run > 0 && clen + 12 < A.cigar_cap)
+        clen += std::snprintf(cg + clen, A.cigar_cap - clen, "%d%c", run, op);
+      op = cur_op;
+      run = 1;
+    }
+  }
+  if (run > 0 && clen + 12 < A.cigar_cap)
+    clen += std::snprintf(cg + clen, A.cigar_cap - clen, "%d%c", run, op);
+
+  int32_t *mt = A.meta + (size_t)k * 8;
+  mt[0] = A.scores_in ? A.scores_in[k] : 0;
+  mt[1] = rp + 1;
+  mt[2] = start_rp + 1;
+  mt[3] = fp + 1;
+  mt[4] = start_fp + 1;
+  mt[5] = aln_len;
+  mt[6] = aln_cap - 1 - steps;
+  mt[7] = clen;
+}
+
 }  // namespace
+
+extern "C" int val_decode_banded(
+    const void *ptr_data, int pack, int band, const int32_t *offsets,
+    const uint8_t *reads, const uint8_t *refs, const int32_t *start_r,
+    const int32_t *start_f, const int32_t *scores_in, int b, int m_rows,
+    int m, int n, char *read_gapped, char *ref_gapped, char *cigar_out,
+    int cigar_cap, int32_t *meta, int n_threads) {
+  Args A{ptr_data, 1, pack, reads, refs, nullptr, nullptr, start_r, start_f,
+         scores_in, b, m, n, 0, 0, 0, 0, 0, 0, read_gapped, ref_gapped,
+         cigar_out, cigar_cap, meta};
+  if (n_threads <= 1 || b < 64) {
+    for (int kk = 0; kk < b; ++kk) decode_pair_banded(A, offsets, band, m_rows, kk);
+    return 0;
+  }
+  std::atomic<int> next{0};
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; ++t) {
+    pool.emplace_back([&]() {
+      for (;;) {
+        int kk = next.fetch_add(16);
+        if (kk >= A.b) return;
+        int end = kk + 16 < A.b ? kk + 16 : A.b;
+        for (; kk < end; ++kk) decode_pair_banded(A, offsets, band, m_rows, kk);
+      }
+    });
+  }
+  for (auto &th : pool) th.join();
+  return 0;
+}
 
 extern "C" int val_decode_batch(
     const void *ptr_data, int ptr_kind, int pack, const uint8_t *reads,

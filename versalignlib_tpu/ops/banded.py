@@ -678,7 +678,9 @@ def banded_align_batch(
     final_band = np.asarray(final_band).transpose(0, 2, 3, 1).reshape(
         b_pad, band + d_max)[:b]
 
-    results = []
+    starts_r = np.zeros(b, dtype=np.int32)
+    starts_f = np.zeros(b, dtype=np.int32)
+    scores = np.zeros(b, dtype=np.int32)
     for k in range(b):
         if local:
             score, bi, bj = int(best[k, 0]), int(best[k, 1]), int(best[k, 2])
@@ -694,10 +696,24 @@ def banded_align_batch(
             else:
                 score, bi, bj = lc_best, lc_i, n - 1
             score = max(score, 0)
-        results.append(_banded_decode_one(
-            ptr[k], reads[k], refs[k], offsets_np, pack, band,
-            bi, bj, score, params, local))
-    return results
+        starts_r[k], starts_f[k], scores[k] = bi, bj, score
+
+    try:
+        from versalignlib_tpu.native import decode_banded_native
+
+        return decode_banded_native(
+            ptr, pack, band, offsets_np, np.asarray(reads), np.asarray(refs),
+            starts_r, starts_f, params, algorithm, scores,
+        )
+    except ImportError:
+        return [
+            _banded_decode_one(
+                ptr[k], reads[k], refs[k], offsets_np, pack, band,
+                int(starts_r[k]), int(starts_f[k]), int(scores[k]), params,
+                local)
+            for k in range(b)
+        ]
+
 
 
 def _banded_decode_one(ptr_words, read, ref, offsets, pack, band,
