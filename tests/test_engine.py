@@ -72,3 +72,13 @@ def test_empty_and_degenerate_batches():
         np.zeros((0, 5), np.uint8), DEFAULT_PARAMETERS,
     )
     assert out.shape == (0,)
+
+
+def test_auto_backend_skips_interpret_pallas_on_cpu():
+    # On the CPU test mesh, "auto" must not pick the (interpreter-mode)
+    # Pallas backend — the XLA scan backend is the fast portable choice.
+    import versalignlib_tpu as val
+
+    assert val.get_backend("auto").name == "xla"
+    # Explicit selection still works.
+    assert val.get_backend("pallas").name == "pallas"

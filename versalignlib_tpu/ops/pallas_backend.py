@@ -8,7 +8,7 @@ fill and scalar backtrack (SSEKernel.cpp:785-860).
 
 from __future__ import annotations
 
-from versalignlib_tpu.ops.pallas_score import PallasScorer
+from versalignlib_tpu.ops.pallas_score import PallasScorer, _is_tpu
 from versalignlib_tpu.types import Algorithm
 
 
@@ -20,8 +20,10 @@ class PallasBackend:
         self._xla = None
 
     def is_available(self) -> bool:
-        # Compiled on TPU; interpreter mode anywhere (slow — test use only).
-        return True
+        # "auto" should only pick this backend where it compiles (TPU); the
+        # interpreter path still works when selected explicitly (tests), but
+        # is orders of magnitude slower than the XLA backend on CPU.
+        return _is_tpu() or not self._scorer.interpret
 
     def score_alignments(self, algorithm, reads, refs, params):
         return self._scorer(reads, refs, params, Algorithm(algorithm))
