@@ -82,3 +82,37 @@ def test_auto_backend_skips_interpret_pallas_on_cpu():
     assert val.get_backend("auto").name == "xla"
     # Explicit selection still works.
     assert val.get_backend("pallas").name == "pallas"
+
+
+def test_cross_backend_consistency_sweep():
+    """All backends agree on random shapes/params (scores + alignments)."""
+    import numpy as np
+
+    from tests.conftest import random_codes
+    from versalignlib_tpu import AlignmentParameters, get_backend
+    from versalignlib_tpu.types import TieBreak
+
+    rng = np.random.default_rng(99)
+    backends = [get_backend("oracle"), get_backend("xla"), get_backend("pallas")]
+    for trial in range(4):
+        p = AlignmentParameters(
+            score_match=int(rng.integers(1, 4)),
+            score_mismatch=-int(rng.integers(1, 4)),
+            score_gap_read=-int(rng.integers(1, 4)),
+            score_gap_ref=-int(rng.integers(1, 4)),
+        )
+        b = int(rng.integers(3, 10))
+        mlen = int(rng.integers(2, 24))
+        nlen = int(rng.integers(2, 24))
+        reads = random_codes(rng, b, mlen, padded=True, n_prob=0.1)
+        refs = random_codes(rng, b, nlen, padded=True, n_prob=0.1)
+        for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+            scores = [bk.score_alignments(algorithm, reads, refs, p) for bk in backends]
+            np.testing.assert_array_equal(scores[0], scores[1], err_msg=str((trial, algorithm)))
+            np.testing.assert_array_equal(scores[0], scores[2], err_msg=str((trial, algorithm)))
+            alns = [bk.compute_alignments(algorithm, reads, refs, p, TieBreak.DIAG_UP_LEFT)
+                    for bk in backends]
+            for a0, a1, a2 in zip(*alns):
+                assert (a0.read, a0.ref, a0.score, a0.cigar) == \
+                       (a1.read, a1.ref, a1.score, a1.cigar) == \
+                       (a2.read, a2.ref, a2.score, a2.cigar), (trial, algorithm)

@@ -91,3 +91,29 @@ def test_native_fasta_matches_python(tmp_path):
 def test_native_fasta_missing_file(tmp_path):
     with pytest.raises(OSError):
         native.parse_fasta_codes(tmp_path / "nope.fa")
+
+
+def test_native_decoder_fuzz_vs_python(rng, default_params):
+    """Random pointer matrices + random start cells: native == python walk."""
+    from versalignlib_tpu.ops import traceback as tb
+
+    for trial in range(20):
+        m = int(rng.integers(1, 20))
+        n = int(rng.integers(1, 20))
+        b = 8
+        ptr = rng.integers(0, 4, size=(b, m, n)).astype(np.uint8)
+        reads = rng.integers(0, 6, size=(b, m)).astype(np.uint8)
+        refs = rng.integers(0, 6, size=(b, n)).astype(np.uint8)
+        sr = rng.integers(-1, m, size=b).astype(np.int32)
+        sf = rng.integers(-1, n, size=b).astype(np.int32)
+        for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+            got = native.decode_batch_native(
+                ptr, reads, refs, sr, sf, default_params, algorithm, None
+            )
+            want = [
+                tb.decode_one(ptr[i], reads[i], refs[i], int(sr[i]), int(sf[i]),
+                              default_params, algorithm, None)
+                for i in range(b)
+            ]
+            for g, w in zip(got, want):
+                assert g == w, (trial, algorithm, g, w)
