@@ -276,3 +276,56 @@ def test_cli_selftest_and_bench_table(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "SMITH_WATERMAN" in out and "NEEDLEMAN_WUNSCH" in out
     assert (tmp_path / "scores_needleman_wunsch.txt").exists()
+
+def test_cli_reference_compat_output(tmp_path):
+    # --reference-compat writes the reference's exact byte formats:
+    # scores = "<read>\t<score>" lines (main.cpp:135-139); alignments = two
+    # gapped strings + a blank line (main.cpp:146-153).
+    from versalignlib_tpu.cli import main
+
+    rc = main(["--selftest", "--outdir", str(tmp_path), "--backend", "xla",
+               "--reference-compat"])
+    assert rc == 0
+    score_lines = (tmp_path / "scores_smith_waterman.txt").read_text().splitlines()
+    assert len(score_lines) == 128
+    for line in score_lines:
+        read, score = line.split("\t")
+        assert set(read) <= set("ACGT") and int(score) >= 0
+    aln_text = (tmp_path / "alignments_smith_waterman.txt").read_text()
+    groups = aln_text.split("\n\n")
+    assert len([g for g in groups if g.strip()]) == 128
+    first = groups[0].splitlines()
+    assert len(first) == 2 and len(first[0]) == len(first[1])
+    assert "\t" not in aln_text  # no CIGAR/score extension lines
+
+
+def test_affine_rejects_sse_tie_flavor(rng):
+    # Affine pointers exist only in the canonical flavor; every align path
+    # raises on the SSE flavor instead of silently ignoring it.
+    import pytest as _pytest
+
+    from versalignlib_tpu.dispatch import AlignmentEngine
+    from versalignlib_tpu.params import AlignmentParameters
+    from versalignlib_tpu.types import Algorithm, TieBreak
+
+    p = AlignmentParameters(score_match=2, score_mismatch=-1,
+                            score_gap_read=-1, score_gap_ref=-1,
+                            gap_open_read=-4, gap_open_ref=-4)
+    reads = random_codes(rng, 2, 8)
+    refs = random_codes(rng, 2, 8)
+    for backend in ("oracle", "xla"):
+        engine = AlignmentEngine(params=p, backend=backend,
+                                 tie=TieBreak.DIAG_LEFT_UP)
+        with _pytest.raises(ValueError, match="canonical"):
+            engine.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+
+
+def test_capabilities_dense_gate():
+    from versalignlib_tpu.utils.capabilities import DeviceCapabilities
+
+    v5e = DeviceCapabilities("tpu", "TPU v5 lite", 1, True, 128 * 2**20)
+    assert v5e.dense_fits(512, 512)
+    assert v5e.dense_fits(1024, 1024)          # measured working (BENCHMARKS.md)
+    assert not v5e.dense_fits(16384, 16384)    # long pairs -> banded path
+    cpu = DeviceCapabilities("cpu", "cpu", 8, False, 0)
+    assert cpu.dense_fits(1 << 20, 1 << 20)    # interpret mode unconstrained

@@ -42,18 +42,31 @@ OUT_FILES = {
 }
 
 
-def _write_scores(path, reads, refs, scores):
-    # Reference format: "<read>\n<ref>\n<score>\n" per pair (main.cpp:133-144).
+def _write_scores(path, reads, refs, scores, compat: bool = False):
+    """Score files. ``compat=True`` is byte-compatible with the reference
+    (one ``<read>\\t<score>`` line per pair, main.cpp:135-139); the default
+    extended format adds the ref on its own line."""
     with open(path, "w") as f:
-        for r, q, s in zip(reads, refs, scores):
-            f.write(f"{r}\n{q}\n{int(s)}\n")
+        if compat:
+            for r, s in zip(reads, scores):
+                f.write(f"{r}\t{int(s)}\n")
+        else:
+            for r, q, s in zip(reads, refs, scores):
+                f.write(f"{r}\n{q}\n{int(s)}\n")
 
 
-def _write_alignments(path, alignments):
-    # Reference format: the two gapped strings per pair (main.cpp:146-155).
+def _write_alignments(path, alignments, compat: bool = False):
+    """Alignment files. ``compat=True`` is byte-compatible with the reference
+    (the two gapped strings from buffer_start, then a blank line,
+    main.cpp:146-153); the default extended format appends a
+    ``<cigar>\\t<score>`` third line instead."""
     with open(path, "w") as f:
-        for a in alignments:
-            f.write(f"{a.read}\n{a.ref}\n{a.cigar}\t{a.score}\n")
+        if compat:
+            for a in alignments:
+                f.write(f"{a.read}\n{a.ref}\n\n")
+        else:
+            for a in alignments:
+                f.write(f"{a.read}\n{a.ref}\n{a.cigar}\t{a.score}\n")
 
 
 def main(argv=None) -> int:
@@ -71,6 +84,11 @@ def main(argv=None) -> int:
                     help="affine gap-open penalty (0 = linear, reference model)")
     ap.add_argument("--bench", action="store_true",
                     help="run the backend benchmark table afterwards")
+    ap.add_argument("--reference-compat", action="store_true",
+                    help="write output files byte-compatible with the "
+                         "reference driver (read\\tscore lines; two gapped "
+                         "strings + blank line) instead of the extended "
+                         "format with CIGAR/score")
     ap.add_argument("--selftest", action="store_true",
                     help="run on synthetic sequences instead of files")
     args = ap.parse_args(argv)
@@ -106,9 +124,11 @@ def main(argv=None) -> int:
 
     for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
         scores = engine.score_alignments(algorithm, reads, refs)
-        _write_scores(outdir / OUT_FILES[(algorithm, "score")], reads, refs, scores)
+        _write_scores(outdir / OUT_FILES[(algorithm, "score")], reads, refs,
+                      scores, compat=args.reference_compat)
         alns = engine.compute_alignments(algorithm, reads, refs)
-        _write_alignments(outdir / OUT_FILES[(algorithm, "align")], alns)
+        _write_alignments(outdir / OUT_FILES[(algorithm, "align")], alns,
+                          compat=args.reference_compat)
         print(f"{algorithm.name}: wrote {len(reads)} scores + alignments")
 
     if args.bench:
@@ -116,26 +136,38 @@ def main(argv=None) -> int:
     return 0
 
 
-def run_benchmark_table(reads, refs, params) -> None:
-    """Backends-vs-throughput TSV, the analogue of time_kernel's table."""
+def run_benchmark_table(reads, refs, params, repeats: int = 3) -> None:
+    """Backends-vs-throughput TSV in BOTH modes, the analogue of
+    ``time_kernel``'s table: the reference times ``compute_alignments`` per
+    kernel across a thread sweep (main.cpp:240-295); here the sweep axis is
+    the backend (threading is XLA's job) and both the score-only and the
+    full-alignment virtuals are timed."""
+    from versalignlib_tpu.dispatch import get_backend
+    from versalignlib_tpu.types import TieBreak
+
     reads_enc = pad_and_encode(reads)
     refs_enc = pad_and_encode(refs)
     cells = reads_enc.shape[0] * reads_enc.shape[1] * refs_enc.shape[1]
     print("backend\tmode\tseconds/call\tGCUPS")
     for name in available_backends():
-        from versalignlib_tpu.dispatch import get_backend
-
         backend = get_backend(name)
-        meter = GcupsMeter()
-        with meter.measure(cells):  # warm/compile
-            backend.score_alignments(Algorithm.SMITH_WATERMAN, reads_enc, refs_enc, params)
-        meter = GcupsMeter()
-        for _ in range(3):
-            with meter.measure(cells):
-                backend.score_alignments(
-                    Algorithm.SMITH_WATERMAN, reads_enc, refs_enc, params
-                )
-        print(f"{name}\tscore\t{meter.seconds / meter.calls:.6f}\t{meter.gcups:.2f}")
+
+        def run_mode(mode: str, call):
+            meter = GcupsMeter()
+            with meter.measure(cells):  # warm/compile
+                call()
+            meter = GcupsMeter()
+            for _ in range(repeats):
+                with meter.measure(cells):
+                    call()
+            print(f"{name}\t{mode}\t{meter.seconds / meter.calls:.6f}"
+                  f"\t{meter.gcups:.2f}")
+
+        run_mode("score", lambda: backend.score_alignments(
+            Algorithm.SMITH_WATERMAN, reads_enc, refs_enc, params))
+        run_mode("align", lambda: backend.compute_alignments(
+            Algorithm.SMITH_WATERMAN, reads_enc, refs_enc, params,
+            TieBreak.DIAG_UP_LEFT))
 
 
 if __name__ == "__main__":

@@ -42,6 +42,23 @@ from versalignlib_tpu.types import Algorithm, Alignment, Trace, cigar_from_gappe
 NEG_INF = np.int32(-(2**30))
 
 
+def require_canonical_tie(tie) -> None:
+    """Affine pointers are defined only in the canonical flavor.
+
+    The reference has no affine kernels to mirror the SSE flavor from, so
+    every affine align path raises on ``TieBreak.DIAG_LEFT_UP`` instead of
+    silently ignoring the argument.
+    """
+    from versalignlib_tpu.types import TieBreak
+
+    if TieBreak(tie) != TieBreak.DIAG_UP_LEFT:
+        raise ValueError(
+            "affine (Gotoh) alignment defines pointers only in the canonical "
+            "flavor (TieBreak.DIAG_UP_LEFT); the reference has no affine "
+            "kernels to mirror the SSE flavor from"
+        )
+
+
 def _fill_affine(
     read: np.ndarray,
     ref: np.ndarray,

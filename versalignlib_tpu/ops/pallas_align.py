@@ -444,6 +444,9 @@ def _pick_pack_affine(n: int) -> int:
     return 1
 
 
+from versalignlib_tpu.ops.gotoh import require_canonical_tie as _require_canonical_tie  # noqa: E402
+
+
 def _affine_align_kernel(*refs_args, m, n, pack, params: AlignmentParameters,
                          local: bool):
     """Affine pointer-row fill; 4-bit codes hptr(2b)|e_ext<<2|f_ext<<3.
@@ -654,12 +657,19 @@ def pallas_align_affine_batch(
     refs: np.ndarray,
     params: AlignmentParameters,
     algorithm: Algorithm,
+    tie: TieBreak = TieBreak.DIAG_UP_LEFT,
     interpret: bool | None = None,
     chunk_pairs: int | None = None,
     read_texts: list[str] | None = None,
     ref_texts: list[str] | None = None,
 ) -> list[Alignment]:
-    """Affine full-batch alignment on the Pallas path (canonical tie order)."""
+    """Affine full-batch alignment on the Pallas path.
+
+    The affine pointer model is defined only in the canonical flavor
+    (DIAG > UP(F) > LEFT(E), extend beats open — ops/gotoh.py); requesting
+    the SSE flavor raises instead of silently ignoring the argument.
+    """
+    _require_canonical_tie(tie)
     if interpret is None:
         interpret = not _is_tpu()
     algorithm = Algorithm(algorithm)

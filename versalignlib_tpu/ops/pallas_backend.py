@@ -4,12 +4,20 @@ Score path: Pallas interpair kernel (pallas_score.py). Align path: Pallas
 pointer-matrix kernel when available, else the XLA scan kernel — both decode
 on host (ops/traceback.py), mirroring the reference split between device DP
 fill and scalar backtrack (SSEKernel.cpp:785-860).
+
+Availability and size limits come from :mod:`versalignlib_tpu.utils.capabilities`
+— the TPU-era analogue of the reference's CPUID gate on the AVX backend
+(/root/reference/src/util/versalignUtil.cpp:78-181, main.cpp:80-83): the
+compiled kernels require a TPU, and dense pairs whose VMEM plan exceeds the
+device are rejected with a pointer to the banded path instead of an opaque
+Mosaic OOM.
 """
 
 from __future__ import annotations
 
-from versalignlib_tpu.ops.pallas_score import PallasScorer, _is_tpu
+from versalignlib_tpu.ops.pallas_score import PallasScorer
 from versalignlib_tpu.types import Algorithm
+from versalignlib_tpu.utils.capabilities import probe
 
 
 class PallasBackend:
@@ -23,17 +31,32 @@ class PallasBackend:
         # "auto" should only pick this backend where it compiles (TPU); the
         # interpreter path still works when selected explicitly (tests), but
         # is orders of magnitude slower than the XLA backend on CPU.
-        return _is_tpu() or not self._scorer.interpret
+        return probe().supports_pallas_compiled or not self._scorer.interpret
+
+    def _check_dense_fits(self, reads, refs, params) -> None:
+        if self._scorer.interpret:
+            return  # interpreter mode has no VMEM plan
+        caps = probe()
+        m, n = reads.shape[1], refs.shape[1]
+        if not caps.dense_fits(m, n, params.affine):
+            raise ValueError(
+                f"dense {m}x{n} pair exceeds the {caps.device_kind} VMEM "
+                f"budget ({caps.vmem_bytes >> 20}MB); use the banded path "
+                "(ops/banded.banded_score_batch / banded_align_batch or "
+                "models.banded_smith_waterman) for long pairs"
+            )
 
     def score_alignments(self, algorithm, reads, refs, params):
+        self._check_dense_fits(reads, refs, params)
         return self._scorer(reads, refs, params, Algorithm(algorithm))
 
     def compute_alignments(self, algorithm, reads, refs, params, tie):
+        self._check_dense_fits(reads, refs, params)
         if params.affine:
             from versalignlib_tpu.ops.pallas_align import pallas_align_affine_batch
 
             return pallas_align_affine_batch(
-                reads, refs, params, Algorithm(algorithm),
+                reads, refs, params, Algorithm(algorithm), tie,
                 interpret=self._scorer.interpret,
             )
         try:

@@ -398,6 +398,9 @@ class XLABackend:
     def compute_alignments(self, algorithm, reads, refs, params, tie):
         algorithm = Algorithm(algorithm)
         if params.affine:
+            from versalignlib_tpu.ops.gotoh import require_canonical_tie
+
+            require_canonical_tie(tie)
             results: list[Alignment] = []
             for lo in range(0, reads.shape[0], self.align_chunk):
                 r = jnp.asarray(reads[lo : lo + self.align_chunk])
@@ -417,13 +420,15 @@ class XLABackend:
             r = jnp.asarray(reads[lo : lo + self.align_chunk])
             f = jnp.asarray(refs[lo : lo + self.align_chunk])
             ptr, start_r, start_f, best = align_batch(r, f, params, algorithm, tie)
+            # align_batch emits exact end-cell scores for BOTH algorithms
+            # (NW via the captured last-valid-row H), so pass them through
+            # uniformly instead of reconstructing NW scores during the walk.
             results.extend(
                 tb.decode_batch(
                     np.asarray(ptr), reads[lo : lo + self.align_chunk],
                     refs[lo : lo + self.align_chunk],
                     np.asarray(start_r), np.asarray(start_f),
-                    params, algorithm,
-                    np.asarray(best) if algorithm == Algorithm.SMITH_WATERMAN else None,
+                    params, algorithm, np.asarray(best),
                 )
             )
         return results

@@ -31,6 +31,20 @@ class DeviceCapabilities:
         # H row (n+1) + F row (n) + in blocks, ~4KB per row entry per block.
         return max(0, self.vmem_bytes // (4 * 1024 * 4))
 
+    def dense_fits(self, m: int, n: int, affine: bool = False) -> bool:
+        """Whether the dense Pallas kernels' VMEM plan fits this device.
+
+        Mirrors the kernels' actual budget (ops/pallas_score.py /
+        ops/pallas_align.py ``vmem_limit_bytes``): rolling H (+F) rows plus
+        double-buffered read/ref blocks, 4KB per row entry per 1024-pair
+        block. Callers route oversize pairs to the banded path
+        (ops/banded.py) instead of hitting an opaque Mosaic OOM.
+        """
+        if self.vmem_bytes == 0:
+            return True  # interpret / CPU: no VMEM constraint
+        rows = (n + 1) + (n if affine else 1) + 2 * (m + n) + 2
+        return rows * 4 * 1024 + (1 << 20) <= self.vmem_bytes
+
 
 @functools.lru_cache(maxsize=1)
 def probe() -> DeviceCapabilities:
@@ -44,7 +58,16 @@ def probe() -> DeviceCapabilities:
     except Exception as exc:
         _log.warning("device probe failed: %s", exc)
         return DeviceCapabilities("none", "none", 0, False, 0)
-    vmem = 16 * 2 ** 20 if platform == "tpu" else 0  # ~16MB VMEM per core
+    if platform == "tpu":
+        # VMEM per core by generation: v5e ("TPU v5 lite"), v5p and v6e carry
+        # 128MB; older generations 16MB. Conservative default for unknowns.
+        kl = kind.lower()
+        if any(t in kl for t in ("v5 lite", "v5e", "v5p", "v6", "v7")):
+            vmem = 128 * 2**20
+        else:
+            vmem = 16 * 2**20
+    else:
+        vmem = 0
     caps = DeviceCapabilities(
         platform=platform,
         device_kind=kind,
