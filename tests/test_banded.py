@@ -67,6 +67,53 @@ def test_wide_band_finds_distant_hit(default_params):
     assert wide[0] == 20
     assert narrow[0] < wide[0]
 
+# ---------------------------------------------------------------------------
+# Banded alignment (traceback) vs the banded align oracle
+# ---------------------------------------------------------------------------
+
+def _align_oracle_batch(reads, refs, p, band, tile, algorithm):
+    from versalignlib_tpu.ops.banded import banded_align_oracle
+
+    m, n = reads.shape[1], refs.shape[1]
+    m_pad = -(-m // tile) * tile
+    offs = band_offsets(m_pad, m, n, min(band, n))
+    return [banded_align_oracle(r, f, p, min(band, n), algorithm, offs)
+            for r, f in zip(reads, refs)]
+
+
+AFFINE_PARAMS = AlignmentParameters(
+    score_match=2, score_mismatch=-1, score_gap_read=-1, score_gap_ref=-1,
+    gap_open_read=-4, gap_open_ref=-4)
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH])
+@pytest.mark.parametrize("affine", [False, True])
+@pytest.mark.parametrize("shape,band,tile", [
+    ((6, 40, 56), 16, 8),
+    ((5, 64, 32), 24, 16),   # n < m: band clamps left
+    ((4, 30, 90), 16, 10),   # steep band steps (d > 1)
+    ((5, 30, 36), 12, 6),
+    ((4, 10, 12), 10, 4),    # m % tile != 0: padded rows must stay unvisited
+])
+def test_banded_align_matches_oracle(rng, default_params, algorithm, affine,
+                                     shape, band, tile):
+    from versalignlib_tpu.ops.banded import banded_align_batch
+
+    p = AFFINE_PARAMS if affine else default_params
+    b, m, n = shape
+    reads = random_codes(rng, b, m, padded=True, n_prob=0.05)
+    refs = random_codes(rng, b, n, padded=True, n_prob=0.05)
+    got = banded_align_batch(reads, refs, p, algorithm, band=band, tile=tile,
+                             interpret=True)
+    want = _align_oracle_batch(reads, refs, p, band, tile, algorithm)
+    for g, w in zip(got, want):
+        assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+        assert (g.read_start, g.read_end, g.ref_start, g.ref_end) == \
+            (w.read_start, w.read_end, w.ref_start, w.ref_end)
+        # Padding rows must never leak into outputs (round-1 defect).
+        assert "\0" not in g.read and "\0" not in g.ref
+        assert g.read_end <= m
+
 
 def test_banded_align_full_band_equals_dense(rng, default_params):
     from versalignlib_tpu.ops.banded import banded_align_batch
@@ -83,18 +130,42 @@ def test_banded_align_full_band_equals_dense(rng, default_params):
         assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
 
 
-def test_banded_align_nw_score_consistency(rng, default_params):
-    from versalignlib_tpu.ops.banded import banded_align_batch, banded_score_batch
+def test_banded_affine_full_band_equals_dense_gotoh(rng):
+    from versalignlib_tpu.ops import gotoh
+    from versalignlib_tpu.ops.banded import banded_align_batch
 
-    reads = random_codes(rng, 5, 30, padded=True)
-    refs = random_codes(rng, 5, 36, padded=True)
+    reads = random_codes(rng, 5, 18)
+    refs = random_codes(rng, 5, 18)
+    got = banded_align_batch(reads, refs, AFFINE_PARAMS,
+                             Algorithm.SMITH_WATERMAN, band=18, tile=6,
+                             interpret=True)
+    want = [gotoh.sw_align_affine(r, f, AFFINE_PARAMS)
+            for r, f in zip(reads, refs)]
+    for g, w in zip(got, want):
+        assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+
+
+def test_banded_align_nw_padded_reads_stay_clean(default_params):
+    # The round-1 ADVICE repro: NW traceback must start on the last VALID
+    # read row, not the padded final row (m=10, tile=4, band=10).
+    from versalignlib_tpu.ops.banded import banded_align_batch
+
+    reads = np.zeros((2, 10), dtype=np.uint8)
+    refs = np.zeros((2, 12), dtype=np.uint8)
+    rng2 = np.random.default_rng(7)
+    reads[0, :5] = rng2.integers(1, 5, 5)   # 5 valid bases + 5 pad
+    refs[0, :8] = rng2.integers(1, 5, 8)
+    reads[1, :] = rng2.integers(1, 5, 10)   # fully valid
+    refs[1, :] = rng2.integers(1, 5, 12)
     alns = banded_align_batch(reads, refs, default_params,
-                              Algorithm.NEEDLEMAN_WUNSCH, band=12, tile=6,
+                              Algorithm.NEEDLEMAN_WUNSCH, band=10, tile=4,
                               interpret=True)
-    scores = banded_score_batch(reads, refs, default_params,
-                                Algorithm.NEEDLEMAN_WUNSCH, band=12, tile=6,
-                                interpret=True)
-    assert [a.score for a in alns] == [int(s) for s in scores]
+    want = _align_oracle_batch(reads, refs, default_params, 10, 4,
+                               Algorithm.NEEDLEMAN_WUNSCH)
+    for a, w, m_valid in zip(alns, want, (5, 10)):
+        assert "\0" not in a.read and "\0" not in a.ref
+        assert a.read_end <= m_valid
+        assert (a.read, a.ref, a.score, a.cigar) == (w.read, w.ref, w.score, w.cigar)
 
 
 def test_banded_align_narrow_band_snp(default_params):
@@ -135,8 +206,8 @@ def test_banded_affine_scores(rng):
 
 
 def test_banded_align_steep_band(rng, default_params):
-    # n >> m: per-row band steps d > 1 exercise the shifted-band traceback.
-    from versalignlib_tpu.ops.banded import banded_align_batch, banded_score_batch
+    # n >> m: per-row band steps d > 1; SW path sum must replay the score.
+    from versalignlib_tpu.ops.banded import banded_align_batch
 
     reads = random_codes(rng, 4, 20)
     refs = random_codes(rng, 4, 70)
@@ -147,7 +218,6 @@ def test_banded_align_steep_band(rng, default_params):
                                 Algorithm.SMITH_WATERMAN, band=16, tile=5,
                                 interpret=True)
     assert [a.score for a in alns] == [int(s) for s in scores]
-    # Walked path must replay the score exactly (banded SW: path sum).
     for a, r, f in zip(alns, reads, refs):
         cost = 0
         for rc, fc in zip(a.read, a.ref):
@@ -158,13 +228,32 @@ def test_banded_align_steep_band(rng, default_params):
         assert cost == a.score, (a, cost)
 
 
-def test_banded_align_rejects_affine(rng):
-    from versalignlib_tpu.ops.banded import banded_align_batch
+def test_banded_python_fallback_matches_native(rng, default_params):
+    # The python walker and the C++ decoder implement the same walk.
+    from versalignlib_tpu.ops import banded as bd
+    from versalignlib_tpu import native
 
-    p = AlignmentParameters(score_match=2, score_mismatch=-1, score_gap_read=-1,
-                            score_gap_ref=-1, gap_open_read=-4, gap_open_ref=-4)
-    reads = random_codes(rng, 2, 10)
-    refs = random_codes(rng, 2, 10)
-    with pytest.raises(NotImplementedError):
-        banded_align_batch(reads, refs, p, Algorithm.SMITH_WATERMAN, band=10,
-                           tile=5, interpret=True)
+    if not native.available():
+        pytest.skip("native library unavailable")
+    reads = random_codes(rng, 4, 24, padded=True)
+    refs = random_codes(rng, 4, 30, padded=True)
+    for p in (default_params, AFFINE_PARAMS):
+        for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+            with_native = bd.banded_align_batch(
+                reads, refs, p, algorithm, band=12, tile=6, interpret=True)
+            # Force the python fallback by monkeypatching the import point.
+            import versalignlib_tpu.native as nat
+            real = nat.decode_banded_native
+            try:
+                def _raise(*a, **k):
+                    raise ImportError("forced fallback")
+                nat.decode_banded_native = _raise
+                pure = bd.banded_align_batch(
+                    reads, refs, p, algorithm, band=12, tile=6, interpret=True)
+            finally:
+                nat.decode_banded_native = real
+            for g, w in zip(with_native, pure):
+                assert (g.read, g.ref, g.score, g.cigar,
+                        g.read_start, g.ref_start) == \
+                    (w.read, w.ref, w.score, w.cigar,
+                     w.read_start, w.ref_start)

@@ -58,12 +58,14 @@ def _load() -> ctypes.CDLL | None:
         ]
         lib.val_decode_banded.restype = ctypes.c_int
         lib.val_decode_banded.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,      # ptr, band, win
+            ctypes.c_void_p, ctypes.c_void_p,                 # offsets, wbase
+            ctypes.c_void_p, ctypes.c_void_p,                 # reads, refs
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # starts, scores
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # b, m_rows, m, n
+            ctypes.c_int,                                     # is_affine
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # out bufs
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int,      # cigar_cap, meta, threads
         ]
         lib.val_decode_batch.restype = ctypes.c_int
         lib.val_decode_batch.argtypes = [
@@ -226,10 +228,11 @@ def parse_fasta_codes(path) -> tuple[np.ndarray, np.ndarray]:
 
 
 def decode_banded_native(
-    words: np.ndarray,      # (b, m_rows, nc) int32 band-relative packed ptrs
-    pack: int,
+    words: np.ndarray,      # (b, m_rows, win//8) int32 window-relative ptrs
     band: int,
+    win: int,
     offsets: np.ndarray,    # (m_rows,) int32 band start per row
+    wbase: np.ndarray,      # (m_rows,) int32 window start per row
     reads: np.ndarray,
     refs: np.ndarray,
     start_read_pos: np.ndarray,
@@ -239,7 +242,7 @@ def decode_banded_native(
     scores: np.ndarray,
     n_threads: int | None = None,
 ):
-    """Banded traceback decode through the C++ library (linear gaps)."""
+    """Banded traceback decode through the C++ library (linear or affine)."""
     from versalignlib_tpu.types import Alignment
 
     lib = _load()
@@ -249,6 +252,7 @@ def decode_banded_native(
 
     words = np.ascontiguousarray(words, dtype=np.int32)
     offsets = np.ascontiguousarray(offsets, dtype=np.int32)
+    wbase = np.ascontiguousarray(wbase, dtype=np.int32)
     reads = np.ascontiguousarray(reads, dtype=np.uint8)
     refs = np.ascontiguousarray(refs, dtype=np.uint8)
     start_r = np.ascontiguousarray(start_read_pos, dtype=np.int32)
@@ -266,12 +270,13 @@ def decode_banded_native(
     if n_threads is None:
         n_threads = min(os.cpu_count() or 1, 8)
     rc = lib.val_decode_banded(
-        words.ctypes.data_as(ct.c_void_p), pack, band,
-        offsets.ctypes.data_as(ct.c_void_p),
+        words.ctypes.data_as(ct.c_void_p), band, win,
+        offsets.ctypes.data_as(ct.c_void_p), wbase.ctypes.data_as(ct.c_void_p),
         reads.ctypes.data_as(ct.c_void_p), refs.ctypes.data_as(ct.c_void_p),
         start_r.ctypes.data_as(ct.c_void_p), start_f.ctypes.data_as(ct.c_void_p),
         scores.ctypes.data_as(ct.c_void_p),
         b, m_rows, m, n,
+        1 if params.affine else 0,
         read_g.ctypes.data_as(ct.c_void_p), ref_g.ctypes.data_as(ct.c_void_p),
         cigar.ctypes.data_as(ct.c_void_p), cigar_cap,
         meta.ctypes.data_as(ct.c_void_p), n_threads,

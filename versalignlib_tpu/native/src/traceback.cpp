@@ -265,53 +265,92 @@ void decode_pair_affine(const Args &A, int k) {
   mt[7] = clen;
 }
 
-void decode_pair_banded(const Args &A, const int32_t *offsets, int band,
-                        int m_rows, int k) {
-  // Band-relative pointer walk (linear gaps, canonical flavor): pointer of
-  // cell (i, j) lives at band index j - offsets[i]; leaving the band ends
-  // the walk (banded paths are confined by construction). NW (overlap)
-  // variant stops at the free row-0 / col-0 boundaries. The pointer matrix
-  // has m_rows >= A.m rows (row padding); read characters are bounded by
-  // the true read length A.m.
+void decode_pair_banded(const Args &A, const int32_t *offsets,
+                        const int32_t *wbase, int band, int win, int m_rows,
+                        int k) {
+  // Window-relative pointer walk (canonical flavor, linear or affine):
+  // pointer of cell (i, j) lives at window index j - wbase[i] (8 codes per
+  // int32 word; 2-bit linear, 4-bit affine hptr|e_ext<<2|f_ext<<3); the
+  // in-band check uses the per-row offsets. Leaving the band or reaching
+  // the free row-0/col-0 boundary ends the walk. Traceback starts are
+  // clamped to valid read rows by the caller (NW last-valid-row rule), so
+  // padding rows are never visited and no NUL characters are emitted.
   const int m = A.m, n = A.n;
   const int aln_cap = m + n;
   char *rg = A.read_gapped + (size_t)k * aln_cap;
   char *fg = A.ref_gapped + (size_t)k * aln_cap;
   const uint8_t *read = A.reads + (size_t)k * m;
   const uint8_t *ref = A.refs + (size_t)k * n;
-  const int nc = (band + A.pack - 1) / A.pack;
+  const int bits = A.is_affine ? 4 : 2;
+  const int mask = A.is_affine ? 15 : 3;
+  const int wc = win / 8;
   const int32_t *words = static_cast<const int32_t *>(A.ptr_data) +
-                         (size_t)k * m_rows * nc;
+                         (size_t)k * m_rows * wc;
 
   int rp = A.start_r[k];
   int fp = A.start_f[k];
   const int start_rp = rp, start_fp = fp;
   int pos = aln_cap;
   int steps = 0;
-  while (steps <= aln_cap && rp >= 0 && fp >= 0 && rp < m_rows) {
+  int state = 0;  // 0=H, 1=F(up), 2=E(left) — affine only
+  while (steps <= aln_cap && rp >= 0 && fp >= 0 && rp < m) {
     int kb = fp - offsets[rp];
     if (kb < 0 || kb >= band) break;
-    int32_t word = words[(size_t)rp * nc + kb / A.pack];
-    int bt = (word >> (2 * (kb % A.pack))) & 3;
-    if (bt == START) break;
-    char rc = rp < m ? kCodeChar[read[rp] <= 5 ? read[rp] : 0] : '\0';
+    int kw = fp - wbase[rp];
+    int32_t word = words[(size_t)rp * wc + kw / 8];
+    int code = (word >> (bits * (kw % 8))) & mask;
+    int hp = code & 3;
+    char rc = kCodeChar[read[rp] <= 5 ? read[rp] : 0];
     char fc = kCodeChar[ref[fp] <= 5 ? ref[fp] : 0];
-    --pos;
-    if (bt == UP) {
+    if (!A.is_affine) {
+      if (hp == START) break;
+      --pos;
+      if (hp == UP) {
+        rg[pos] = rc;
+        fg[pos] = '-';
+        --rp;
+      } else if (hp == LEFT) {
+        rg[pos] = '-';
+        fg[pos] = fc;
+        --fp;
+      } else {
+        rg[pos] = rc;
+        fg[pos] = fc;
+        --rp;
+        --fp;
+      }
+      ++steps;
+      continue;
+    }
+    if (state == 0) {
+      if (hp == START) break;
+      if (hp == DIAG) {
+        --pos;
+        rg[pos] = rc;
+        fg[pos] = fc;
+        --rp;
+        --fp;
+        ++steps;
+      } else if (hp == UP) {
+        state = 1;
+      } else {
+        state = 2;
+      }
+    } else if (state == 1) {
+      --pos;
       rg[pos] = rc;
       fg[pos] = '-';
       --rp;
-    } else if (bt == LEFT) {
+      if (!((code >> 3) & 1)) state = 0;
+      ++steps;
+    } else {
+      --pos;
       rg[pos] = '-';
       fg[pos] = fc;
       --fp;
-    } else {
-      rg[pos] = rc;
-      fg[pos] = fc;
-      --rp;
-      --fp;
+      if (!((code >> 2) & 1)) state = 0;
+      ++steps;
     }
-    ++steps;
   }
 
   const int aln_len = aln_cap - pos;
@@ -349,16 +388,18 @@ void decode_pair_banded(const Args &A, const int32_t *offsets, int band,
 }  // namespace
 
 extern "C" int val_decode_banded(
-    const void *ptr_data, int pack, int band, const int32_t *offsets,
-    const uint8_t *reads, const uint8_t *refs, const int32_t *start_r,
-    const int32_t *start_f, const int32_t *scores_in, int b, int m_rows,
-    int m, int n, char *read_gapped, char *ref_gapped, char *cigar_out,
-    int cigar_cap, int32_t *meta, int n_threads) {
-  Args A{ptr_data, 1, pack, reads, refs, nullptr, nullptr, start_r, start_f,
-         scores_in, b, m, n, 0, 0, 0, 0, 0, 0, read_gapped, ref_gapped,
-         cigar_out, cigar_cap, meta};
+    const void *ptr_data, int band, int win, const int32_t *offsets,
+    const int32_t *wbase, const uint8_t *reads, const uint8_t *refs,
+    const int32_t *start_r, const int32_t *start_f, const int32_t *scores_in,
+    int b, int m_rows, int m, int n, int is_affine, char *read_gapped,
+    char *ref_gapped, char *cigar_out, int cigar_cap, int32_t *meta,
+    int n_threads) {
+  Args A{ptr_data, 1, 8, reads, refs, nullptr, nullptr, start_r, start_f,
+         scores_in, b, m, n, 0, 0, 0, 0, 0, is_affine, read_gapped,
+         ref_gapped, cigar_out, cigar_cap, meta};
   if (n_threads <= 1 || b < 64) {
-    for (int kk = 0; kk < b; ++kk) decode_pair_banded(A, offsets, band, m_rows, kk);
+    for (int kk = 0; kk < b; ++kk)
+      decode_pair_banded(A, offsets, wbase, band, win, m_rows, kk);
     return 0;
   }
   std::atomic<int> next{0};
@@ -369,7 +410,8 @@ extern "C" int val_decode_banded(
         int kk = next.fetch_add(16);
         if (kk >= A.b) return;
         int end = kk + 16 < A.b ? kk + 16 : A.b;
-        for (; kk < end; ++kk) decode_pair_banded(A, offsets, band, m_rows, kk);
+        for (; kk < end; ++kk)
+          decode_pair_banded(A, offsets, wbase, band, win, m_rows, kk);
       }
     });
   }

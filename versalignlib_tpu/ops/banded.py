@@ -123,6 +123,203 @@ def banded_score_oracle(read, ref, p: AlignmentParameters, band: int,
     return final
 
 
+def last_valid_pos(codes: np.ndarray) -> int:
+    """Canonical-flavor max_*_pos for one sequence: index before the first
+    invalid (0) code, else len-1 (DefaultKernel.cpp:308,348 semantics)."""
+    codes = np.asarray(codes)
+    inv = np.flatnonzero(codes == 0)
+    return int(inv[0]) - 1 if inv.size else codes.size - 1
+
+
+def banded_align_oracle(read, ref, p: AlignmentParameters, band: int,
+                        algorithm: Algorithm,
+                        offsets: np.ndarray | None = None,
+                        read_text: str | None = None,
+                        ref_text: str | None = None):
+    """Reference banded ALIGNMENT: full-matrix DP with -inf outside the band,
+    canonical pointer flavor, explicit end-cell rules. This is the semantics
+    definition the Pallas banded traceback kernel is tested against
+    (greenfield — the reference has no banding; its only long-pair strategy
+    is spilling the pointer matrix to global memory,
+    /root/reference/src/Kernels/OpenCL/opencl_c/alignment_kernels.cl:10-12).
+
+    Boundaries are the banded-score oracle's (row 0 / col 0 free). Pointer
+    model: linear DIAG > UP > LEFT with SW zero-force; affine 4-bit
+    ``hptr | e_ext<<2 | f_ext<<3`` with extend-beats-open ties (ops/gotoh.py).
+
+    End cells:
+      - SW: first in-band cell (row-major) attaining the global clamped max;
+        (0, 0) when the max is 0 (the reference's argmax-initial cell).
+      - NW (overlap): row = last valid read row ``mrp`` (code != 0 flavor);
+        column = leftmost argmax over that row's band cells at valid ref
+        positions (<= max_ref_pos) — the banded analogue of the dense
+        ``(max_read_pos, min(max_ref_pos, globalRowMaxIndex))`` rule
+        (DefaultKernel.cpp:285-388) that keeps tracebacks off padding
+        rows/columns. Empty intersection (or mrp < 0) -> empty alignment.
+
+    The walk stops at START pointers, at the free row-0/col-0 boundaries,
+    and when stepping outside the band.
+    """
+    read = np.asarray(read, dtype=np.int32)
+    ref = np.asarray(ref, dtype=np.int32)
+    m, n = read.size, ref.size
+    local = Algorithm(algorithm) == Algorithm.SMITH_WATERMAN
+    if offsets is None:
+        offsets = band_offsets(m, m, n, band)
+    band = min(band, n)
+    affine = p.affine
+    NEG = np.int64(NEG_INF_I32)
+    D, U, L, S = 3, 1, 2, 0  # Trace.DIAG/UP/LEFT/START
+
+    h = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+    h[0, :] = 0
+    h[:, 0] = 0
+    f = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+    ptr = np.zeros((m + 1, n + 1), dtype=np.uint8)
+    for i in range(1, m + 1):
+        o = int(offsets[i - 1])
+        lo, hi = o + 1, min(o + band, n)
+        sub_row = substitution_scores(
+            read[i - 1], ref[lo - 1 : hi], p.score_match, p.score_mismatch
+        ).astype(np.int64)
+        e = NEG
+        for j in range(lo, hi + 1):
+            diag_v = h[i - 1, j - 1] + sub_row[j - lo]
+            if affine:
+                f_prev = f[i - 1, j]
+                f_v = max(h[i - 1, j] + p.gap_open_ref + p.score_gap_ref,
+                          f_prev + p.score_gap_ref, NEG)
+                e_prev = e
+                e = max(h[i, j - 1] + p.gap_open_read + p.score_gap_read,
+                        e_prev + p.score_gap_read, NEG)
+                cur = max(diag_v, f_v, e)
+            else:
+                up_v = h[i - 1, j] + p.score_gap_ref
+                left_v = h[i, j - 1] + p.score_gap_read
+                cur = max(diag_v, up_v, left_v)
+            cur = max(cur, NEG)
+            if local:
+                cur = max(cur, 0)
+            if affine:
+                hp = D if cur == diag_v else (U if cur == f_v else
+                                              (L if cur == e else S))
+                if local and cur == 0:
+                    hp = S
+                e_ext = 1 if e == e_prev + p.score_gap_read else 0
+                f_ext = 1 if f_v == f_prev + p.score_gap_ref else 0
+                ptr[i, j] = hp | (e_ext << 2) | (f_ext << 3)
+                f[i, j] = f_v
+            else:
+                hp = D if cur == diag_v else (U if cur == up_v else
+                                              (L if cur == left_v else S))
+                if local and cur == 0:
+                    hp = S
+                ptr[i, j] = hp
+            h[i, j] = cur
+
+    # In-band mask over inner cells (for end-cell picks and walk bounds).
+    jj = np.arange(1, n + 1)[None, :]
+    oo = np.asarray(offsets[:m], dtype=np.int64)[:, None]
+    in_band = (jj >= oo + 1) & (jj <= np.minimum(oo + band, n))
+
+    if local:
+        inner = np.where(in_band, h[1:, 1:], -1)
+        best = int(inner.max(initial=0))
+        if best <= 0:
+            start_r, start_f, score = 0, 0, 0
+        else:
+            flat = int(np.argmax(inner))
+            start_r, start_f = divmod(flat, n)
+            score = best
+    else:
+        mrp = last_valid_pos(read)
+        max_ref_pos = last_valid_pos(ref)
+        if mrp < 0:
+            start_r = start_f = -1
+            score = 0
+        else:
+            o = int(offsets[mrp])
+            hi = min(o + band, n, max_ref_pos + 1)
+            if hi <= o:
+                start_r = start_f = -1
+                score = 0
+            else:
+                vals = h[mrp + 1, o + 1 : hi + 1]
+                arg = int(np.argmax(vals))
+                start_r, start_f = mrp, o + arg
+                score = int(vals[arg])
+
+    return _banded_oracle_walk(ptr, in_band, read, ref, start_r, start_f,
+                               score, affine, read_text, ref_text)
+
+
+def _banded_oracle_walk(ptr, in_band, read, ref, start_r, start_f, score,
+                        affine, read_text=None, ref_text=None):
+    """Shared walker over the oracle's dense banded pointer matrix."""
+    from versalignlib_tpu.ops.traceback import _text_from_codes
+    from versalignlib_tpu.types import Alignment, Trace, cigar_from_gapped
+
+    m, n = read.shape[0], ref.shape[0]
+    if read_text is None:
+        read_text = _text_from_codes(read)
+    if ref_text is None:
+        ref_text = _text_from_codes(ref)
+    rp, fp = int(start_r), int(start_f)
+    rg, fg = [], []
+    state = 0  # 0=H, 1=F(up), 2=E(left) — affine only
+    steps = 0
+    while steps <= m + n and rp >= 0 and fp >= 0:
+        if not in_band[rp, fp]:
+            break
+        code = int(ptr[rp + 1, fp + 1])
+        hp = code & 3
+        if not affine:
+            if hp == Trace.START:
+                break
+            if hp == Trace.UP:
+                rg.append(read_text[rp]); fg.append("-"); rp -= 1
+            elif hp == Trace.LEFT:
+                rg.append("-"); fg.append(ref_text[fp]); fp -= 1
+            else:
+                rg.append(read_text[rp]); fg.append(ref_text[fp])
+                rp -= 1; fp -= 1
+            steps += 1
+            continue
+        if state == 0:
+            if hp == Trace.START:
+                break
+            if hp == Trace.DIAG:
+                rg.append(read_text[rp]); fg.append(ref_text[fp])
+                rp -= 1; fp -= 1
+                steps += 1
+            elif hp == Trace.UP:
+                state = 1
+            else:
+                state = 2
+        elif state == 1:
+            rg.append(read_text[rp]); fg.append("-")
+            rp -= 1
+            if not ((code >> 3) & 1):
+                state = 0
+            steps += 1
+        else:
+            rg.append("-"); fg.append(ref_text[fp])
+            fp -= 1
+            if not ((code >> 2) & 1):
+                state = 0
+            steps += 1
+    read_g = "".join(reversed(rg))
+    ref_g = "".join(reversed(fg))
+    aln_length = m + n
+    return Alignment(
+        read=read_g, ref=ref_g, score=int(score),
+        cigar=cigar_from_gapped(read_g, ref_g),
+        read_start=rp + 1, read_end=int(start_r) + 1,
+        ref_start=fp + 1, ref_end=int(start_f) + 1,
+        buffer_start=aln_length - 1 - len(rg), buffer_end=aln_length - 1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pallas banded tile kernel
 # ---------------------------------------------------------------------------
@@ -432,198 +629,326 @@ def banded_score_batch(
 # Banded traceback (additive; score path above stays pointer-free)
 # ---------------------------------------------------------------------------
 #
-# Semantics (greenfield — the reference has no banding): the banded SW
-# alignment starts at the global argmax within the band and walks until a
-# START pointer; the banded NW (overlap) alignment starts at the best of
-# {last-column cells inside the band, final-row band cells} and walks until
-# it leaves the matrix through row 0 or column 0 (free leading gaps). The
-# pointer model is the linear DIAG > UP > LEFT order with SW zero-force —
-# the canonical flavor. Pointers pack 2-bit x pack per int32, band-relative.
+# Semantics (greenfield — the reference has no banding) are DEFINED by
+# ``banded_align_oracle`` above: canonical pointer flavor, free row-0/col-0
+# boundaries, SW row-major argmax end, NW last-valid-row end rule. The
+# kernel is the window-relative + R-row register-wavefront scheme proven in
+# the score kernel, extended with pointer emission: every inner-loop address
+# is affine in the loop index (data-dependent addressing stalls Mosaic's
+# pipeline, ~30us/row measured on the per-row-shift design this replaces).
+#
+# Pointers are packed 8 per int32 word at WINDOW-relative positions (2-bit
+# linear codes, 4-bit affine hptr|e_ext<<2|f_ext<<3), streamed to HBM one
+# row tile per grid step through Pallas's double-buffered output pipeline —
+# the TPU analogue of the reference OpenCL kernels spilling the pointer
+# matrix to __global memory (alignment_kernels.cl:10-12). The ref window for
+# each tile is DMA'd from HBM at the tile's (data-dependent) window start —
+# a scalar-prefetch-driven async copy, the one place dynamic addressing is
+# allowed because it runs once per tile.
 
-def _banded_tb_kernel(offs_ref, o_prev_ref, win_start_ref, row_base_ref,
-                      reads_ref, ref_win_ref, band_in_ref, best_in_ref,
-                      band_out_ref, best_out_ref, ptr_ref, *, tile, band,
-                      d_max, n, pack, params: AlignmentParameters,
-                      local: bool):
-    """Tile kernel emitting band-relative packed pointers.
+def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
+                         ptr_ref, best_out_ref, keep_out_ref,
+                         state_ref, fstate_ref, refwin_ref, bounce_ref,
+                         best_s, keep_s, sem, *, tile, band, win, shift_cap,
+                         n, n_tiles, params: AlignmentParameters, local: bool):
+    """One (pair_block, row_tile) grid step emitting packed pointers.
 
-    best_in/out: (4, 8, 128) int32 —
-      SW: [best, bi_abs, bj_abs, unused]; NW: [lc_best, lc_i, unused, unused].
-    ptr_ref: (tile, band//pack, 8, 128) int32 out.
+    Scalar prefetch: offs (m_pad,) per-row band starts; ws (n_tiles,) window
+    starts (= offs[t*tile]). Grid (G, n_tiles), t innermost; VMEM scratch
+    (window state, Gotoh F state, SW best registers, NW captured row)
+    persists across the t dimension and resets at t == 0.
+
+    Outputs: ptr (1, tile, win//8, 8, 128) int32 packed pointer rows;
+    best (1, 4, 8, 128) [SW: score, end_row, end_col]; keep (1, win, 8, 128)
+    [NW: the H row of each pair's last valid read row, window-relative to
+    the tile containing it] — both written at the final tile.
     """
+    affine = params.affine
     match = jnp.int32(params.score_match)
     mismatch = jnp.int32(params.score_mismatch)
     gap_read = jnp.int32(params.score_gap_read)
     gap_ref = jnp.int32(params.score_gap_ref)
-    neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+    open_r = jnp.int32(params.gap_open_read)
+    open_f = jnp.int32(params.gap_open_ref)
     zero = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
-    n_chunks = band // pack
-    d_code, u_code, l_code, s_code = (jnp.int32(3), jnp.int32(1),
-                                      jnp.int32(2), jnp.int32(0))
+    neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+    bits = 4 if affine else 2
+    pack = 8
+    n_chunks = win // pack
+    g = pl.program_id(0)
+    t = pl.program_id(1)
+    win_start = ws_ref[t]
 
-    band_out_ref[...] = band_in_ref[...]
-    best_out_ref[...] = best_in_ref[...]
+    # Ref window for this tile: HBM -> VMEM at the dynamic window start.
+    cp = pltpu.make_async_copy(
+        refs_hbm.at[g, pl.ds(win_start, win)], refwin_ref, sem)
+    cp.start()
 
-    def row_body(i, _):
-        o_cur = offs_ref[i]
-        o_pr = jax.lax.cond(i == 0, lambda: o_prev_ref[0], lambda: offs_ref[i - 1])
-        d = o_cur - o_pr
-        base = o_cur - win_start_ref[0]
-        row_abs = row_base_ref[0] + i
-        read_col = reads_ref[i]
-        read_valid = (read_col >= 1) & (read_col <= 4)
+    @pl.when(t == 0)
+    def _():
+        # Row-0 boundary: H[0][j] = 0 everywhere (free leading gaps).
+        state_ref[pl.ds(0, win)] = jnp.zeros(
+            (win, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+        if shift_cap > 0:
+            state_ref[pl.ds(win, shift_cap)] = jnp.full(
+                (shift_cap, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+        best_s[...] = jnp.zeros((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+        if not local:
+            keep_s[...] = jnp.full(
+                (win, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+        if affine:
+            fstate_ref[...] = jnp.full(
+                (win + shift_cap, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32,
+                jnp.int32)
 
-        at_left_edge = o_cur == 0
-        h_left0 = jnp.where(at_left_edge, zero, neg_inf)
-        diag_from_band = band_out_ref[jnp.maximum(d - 1, 0)]
-        h_diag0 = jnp.where(d >= 1, diag_from_band,
-                            jnp.where(at_left_edge, zero, neg_inf))
+    # Re-base the carried state to this tile's window (same scheme as the
+    # score kernel): capture the first row's diagonal boundary — the value
+    # at DP column win_start of the previous row — before it shifts away.
+    prev_ws = ws_ref[jnp.maximum(t - 1, 0)]
+    shift = win_start - prev_ws
+    pre_diag = jnp.where(
+        shift >= 1, state_ref[jnp.maximum(shift - 1, 0)],
+        jnp.where(win_start == 0, zero, neg_inf))
+
+    @pl.when((t > 0) & (shift > 0))
+    def _():
+        bounce_ref[...] = state_ref[pl.ds(shift, win)]
+        state_ref[pl.ds(0, win)] = bounce_ref[...]
+        state_ref[pl.ds(win, shift_cap)] = jnp.full(
+            (shift_cap, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+        if affine:
+            bounce_ref[...] = fstate_ref[pl.ds(shift, win)]
+            fstate_ref[pl.ds(0, win)] = bounce_ref[...]
+            fstate_ref[pl.ds(win, shift_cap)] = jnp.full(
+                (shift_cap, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+
+    cp.wait()
+
+    at_col0 = win_start == 0
+    h_bound = jnp.where(at_col0, zero, neg_inf)
+    R = 4 if tile % 4 == 0 else (2 if tile % 2 == 0 else 1)
+    d_code, u_code, l_code = jnp.int32(3), jnp.int32(1), jnp.int32(2)
+    mrp_vec = mrp_ref[0]
+
+    def group_body(ig, carry):
+        best, bi, bj = carry
+        i0 = ig * R
+        rcs = [reads_ref[0, i0 + r] for r in range(R)]
+        rvs = [(rc >= 1) & (rc <= 4) for rc in rcs]
+        lows = [offs_ref[t * tile + i0 + r] - win_start for r in range(R)]
+        row_abs = [t * tile + i0 + r for r in range(R)]
+        diag0s = [jnp.where((ig == 0) & (r == 0), pre_diag, h_bound)
+                  for r in range(R)]
+        if local:
+            ris = [zero + row_abs[r] for r in range(R)]
+        else:
+            mrows = [mrp_vec == row_abs[r] for r in range(R)]
 
         def chunk_body(c, carry):
-            h_left, h_diag, best, bi, bj = carry
+            lefts, diags, evals, best, bi, bj = carry
             k0 = c * pack
-            old = band_out_ref[pl.ds(k0 + d, pack)]
-            ref_chunk = ref_win_ref[pl.ds(base + k0, pack)]
-            new_vals = []
-            word = zero
+            old = state_ref[pl.ds(k0, pack)]
+            ref_chunk = refwin_ref[pl.ds(k0, pack)]
+            w_vec = jax.lax.broadcasted_iota(
+                jnp.int32, (pack, BLOCK_SUBLANES, BLOCK_LANES), 0) + k0
+            masks = [(w_vec >= lows[r]) & (w_vec < lows[r] + band)
+                     for r in range(R)]
+            if affine:
+                f_old = fstate_ref[pl.ds(k0, pack)]
+                f_store = []
+            if not local:
+                keep_old = keep_s[pl.ds(k0, pack)]
+                keep_new = []
+            store_vals = []
+            words = [zero] * R
             for u in range(pack):
                 up = old[u]
                 ref_col = ref_chunk[u]
-                valid = read_valid & (ref_col >= 1) & (ref_col <= 4)
-                sub = jnp.where(
-                    valid, jnp.where(read_col == ref_col, match, mismatch), 0
-                )
-                diag_v = h_diag + sub
-                up_v = up + gap_ref
-                left_v = h_left + gap_read
-                cur = jnp.maximum(jnp.maximum(diag_v, up_v), left_v)
-                cur = jnp.maximum(cur, neg_inf)
-                if local:
-                    cur = jnp.maximum(cur, 0)
-                ptr = jnp.where(cur == diag_v, d_code,
-                                jnp.where(cur == up_v, u_code,
-                                          jnp.where(cur == left_v, l_code, s_code)))
-                if local:
-                    ptr = jnp.where(cur == 0, s_code, ptr)
-                    gt = cur > best
-                    best = jnp.where(gt, cur, best)
-                    bi = jnp.where(gt, row_abs, bi)
-                    bj = jnp.where(gt, o_cur + k0 + u, bj)
-                word = word | (ptr << (2 * u))
-                new_vals.append(cur)
-                h_left = cur
-                h_diag = up
-            band_out_ref[pl.ds(k0, pack)] = jnp.stack(new_vals)
-            ptr_ref[i, c] = word
-            return h_left, h_diag, best, bi, bj
+                f_up = f_old[u] if affine else None
+                keep_u = keep_old[u] if not local else None
+                new_lefts, new_diags, new_evals = [], [], []
+                for r in range(R):
+                    valid = rvs[r] & (ref_col >= 1) & (ref_col <= 4)
+                    sub = jnp.where(
+                        valid, jnp.where(rcs[r] == ref_col, match, mismatch), 0)
+                    diag_v = diags[r] + sub
+                    if affine:
+                        f_raw = f_up + gap_ref
+                        f_val = jnp.maximum(
+                            jnp.maximum(up + open_f + gap_ref, f_raw), neg_inf)
+                        e_raw = evals[r] + gap_read
+                        e_val = jnp.maximum(
+                            jnp.maximum(lefts[r] + open_r + gap_read, e_raw),
+                            neg_inf)
+                        cur = jnp.maximum(jnp.maximum(diag_v, f_val), e_val)
+                    else:
+                        up_v = up + gap_ref
+                        left_v = lefts[r] + gap_read
+                        cur = jnp.maximum(jnp.maximum(diag_v, up_v), left_v)
+                    cur = jnp.maximum(cur, neg_inf)
+                    if local:
+                        cur = jnp.maximum(cur, 0)
+                    # Canonical pointer: DIAG > UP > LEFT; SW zero-force.
+                    if affine:
+                        code = jnp.where(
+                            cur == diag_v, d_code,
+                            jnp.where(cur == f_val, u_code,
+                                      jnp.where(cur == e_val, l_code, 0)))
+                        if local:
+                            code = jnp.where(cur == 0, 0, code)
+                        code = code | ((e_val == e_raw).astype(jnp.int32) << 2)
+                        code = code | ((f_val == f_raw).astype(jnp.int32) << 3)
+                    else:
+                        code = jnp.where(
+                            cur == diag_v, d_code,
+                            jnp.where(cur == up_v, u_code,
+                                      jnp.where(cur == left_v, l_code, 0)))
+                        if local:
+                            code = jnp.where(cur == 0, 0, code)
+                    in_band = masks[r][u]
+                    cur = jnp.where(in_band, cur, neg_inf)
+                    code = jnp.where(in_band, code, 0)
+                    words[r] = words[r] | (code << (bits * u))
+                    if affine:
+                        f_up = jnp.where(in_band, f_val, neg_inf)
+                        new_evals.append(e_val)
+                    if local:
+                        # First-in-row-major-order global argmax: replace on
+                        # strictly greater, or equal at a lexicographically
+                        # earlier (row, col) — exact regardless of the
+                        # column-major visit order within the group.
+                        cj = w_vec[u] + win_start
+                        upd = (cur > best) | (
+                            (cur == best) & (
+                                (ris[r] < bi) | ((ris[r] == bi) & (cj < bj))))
+                        best = jnp.where(upd, cur, best)
+                        bi = jnp.where(upd, ris[r], bi)
+                        bj = jnp.where(upd, cj, bj)
+                    else:
+                        keep_u = jnp.where(mrows[r], cur, keep_u)
+                    new_diags.append(up)
+                    new_lefts.append(cur)
+                    up = cur
+                lefts, diags = new_lefts, new_diags
+                if affine:
+                    evals = new_evals
+                    f_store.append(f_up)     # row R-1's F value
+                store_vals.append(up)        # row R-1's H value
+                if not local:
+                    keep_new.append(keep_u)
+            state_ref[pl.ds(k0, pack)] = jnp.stack(store_vals)
+            if affine:
+                fstate_ref[pl.ds(k0, pack)] = jnp.stack(f_store)
+            if not local:
+                keep_s[pl.ds(k0, pack)] = jnp.stack(keep_new)
+            for r in range(R):
+                ptr_ref[0, i0 + r, c] = words[r]
+            return lefts, diags, evals, best, bi, bj
 
-        init = (h_left0, h_diag0, best_out_ref[0], best_out_ref[1], best_out_ref[2])
-        _, _, best, bi, bj = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-        if local:
-            best_out_ref[0] = best
-            best_out_ref[1] = bi
-            best_out_ref[2] = bj
-        else:
-            k_last = n - 1 - o_cur
-            @pl.when((k_last >= 0) & (k_last < band))
-            def _():
-                lc = band_out_ref[k_last]
-                gt = lc > best_out_ref[0]
-                best_out_ref[1] = jnp.where(gt, row_abs, best_out_ref[1])
-                best_out_ref[0] = jnp.maximum(best_out_ref[0], lc)
-        return 0
+        init = ([h_bound] * R, diag0s, [neg_inf] * R, best, bi, bj)
+        _, _, _, best, bi, bj = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        return best, bi, bj
 
-    jax.lax.fori_loop(0, tile, row_body, 0)
+    init = (best_s[0], best_s[1], best_s[2])
+    best, bi, bj = jax.lax.fori_loop(0, tile // R, group_body, init)
+    if local:
+        best_s[0] = best
+        best_s[1] = bi
+        best_s[2] = bj
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        best_out_ref[0] = best_s[...]
+        if not local:
+            keep_out_ref[0] = keep_s[...]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("params", "algorithm", "band", "tile", "d_max", "interpret"),
 )
-def _banded_align_blocks(reads_b, refs_b, offsets, params, algorithm,
-                         band: int, tile: int, d_max: int,
+def _banded_align_blocks(reads_b, refs_b, offsets, win_starts, mrp_b, params,
+                         algorithm, band: int, tile: int, d_max: int,
                          interpret: bool = False):
-    """Banded fill emitting pointers.
+    """Banded pointer fill. reads_b (G, m_pad, 8, 128); refs_b (G, n, 8, 128);
+    offsets (m_pad,); win_starts (n_tiles,); mrp_b (G, 8, 128).
 
-    Returns (ptr (G, m_pad, band//pack, 8, 128), best (G, 4, 8, 128),
-    final_band (G, band+d_max, 8, 128)).
+    Returns (ptr (G, m_pad, win//8, 8, 128) packed words,
+             best (G, 4, 8, 128) SW end registers,
+             keep (G, win, 8, 128) NW captured last-valid rows).
     """
-    g, m_pad = reads_b.shape[0], reads_b.shape[1]
+    g_blocks, m_pad = reads_b.shape[0], reads_b.shape[1]
     n = refs_b.shape[1]
     local = Algorithm(algorithm) == Algorithm.SMITH_WATERMAN
-    pack = 8 if band % 8 == 0 else (4 if band % 4 == 0 else (2 if band % 2 == 0 else 1))
-    win = band + tile * d_max
+    affine = params.affine
+    shift_cap = tile * d_max
+    win = -(-(band + shift_cap) // 8) * 8
+    wc = win // 8
     n_tiles = m_pad // tile
     refs_pad = jnp.pad(refs_b, ((0, 0), (0, win), (0, 0), (0, 0)))
-    win_starts = offsets[::tile]
+    keep_rows = win if not local else 1
 
     kernel = functools.partial(
-        _banded_tb_kernel, tile=tile, band=band, d_max=d_max, n=n, pack=pack,
-        params=params, local=local,
+        _banded_align_kernel, tile=tile, band=band, win=win,
+        shift_cap=shift_cap, n=n, n_tiles=n_tiles, params=params, local=local,
     )
+    state_rows = win + shift_cap
+    vmem_bytes = 4 * BLOCK_PAIRS * (
+        2 * tile            # reads blocks (double-buffered)
+        + 2 * tile * wc     # ptr out blocks (double-buffered)
+        + 2 * (4 + keep_rows + 1)             # best/keep out + mrp in
+        + state_rows * (2 if affine else 1)   # state (+ fstate) scratch
+        + 2 * win           # refwin + bounce scratch
+        + keep_rows + 4     # keep_s + best_s scratch
+    ) + 4 * 1024 * 1024
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(),
+            num_scalar_prefetch=2,
+            grid=(g_blocks, n_tiles),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # reads tile
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # ref window
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # band in
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # best in
+                pl.BlockSpec((1, tile, BLOCK_SUBLANES, BLOCK_LANES),
+                             lambda g, t, offs, ws: (g, t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BLOCK_SUBLANES, BLOCK_LANES),
+                             lambda g, t, offs, ws: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # refs stay in HBM
             ],
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile, wc, BLOCK_SUBLANES, BLOCK_LANES),
+                             lambda g, t, offs, ws: (g, t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4, BLOCK_SUBLANES, BLOCK_LANES),
+                             lambda g, t, offs, ws: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, keep_rows, BLOCK_SUBLANES, BLOCK_LANES),
+                             lambda g, t, offs, ws: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
             ),
+            scratch_shapes=[
+                pltpu.VMEM((state_rows, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                pltpu.VMEM((state_rows if affine else 1,
+                            BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                pltpu.VMEM((win, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                pltpu.VMEM((win, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                pltpu.VMEM((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                pltpu.VMEM((keep_rows, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((band + d_max, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-            jax.ShapeDtypeStruct((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-            jax.ShapeDtypeStruct((tile, band // pack, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (g_blocks, m_pad, wc, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (g_blocks, 4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (g_blocks, keep_rows, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
         ),
-        input_output_aliases={6: 0, 7: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         interpret=interpret,
     )
-
-    def run_block(rb, fb):
-        band_init = jnp.concatenate([
-            jnp.zeros((band, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-            jnp.full((d_max, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32),
-        ])
-        best_init = jnp.stack([
-            jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32) if local
-            else jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32),
-            jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-            jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-            jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-        ])
-
-        def tile_step(carry, t):
-            band_state, best_state = carry
-            reads_tile = jax.lax.dynamic_slice(
-                rb, (t * tile, 0, 0), (tile, BLOCK_SUBLANES, BLOCK_LANES))
-            ws = win_starts[t]
-            ref_win = jax.lax.dynamic_slice(
-                fb, (ws, 0, 0), (win, BLOCK_SUBLANES, BLOCK_LANES))
-            offs_tile = jax.lax.dynamic_slice(offsets, (t * tile,), (tile,))
-            o_prev = jnp.where(
-                t == 0, offs_tile[:1],
-                jax.lax.dynamic_slice(offsets, (jnp.maximum(t * tile - 1, 0),), (1,)))
-            band_state, best_state, ptr_tile = call(
-                offs_tile, o_prev, ws[None], (t * tile)[None], reads_tile,
-                ref_win, band_state, best_state,
-            )
-            return (band_state, best_state), ptr_tile
-
-        (band_state, best_state), ptrs = jax.lax.scan(
-            tile_step, (band_init, best_init), jnp.arange(n_tiles))
-        ptr_full = ptrs.reshape(m_pad, band // pack,
-                                BLOCK_SUBLANES, BLOCK_LANES)
-        return ptr_full, best_state, band_state
-
-    return jax.lax.map(lambda args: run_block(*args), (reads_b, refs_pad))
+    return call(offsets, win_starts, reads_b, mrp_b, refs_pad)
 
 
 def banded_align_batch(
@@ -632,31 +957,40 @@ def banded_align_batch(
     params: AlignmentParameters,
     algorithm: Algorithm,
     band: int = 512,
-    tile: int = 256,
+    tile: int = 64,
     interpret: bool | None = None,
 ):
-    """Banded full alignment (pointers + host decode). Memory: the pointer
-    stream is 2 bits x band per row per pair; batch accordingly for long
-    reads (e.g. 16kbp x 512 band = 2MB/pair)."""
-    from versalignlib_tpu.types import Alignment, Trace, cigar_from_gapped
+    """Banded full alignment: Pallas pointer fill + host band walk.
 
-    if params.affine:
-        raise NotImplementedError(
-            "banded traceback is linear-gap only (affine banded is "
-            "score-only; see TODO.md)"
-        )
+    Semantics: ``banded_align_oracle`` (canonical flavor; linear AND affine
+    gap models). Memory: the pointer stream is ``bits x win`` per row per
+    pair (2-bit linear / 4-bit affine, win = band + tile*d rounded to 8) —
+    batch pairs accordingly for long reads (e.g. 16kbp x 576-win linear =
+    2.3MB/pair).
+    """
+    from versalignlib_tpu.types import TieBreak
+
     if interpret is None:
         interpret = not _is_tpu()
     algorithm = Algorithm(algorithm)
     local = algorithm == Algorithm.SMITH_WATERMAN
     b, m = reads.shape
     n = refs.shape[1]
+    if b == 0:
+        return []
+    if m == 0 or n == 0:
+        from versalignlib_tpu.ops import traceback as tb
+
+        return [
+            tb.decode_one(np.zeros((1, 1), np.uint8), np.asarray(reads)[i],
+                          np.asarray(refs)[i], -1, -1, params, algorithm, 0)
+            for i in range(b)
+        ]
     band = min(band, n)
     tile = min(tile, max(8, m))
     m_pad = -(-m // tile) * tile
     g = max(1, -(-b // BLOCK_PAIRS))
     b_pad = g * BLOCK_PAIRS
-    pack = 8 if band % 8 == 0 else (4 if band % 4 == 0 else (2 if band % 2 == 0 else 1))
 
     def pack_arr(x, length, pad_len):
         x = jnp.asarray(np.asarray(x)).astype(jnp.int32)
@@ -664,93 +998,133 @@ def banded_align_batch(
         x = x.reshape(g, BLOCK_SUBLANES, BLOCK_LANES, pad_len)
         return jnp.transpose(x, (0, 3, 1, 2))
 
+    reads_np = np.asarray(reads)
+    refs_np = np.asarray(refs)
     offsets_np = band_offsets(m_pad, m, n, band)
     d_max = max(int(np.diff(offsets_np).max(initial=1)), 1) if m_pad > 1 else 1
-    ptr, best, final_band = _banded_align_blocks(
-        pack_arr(reads, m, m_pad), pack_arr(refs, n, n),
-        jnp.asarray(offsets_np), params, algorithm, band, tile, d_max,
-        interpret,
+    win_starts_np = offsets_np[::tile].copy()
+    win = -(-(band + tile * d_max) // 8) * 8
+
+    # Canonical-flavor validity (code != 0) for the NW end-cell rule.
+    from versalignlib_tpu.ops.pallas_align import _last_valid_pos, _pack_vec
+    mrp = _last_valid_pos(reads_np, TieBreak.DIAG_UP_LEFT)
+    max_ref_pos = _last_valid_pos(refs_np, TieBreak.DIAG_UP_LEFT)
+
+    ptr, best, keep = _banded_align_blocks(
+        pack_arr(reads_np, m, m_pad), pack_arr(refs_np, n, n),
+        jnp.asarray(offsets_np), jnp.asarray(win_starts_np),
+        _pack_vec(mrp, g), params, algorithm, band, tile, d_max, interpret,
     )
-    # (G, m_pad, nc, 8, 128) -> (B, m_pad, nc) etc.
+    wc = win // 8
+    # (G, m_pad, wc, 8, 128) -> (B, m_pad, wc) etc.
     ptr = np.asarray(ptr).transpose(0, 3, 4, 1, 2).reshape(
-        b_pad, m_pad, band // pack)[:b]
+        b_pad, m_pad, wc)[:b]
     best = np.asarray(best).transpose(0, 2, 3, 1).reshape(b_pad, 4)[:b]
-    final_band = np.asarray(final_band).transpose(0, 2, 3, 1).reshape(
-        b_pad, band + d_max)[:b]
+    keep = np.asarray(keep).transpose(0, 2, 3, 1).reshape(b_pad, -1)[:b]
+    wbase_np = np.repeat(win_starts_np, tile)[:m_pad].astype(np.int32)
 
     starts_r = np.zeros(b, dtype=np.int32)
     starts_f = np.zeros(b, dtype=np.int32)
     scores = np.zeros(b, dtype=np.int32)
-    for k in range(b):
-        if local:
-            score, bi, bj = int(best[k, 0]), int(best[k, 1]), int(best[k, 2])
-        else:
-            # Overlap end: best of tracked last-column cells vs final row.
-            lc_best, lc_i = int(best[k, 0]), int(best[k, 1])
-            fr = final_band[k, :band]
-            fr_k = int(np.argmax(fr))
-            fr_best = int(fr[fr_k])
-            # Final (padded) row index m_pad-1, absolute column from offsets.
-            if fr_best >= lc_best:
-                score, bi, bj = fr_best, m_pad - 1, int(offsets_np[m_pad - 1]) + fr_k
-            else:
-                score, bi, bj = lc_best, lc_i, n - 1
-            score = max(score, 0)
-        starts_r[k], starts_f[k], scores[k] = bi, bj, score
+    if local:
+        scores[:] = best[:, 0]
+        starts_r[:] = best[:, 1]
+        starts_f[:] = best[:, 2]
+    else:
+        for k in range(b):
+            rp = int(mrp[k])
+            if rp < 0:
+                starts_r[k] = starts_f[k] = -1
+                continue
+            o = int(offsets_np[rp])
+            hi = min(o + band, n, int(max_ref_pos[k]) + 1)
+            if hi <= o:
+                starts_r[k] = starts_f[k] = -1
+                continue
+            wb = int(wbase_np[rp])
+            vals = keep[k, o - wb : o - wb + (hi - o)]
+            arg = int(np.argmax(vals))
+            starts_r[k] = rp
+            starts_f[k] = o + arg
+            scores[k] = int(vals[arg])
 
     try:
         from versalignlib_tpu.native import decode_banded_native
 
         return decode_banded_native(
-            ptr, pack, band, offsets_np, np.asarray(reads), np.asarray(refs),
+            ptr, band, win, offsets_np, wbase_np, reads_np, refs_np,
             starts_r, starts_f, params, algorithm, scores,
         )
     except ImportError:
         return [
             _banded_decode_one(
-                ptr[k], reads[k], refs[k], offsets_np, pack, band,
-                int(starts_r[k]), int(starts_f[k]), int(scores[k]), params,
-                local)
+                ptr[k], reads_np[k], refs_np[k], offsets_np, wbase_np, band,
+                int(starts_r[k]), int(starts_f[k]), int(scores[k]), params)
             for k in range(b)
         ]
 
 
-
-def _banded_decode_one(ptr_words, read, ref, offsets, pack, band,
-                       start_i, start_j, score, params, local):
-    """Host walk over band-relative packed pointers."""
+def _banded_decode_one(ptr_words, read, ref, offsets, wbase, band,
+                       start_i, start_j, score, params):
+    """Host walk over window-relative packed pointer words (python fallback;
+    the native decoder implements the same walk in C++). Linear codes are
+    2-bit, affine 4-bit (hptr | e_ext<<2 | f_ext<<3), 8 per int32 word."""
     from versalignlib_tpu.ops.traceback import _text_from_codes
     from versalignlib_tpu.types import Alignment, Trace, cigar_from_gapped
 
+    affine = params.affine
+    bits = 4 if affine else 2
     m, n = read.shape[0], ref.shape[0]
+    m_rows = ptr_words.shape[0]
     read_text = _text_from_codes(read)
     ref_text = _text_from_codes(ref)
     rp, fp = start_i, start_j
     rg, fg = [], []
+    state = 0  # 0=H, 1=F(up), 2=E(left)
     steps = 0
-    max_steps = ptr_words.shape[0] + n + 2
-    while rp >= 0 and fp >= 0 and steps <= max_steps:
-        k = fp - int(offsets[rp])
-        if k < 0 or k >= band:
-            break  # walked off the band: treat as boundary
-        word = int(ptr_words[rp, k // pack])
-        bt = (word >> (2 * (k % pack))) & 3
-        if bt == Trace.START:
-            break
-        if bt == Trace.UP:
-            rg.append(read_text[rp] if rp < m else "\0")
-            fg.append("-")
+    while steps <= m + n and 0 <= rp < m_rows and fp >= 0:
+        kb = fp - int(offsets[rp])
+        if kb < 0 or kb >= band:
+            break  # walked off the band: boundary
+        kw = fp - int(wbase[rp])
+        word = int(ptr_words[rp, kw // 8])
+        code = (word >> (bits * (kw % 8))) & ((1 << bits) - 1)
+        hp = code & 3
+        if not affine:
+            if hp == Trace.START:
+                break
+            if hp == Trace.UP:
+                rg.append(read_text[rp]); fg.append("-"); rp -= 1
+            elif hp == Trace.LEFT:
+                rg.append("-"); fg.append(ref_text[fp]); fp -= 1
+            else:
+                rg.append(read_text[rp]); fg.append(ref_text[fp])
+                rp -= 1; fp -= 1
+            steps += 1
+            continue
+        if state == 0:
+            if hp == Trace.START:
+                break
+            if hp == Trace.DIAG:
+                rg.append(read_text[rp]); fg.append(ref_text[fp])
+                rp -= 1; fp -= 1
+                steps += 1
+            elif hp == Trace.UP:
+                state = 1
+            else:
+                state = 2
+        elif state == 1:
+            rg.append(read_text[rp]); fg.append("-")
             rp -= 1
-        elif bt == Trace.LEFT:
-            rg.append("-")
-            fg.append(ref_text[fp])
-            fp -= 1
+            if not ((code >> 3) & 1):
+                state = 0
+            steps += 1
         else:
-            rg.append(read_text[rp] if rp < m else "\0")
-            fg.append(ref_text[fp])
-            rp -= 1
+            rg.append("-"); fg.append(ref_text[fp])
             fp -= 1
-        steps += 1
+            if not ((code >> 2) & 1):
+                state = 0
+            steps += 1
     read_g = "".join(reversed(rg))
     ref_g = "".join(reversed(fg))
     aln_length = m + n
@@ -759,5 +1133,5 @@ def _banded_decode_one(ptr_words, read, ref, offsets, pack, band,
         cigar=cigar_from_gapped(read_g, ref_g),
         read_start=rp + 1, read_end=start_i + 1,
         ref_start=fp + 1, ref_end=start_j + 1,
-        buffer_start=aln_length - 1 - steps, buffer_end=aln_length - 1,
+        buffer_start=aln_length - 1 - len(rg), buffer_end=aln_length - 1,
     )
