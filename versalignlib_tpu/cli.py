@@ -119,7 +119,10 @@ def main(argv=None) -> int:
 
     outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
-    engine = AlignmentEngine(params=params, backend=args.backend)
+    try:
+        engine = AlignmentEngine(params=params, backend=args.backend)
+    except KeyError as exc:
+        ap.error(str(exc.args[0] if exc.args else exc))
     _log.info("using backend %s over %d pairs", engine.backend.name, len(reads))
 
     for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
