@@ -54,142 +54,160 @@ def _pick_pack(n: int) -> int:
     return 1
 
 
-def _align_kernel(*refs_args, m, n, pack,
+#: rows advanced together per align grid step (register wavefront)
+ALIGN_WAVE_ROWS = 4
+
+
+def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
                   params: AlignmentParameters, local: bool, tie: TieBreak):
-    """One (pair_block, row) grid step.
+    """One (pair_block, row_group) grid step — R-row register wavefront.
+
+    R read rows advance down each column together (row r consuming row r-1's
+    just-computed value from a register, as in the score kernel), so the VMEM
+    H row is read/written once per R cells; the NW last-valid-row capture is
+    fused into the column chunks (the per-row O(n) capture pass of the
+    previous design doubled VMEM traffic).
 
     Inputs per block:
-      reads_ref: (1, 1, 8, 128)   — this row's read codes
-      refs_ref:  (1, n, 8, 128)   — ref codes (constant across rows)
+      reads_ref: (1, R, 8, 128)   — this group's read codes
+      refs_ref:  (1, n, 8, 128)   — ref codes (constant across groups)
       mrp_ref:   (1, 8, 128)      — per-pair max_read_pos (NW row capture)
     Outputs:
-      ptr_ref:   (1, 1, n//pack, 8, 128) int32 — packed pointer row
-      aux_ref:   (1, 1, 3, 8, 128) int32 — per-row [best_i, best_j, best_score]
-                 (SW: running global best; NW: this row's strict argmax)
+      ptr_ref:   (1, R, n//pack, 8, 128) int32 — packed pointer rows
+      aux_ref:   (1, R, 2, 8, 128) int32 — per-row [row_max, row_argmax]
+                 (leftmost strict argmax; NW seeds with the column-0 value at
+                 index 0, DefaultKernel.cpp:317-318; the SW global best is
+                 reduced on host from the row journal — row-major first-win)
       hsel_ref:  (1, n+1, 8, 128) int32 — H row of each pair's last valid
-                 read row (NW; zeros for SW)
-    Scratch: h_ref (n+1, 8, 128); best_ref (4, 8, 128); hkeep_ref (n+1, 8, 128).
-    SW omits hsel/hkeep entirely (saves ~4MB VMEM incl. double buffering).
+                 read row (NW only)
+    Scratch: h_ref (n+1, 8, 128); hkeep_ref (n+1, 8, 128) (NW only).
     """
     if local:
-        (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref,
-         h_ref, best_ref) = refs_args
+        (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref, h_ref) = refs_args
         hsel_ref = hkeep_ref = None
     else:
         (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref, hsel_ref,
-         h_ref, best_ref, hkeep_ref) = refs_args
-    i = pl.program_id(1)
+         h_ref, hkeep_ref) = refs_args
+    ip = pl.program_id(1)
+    i0 = ip * R
     match = jnp.int32(params.score_match)
     mismatch = jnp.int32(params.score_mismatch)
     gap_read = jnp.int32(params.score_gap_read)
     gap_ref = jnp.int32(params.score_gap_ref)
-    n_chunks = n // pack
+    n_words = n // pack
+    halves = max(1, pack // unroll)  # sub-chunks per packed word
     zeros = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
 
-    @pl.when(i == 0)
+    @pl.when(ip == 0)
     def _():
         h_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
-        best_ref[...] = jnp.zeros((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
         if not local:
             hkeep_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
 
-    read_col = reads_ref[0, 0]
-    read_valid = (read_col >= 1) & (read_col <= 4)
-
+    rcs = [reads_ref[0, r] for r in range(R)]
+    rvs = [(rc >= 1) & (rc <= 4) for rc in rcs]
     if local:
-        col0 = zeros
-        h_diag0 = zeros
+        col0s = [zeros] * (R + 1)
     else:
-        # Column 0: H[i+1][0] = (i+1)*gap_ref; the previous row's col 0 was
-        # i*gap_ref (row 0 boundary is the zero init). DefaultKernel.cpp:305.
-        col0 = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), i + 1, jnp.int32) * gap_ref
-        h_diag0 = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), i, jnp.int32) * gap_ref
-    h_ref[0] = col0
-
-    if local:
-        best0, bi0, bj0 = best_ref[0], best_ref[1], best_ref[2]
-    else:
-        # NW row scan: rowMax seeded with the column-0 value, index 0.
-        best0, bi0, bj0 = col0, zeros, zeros
+        # Column 0: H[i+1][0] = (i+1)*gap_ref (DefaultKernel.cpp:305);
+        # col0s[r] = H[i0+r][0], r=0 being the previous group's last row
+        # (i0*gap_ref — 0 for the first group, the row-0 boundary).
+        col0s = [jnp.full((BLOCK_SUBLANES, BLOCK_LANES), i0 + r, jnp.int32) * gap_ref
+                 for r in range(R + 1)]
+    if not local:
+        mrows = [mrp_ref[0] == (i0 + r) for r in range(R)]
+        # Column 0 of the captured row (host may index hsel at start_ref=-1).
+        hk0 = hkeep_ref[0]
+        for r in range(R):
+            hk0 = jnp.where(mrows[r], col0s[r + 1], hk0)
+        hkeep_ref[0] = hk0
 
     d_code = jnp.int32(Trace.DIAG)
     u_code = jnp.int32(Trace.UP)
     l_code = jnp.int32(Trace.LEFT)
     s_code = jnp.int32(Trace.START)
 
-    def chunk_body(c, carry):
-        h_left, h_diag, best, bi, bj = carry
-        j0 = c * pack
-        old = h_ref[pl.ds(j0 + 1, pack)]
-        ref_chunk = refs_ref[0, pl.ds(j0, pack)]
-        new_vals = []
-        word = zeros
-        for u in range(pack):
-            up = old[u]
-            ref_col = ref_chunk[u]
-            valid = read_valid & (ref_col >= 1) & (ref_col <= 4)
-            sub = jnp.where(
-                valid, jnp.where(read_col == ref_col, match, mismatch), 0
-            )
-            diag_v = h_diag + sub
-            up_v = up + gap_ref
-            left_v = h_left + gap_read
-            cur = jnp.maximum(jnp.maximum(diag_v, up_v), left_v)
-            if local:
-                cur = jnp.maximum(cur, 0)
+    def word_body(c, carry):
+        # One packed pointer word per iteration: `halves` statically-unrolled
+        # sub-chunks of `unroll` columns, one unconditional word store per
+        # row at the end (a predicated in-loop flush measured 20x slower).
+        lefts, diags, bests, bargs = carry
+        words = [zeros] * R
+        for half in range(halves):
+            j0v = c * pack + half * unroll
+            old = h_ref[pl.ds(j0v + 1, unroll)]
+            ref_chunk = refs_ref[0, pl.ds(j0v, unroll)]
+            if not local:
+                keep_old = hkeep_ref[pl.ds(j0v + 1, unroll)]
+                keep_new = []
+            store_vals = []
+            for u in range(unroll):
+                up = old[u]
+                ref_col = ref_chunk[u]
+                keep_u = keep_old[u] if not local else None
+                new_lefts, new_diags = [], []
+                for r in range(R):
+                    valid = rvs[r] & (ref_col >= 1) & (ref_col <= 4)
+                    sub = jnp.where(
+                        valid, jnp.where(rcs[r] == ref_col, match, mismatch), 0
+                    )
+                    diag_v = diags[r] + sub
+                    up_v = up + gap_ref
+                    left_v = lefts[r] + gap_read
+                    cur = jnp.maximum(jnp.maximum(diag_v, up_v), left_v)
+                    if local:
+                        cur = jnp.maximum(cur, 0)
 
-            if tie == TieBreak.DIAG_UP_LEFT:
-                ptr = jnp.where(
-                    cur == diag_v, d_code,
-                    jnp.where(cur == up_v, u_code,
-                              jnp.where(cur == left_v, l_code, s_code)),
-                )
-                if local:
-                    ptr = jnp.where(cur == 0, s_code, ptr)
-            else:  # SSE flavor: DIAG gated on validity, DIAG > LEFT > UP
-                ptr = jnp.where(
-                    (cur == diag_v) & valid, d_code,
-                    jnp.where(cur == left_v, l_code,
-                              jnp.where(cur == up_v, u_code, s_code)),
-                )
-            word = word | (ptr << (2 * u))
+                    if tie == TieBreak.DIAG_UP_LEFT:
+                        ptr = jnp.where(
+                            cur == diag_v, d_code,
+                            jnp.where(cur == up_v, u_code,
+                                      jnp.where(cur == left_v, l_code, s_code)),
+                        )
+                        if local:
+                            ptr = jnp.where(cur == 0, s_code, ptr)
+                    else:  # SSE flavor: DIAG gated on validity, DIAG > LEFT > UP
+                        ptr = jnp.where(
+                            (cur == diag_v) & valid, d_code,
+                            jnp.where(cur == left_v, l_code,
+                                      jnp.where(cur == up_v, u_code, s_code)),
+                        )
+                    words[r] = words[r] | (ptr << (2 * (half * unroll + u)))
 
-            # Strict-improvement best tracking (SW global / NW per-row).
-            gt = cur > best
-            best = jnp.where(gt, cur, best)
-            if local:
-                bi = jnp.where(gt, i, bi)
-            bj = jnp.where(gt, j0 + u, bj)
+                    # Per-row leftmost strict argmax journal.
+                    gt = cur > bests[r]
+                    bests[r] = jnp.where(gt, cur, bests[r])
+                    bargs[r] = jnp.where(gt, j0v + u, bargs[r])
 
-            new_vals.append(cur)
-            h_left = cur
-            h_diag = up
-        h_ref[pl.ds(j0 + 1, pack)] = jnp.stack(new_vals)
-        ptr_ref[0, 0, c] = word
-        return h_left, h_diag, best, bi, bj
+                    if not local:
+                        keep_u = jnp.where(mrows[r], cur, keep_u)
+                    new_diags.append(up)
+                    new_lefts.append(cur)
+                    up = cur
+                lefts, diags = new_lefts, new_diags
+                store_vals.append(up)            # row R-1's H value
+                if not local:
+                    keep_new.append(keep_u)
+            h_ref[pl.ds(j0v + 1, unroll)] = jnp.stack(store_vals)
+            if not local:
+                hkeep_ref[pl.ds(j0v + 1, unroll)] = jnp.stack(keep_new)
+        for r in range(R):
+            ptr_ref[0, r, c] = words[r]
+        return lefts, diags, bests, bargs
 
-    init = (col0, h_diag0, best0, bi0, bj0)
-    _, _, best, bi, bj = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-
-    if local:
-        best_ref[0] = best
-        best_ref[1] = bi
-        best_ref[2] = bj
-        aux_ref[0, 0, 0] = bi
-        aux_ref[0, 0, 1] = bj
-        aux_ref[0, 0, 2] = best
-    else:
-        aux_ref[0, 0, 0] = zeros
-        aux_ref[0, 0, 1] = bj
-        aux_ref[0, 0, 2] = best
-        # Capture this H row for pairs whose last valid read row is i, so the
-        # end-cell score is exact in every flavor.
-        mask = mrp_ref[0] == i  # (8, 128) bool
-        def keep_body(j, _):
-            hkeep_ref[j] = jnp.where(mask, h_ref[j], hkeep_ref[j])
-            return 0
-        jax.lax.fori_loop(0, n + 1, keep_body, 0)
-        @pl.when(i == m - 1)
+    init = (
+        [col0s[r + 1] for r in range(R)],          # lefts: H[i0+r][0]
+        [col0s[r] for r in range(R)],              # diags: H[i0+r-1][0]
+        [zeros if local else col0s[r + 1] for r in range(R)],  # row-max seed
+        [zeros] * R,                               # row-arg seed (index 0)
+    )
+    lefts, diags, bests, bargs = jax.lax.fori_loop(
+        0, n_words, word_body, init)
+    for r in range(R):
+        aux_ref[0, r, 0] = bests[r]
+        aux_ref[0, r, 1] = bargs[r]
+    if not local:
+        @pl.when(ip == (m_pad // R) - 1)
         def _():
             hsel_ref[0] = hkeep_ref[...]
 
@@ -197,32 +215,38 @@ def _align_kernel(*refs_args, m, n, pack,
 @functools.partial(jax.jit, static_argnames=("params", "algorithm", "tie", "interpret"))
 def _align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
                   tie: TieBreak, interpret: bool = False):
-    """reads_b: (G, m, 8, 128); refs_b: (G, n, 8, 128); mrp_b: (G, 8, 128).
+    """reads_b: (G, m_pad, 8, 128) with m_pad % R == 0 (padding rows are
+    all-invalid and cannot disturb the journals: SW values can only replay
+    diagonally, NW rows beyond mrp are ignored); refs_b: (G, n, 8, 128);
+    mrp_b: (G, 8, 128).
 
-    Returns (ptr_packed (G, m, nc, 8, 128), aux (G, m, 3, 8, 128),
+    Returns (ptr_packed (G, m_pad, nc, 8, 128), aux (G, m_pad, 2, 8, 128),
              hsel (G, n+1, 8, 128)).
     """
-    g, m = reads_b.shape[0], reads_b.shape[1]
+    g, m_pad = reads_b.shape[0], reads_b.shape[1]
     n = refs_b.shape[1]
     local = algorithm == Algorithm.SMITH_WATERMAN
     pack = _pick_pack(n)
+    unroll = min(pack, 8)
+    R = ALIGN_WAVE_ROWS
+    assert m_pad % R == 0
     kernel = functools.partial(
-        _align_kernel, m=m, n=n, pack=pack, params=params, local=local, tie=tie
+        _align_kernel, m_pad=m_pad, n=n, pack=pack, unroll=unroll, R=R,
+        params=params, local=local, tie=tie
     )
     nc = n // pack
     out_specs = [
-        pl.BlockSpec((1, 1, nc, BLOCK_SUBLANES, BLOCK_LANES),
+        pl.BlockSpec((1, R, nc, BLOCK_SUBLANES, BLOCK_LANES),
                      lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 3, BLOCK_SUBLANES, BLOCK_LANES),
+        pl.BlockSpec((1, R, 2, BLOCK_SUBLANES, BLOCK_LANES),
                      lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((g, m, nc, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((g, m, 3, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((g, m_pad, nc, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((g, m_pad, 2, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
     ]
     scratch_shapes = [
         pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-        pltpu.VMEM((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
     ]
     if not local:
         out_specs.append(
@@ -234,16 +258,16 @@ def _align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
             pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
     # Account for Pallas double-buffering of every in/out block.
     vmem_bytes = 4 * BLOCK_PAIRS * 2 * (
-        1 + n + 1          # reads row, refs block, mrp
-        + nc + 3           # ptr row, aux row
+        R + n + 1          # reads group, refs block, mrp
+        + R * (nc + 2)     # ptr rows, aux rows
         + (0 if local else (n + 1))  # hsel
-    ) + 4 * BLOCK_PAIRS * ((n + 1) + 4 + (0 if local else (n + 1))) \
-        + 1024 * 1024
+    ) + 4 * BLOCK_PAIRS * ((n + 1) + (0 if local else (n + 1))) \
+        + 2 * 1024 * 1024
     out = pl.pallas_call(
         kernel,
-        grid=(g, m),
+        grid=(g, m_pad // R),
         in_specs=[
-            pl.BlockSpec((1, 1, BLOCK_SUBLANES, BLOCK_LANES),
+            pl.BlockSpec((1, R, BLOCK_SUBLANES, BLOCK_LANES),
                          lambda gg, ii: (gg, ii, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, BLOCK_SUBLANES, BLOCK_LANES),
                          lambda gg, ii: (gg, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -352,13 +376,16 @@ def pallas_align_batch(
         chunk_pairs = min(16, blocks) * BLOCK_PAIRS
     results: list[Alignment] = []
 
+    m_pad = -(-m // ALIGN_WAVE_ROWS) * ALIGN_WAVE_ROWS
+
     def _dispatch(lo):
         r_np = np.asarray(reads[lo : lo + chunk_pairs])
         f_np = np.asarray(refs[lo : lo + chunk_pairs])
         g = max(1, -(-r_np.shape[0] // BLOCK_PAIRS))
         mrp = _last_valid_pos(r_np, tie)
+        r_rows = np.pad(r_np, ((0, 0), (0, m_pad - m)))
         dev = _align_blocks(
-            _pack_blocks(r_np, g, m), _pack_blocks(f_np, g, n),
+            _pack_blocks(r_rows, g, m_pad), _pack_blocks(f_np, g, n),
             _pack_vec(mrp, g), params, algorithm, tie, interpret,
         )
         return lo, r_np, f_np, mrp, g, dev
@@ -389,12 +416,21 @@ def _decode_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
     m = r_np.shape[1]
     nb = r_np.shape[0]
     results: list[Alignment] = []
-    ptr = _unpack_pairs(ptr, g)[:nb]        # (nb, m, nc)
-    aux = _unpack_pairs(aux, g)[:nb]        # (nb, m, 3)
+    ptr = _unpack_pairs(ptr, g)[:nb, :m]    # (nb, m, nc)
+    aux = _unpack_pairs(aux, g)[:nb, :m]    # (nb, m, 2) row journals
     if local:
-        start_r = aux[:, m - 1, 0]
-        start_f = aux[:, m - 1, 1]
-        scores = aux[:, m - 1, 2]
+        # Reference SW argmax = first cell (row-major) attaining the global
+        # max, strict > scan seeded at 0/(0,0) (DefaultKernel.cpp:252-256):
+        # first row whose journaled row_max equals the global max, at that
+        # row's leftmost argmax.
+        row_max = aux[:, :, 0]              # (nb, m)
+        gmax = row_max.max(axis=1, initial=0)
+        bi = np.argmax(row_max == gmax[:, None], axis=1).astype(np.int32)
+        bj = aux[np.arange(nb), bi, 1].astype(np.int32)
+        zero_best = gmax <= 0
+        start_r = np.where(zero_best, 0, bi)
+        start_f = np.where(zero_best, 0, bj)
+        scores = np.maximum(gmax, 0).astype(np.int32)
     else:
         hsel = _unpack_pairs(hsel, g)[:nb]  # (nb, n+1)
         row_args = aux[:, :, 1]             # (nb, m)
@@ -447,134 +483,152 @@ def _pick_pack_affine(n: int) -> int:
 from versalignlib_tpu.ops.gotoh import require_canonical_tie as _require_canonical_tie  # noqa: E402
 
 
-def _affine_align_kernel(*refs_args, m, n, pack, params: AlignmentParameters,
-                         local: bool):
+def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
+                         params: AlignmentParameters, local: bool):
     """Affine pointer-row fill; 4-bit codes hptr(2b)|e_ext<<2|f_ext<<3.
 
-    Same grid/scratch layout as the linear kernel plus a persisted Gotoh F
-    row; E is a register carry within each row (see ops/pallas_score.py).
+    Same R-row register wavefront as the linear kernel plus a persisted
+    Gotoh F row (F flows row-to-row through the wave registers, the scratch
+    holds the group's last row); E is a register carry within each row.
     Tie order DIAG > UP(F) > LEFT(E); extend beats open on gap ties.
+    aux journals per-row [row_max, row_argmax] like the linear kernel.
     """
     from versalignlib_tpu.ops.pallas_score import NEG_INF_I32
 
     if local:
         (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref,
-         h_ref, best_ref, f_ref) = refs_args
+         h_ref, f_ref) = refs_args
         hsel_ref = hkeep_ref = None
     else:
         (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref, hsel_ref,
-         h_ref, best_ref, f_ref, hkeep_ref) = refs_args
-    i = pl.program_id(1)
+         h_ref, f_ref, hkeep_ref) = refs_args
+    ip = pl.program_id(1)
+    i0 = ip * R
     match = jnp.int32(params.score_match)
     mismatch = jnp.int32(params.score_mismatch)
     ext_r = jnp.int32(params.score_gap_read)
     ext_f = jnp.int32(params.score_gap_ref)
     open_r = jnp.int32(params.gap_open_read)
     open_f = jnp.int32(params.gap_open_ref)
-    n_chunks = n // pack
+    n_words = n // pack
     zeros = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
     neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
 
-    @pl.when(i == 0)
+    @pl.when(ip == 0)
     def _():
         h_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
-        best_ref[...] = jnp.zeros((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
         f_ref[...] = jnp.full((n, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
         if not local:
             hkeep_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
 
-    read_col = reads_ref[0, 0]
-    read_valid = (read_col >= 1) & (read_col <= 4)
-
+    rcs = [reads_ref[0, r] for r in range(R)]
+    rvs = [(rc >= 1) & (rc <= 4) for rc in rcs]
     if local:
-        col0 = zeros
-        h_diag0 = zeros
+        col0s = [zeros] * (R + 1)
     else:
-        # gotoh boundary: H[i+1][0] = open_f + (i+1)*ext_f; H[0][0] = 0.
-        col0 = open_f + jnp.full((BLOCK_SUBLANES, BLOCK_LANES), i + 1, jnp.int32) * ext_f
-        prev_col0 = open_f + jnp.full((BLOCK_SUBLANES, BLOCK_LANES), i, jnp.int32) * ext_f
-        h_diag0 = jnp.where(i == 0, zeros, prev_col0)
-    h_ref[0] = col0
-
-    if local:
-        best0, bi0, bj0 = best_ref[0], best_ref[1], best_ref[2]
-    else:
-        best0, bi0, bj0 = col0, zeros, zeros
+        # Gotoh boundary: H[k][0] = open_f + k*ext_f (k >= 1), H[0][0] = 0.
+        col0s = [
+            jnp.where(i0 + r == 0, zeros,
+                      open_f + jnp.full((BLOCK_SUBLANES, BLOCK_LANES),
+                                        i0 + r, jnp.int32) * ext_f)
+            for r in range(R + 1)
+        ]
+    if not local:
+        mrows = [mrp_ref[0] == (i0 + r) for r in range(R)]
+        hk0 = hkeep_ref[0]
+        for r in range(R):
+            hk0 = jnp.where(mrows[r], col0s[r + 1], hk0)
+        hkeep_ref[0] = hk0
 
     d_code = jnp.int32(Trace.DIAG)
     u_code = jnp.int32(Trace.UP)
     l_code = jnp.int32(Trace.LEFT)
     s_code = jnp.int32(Trace.START)
 
-    def chunk_body(c, carry):
-        h_left, h_diag, e_val, best, bi, bj = carry
+    def word_body(c, carry):
+        lefts, diags, evals, bests, bargs = carry
         j0 = c * pack
         old = h_ref[pl.ds(j0 + 1, pack)]
         ref_chunk = refs_ref[0, pl.ds(j0, pack)]
         f_old = f_ref[pl.ds(j0, pack)]
-        new_vals = []
-        new_f = []
-        word = zeros
+        if not local:
+            keep_old = hkeep_ref[pl.ds(j0 + 1, pack)]
+            keep_new = []
+        store_vals = []
+        f_store = []
+        words = [zeros] * R
         for u in range(pack):
             up = old[u]
             ref_col = ref_chunk[u]
-            valid = read_valid & (ref_col >= 1) & (ref_col <= 4)
-            sub = jnp.where(
-                valid, jnp.where(read_col == ref_col, match, mismatch), 0
-            )
-            f_val = jnp.maximum(up + open_f + ext_f, f_old[u] + ext_f)
-            e_new = jnp.maximum(h_left + open_r + ext_r, e_val + ext_r)
-            diag_v = h_diag + sub
-            cur = jnp.maximum(jnp.maximum(diag_v, f_val), e_new)
-            if local:
-                cur = jnp.maximum(cur, 0)
+            f_up = f_old[u]
+            keep_u = keep_old[u] if not local else None
+            new_lefts, new_diags, new_evals = [], [], []
+            for r in range(R):
+                valid = rvs[r] & (ref_col >= 1) & (ref_col <= 4)
+                sub = jnp.where(
+                    valid, jnp.where(rcs[r] == ref_col, match, mismatch), 0
+                )
+                f_raw = f_up + ext_f
+                f_val = jnp.maximum(up + open_f + ext_f, f_raw)
+                e_raw = evals[r] + ext_r
+                e_new = jnp.maximum(lefts[r] + open_r + ext_r, e_raw)
+                diag_v = diags[r] + sub
+                cur = jnp.maximum(jnp.maximum(diag_v, f_val), e_new)
+                if local:
+                    cur = jnp.maximum(cur, 0)
 
-            hp = jnp.where(cur == diag_v, d_code,
-                           jnp.where(cur == f_val, u_code,
-                                     jnp.where(cur == e_new, l_code, s_code)))
-            if local:
-                hp = jnp.where(cur == 0, s_code, hp)
-            e_ext_bit = (e_new == e_val + ext_r).astype(jnp.int32)
-            f_ext_bit = (f_val == f_old[u] + ext_f).astype(jnp.int32)
-            code = hp | (e_ext_bit << 2) | (f_ext_bit << 3)
-            word = word | (code << (4 * u))
+                hp = jnp.where(cur == diag_v, d_code,
+                               jnp.where(cur == f_val, u_code,
+                                         jnp.where(cur == e_new, l_code, s_code)))
+                if local:
+                    hp = jnp.where(cur == 0, s_code, hp)
+                code = hp | ((e_new == e_raw).astype(jnp.int32) << 2) \
+                    | ((f_val == f_raw).astype(jnp.int32) << 3)
+                words[r] = words[r] | (code << (4 * u))
 
-            gt = cur > best
-            best = jnp.where(gt, cur, best)
-            if local:
-                bi = jnp.where(gt, i, bi)
-            bj = jnp.where(gt, j0 + u, bj)
+                gt = cur > bests[r]
+                bests[r] = jnp.where(gt, cur, bests[r])
+                bargs[r] = jnp.where(gt, j0 + u, bargs[r])
 
-            new_vals.append(cur)
-            new_f.append(f_val)
-            h_left = cur
-            h_diag = up
-            e_val = e_new
-        h_ref[pl.ds(j0 + 1, pack)] = jnp.stack(new_vals)
-        f_ref[pl.ds(j0, pack)] = jnp.stack(new_f)
-        ptr_ref[0, 0, c] = word
-        return h_left, h_diag, e_val, best, bi, bj
+                if not local:
+                    keep_u = jnp.where(mrows[r], cur, keep_u)
+                new_diags.append(up)
+                new_lefts.append(cur)
+                new_evals.append(e_new)
+                up = cur
+                f_up = f_val
+            lefts, diags, evals = new_lefts, new_diags, new_evals
+            store_vals.append(up)        # row R-1's H value
+            f_store.append(f_up)         # row R-1's F value
+            if not local:
+                keep_new.append(keep_u)
+        h_ref[pl.ds(j0 + 1, pack)] = jnp.stack(store_vals)
+        f_ref[pl.ds(j0, pack)] = jnp.stack(f_store)
+        if not local:
+            hkeep_ref[pl.ds(j0 + 1, pack)] = jnp.stack(keep_new)
+        for r in range(R):
+            ptr_ref[0, r, c] = words[r]
+        return lefts, diags, evals, bests, bargs
 
-    init = (col0, h_diag0, neg_inf, best0, bi0, bj0)
-    _, _, _, best, bi, bj = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
-
-    if local:
-        best_ref[0] = best
-        best_ref[1] = bi
-        best_ref[2] = bj
-        aux_ref[0, 0, 0] = bi
-        aux_ref[0, 0, 1] = bj
-        aux_ref[0, 0, 2] = best
-    else:
-        aux_ref[0, 0, 0] = zeros
-        aux_ref[0, 0, 1] = bj
-        aux_ref[0, 0, 2] = best
-        mask = mrp_ref[0] == i
-        def keep_body(j, _):
-            hkeep_ref[j] = jnp.where(mask, h_ref[j], hkeep_ref[j])
-            return 0
-        jax.lax.fori_loop(0, n + 1, keep_body, 0)
-        @pl.when(i == m - 1)
+    # E init: -inf, but DATA-dependent (min of a loaded vector with the
+    # constant) — a pure splat carry gets a replicated Mosaic layout that
+    # cannot re-join the concrete loop value (observed at pack == 1:
+    # "Invalid relayout: ... replicated in destination but not in source").
+    e_init = [jnp.minimum(rcs[r], jnp.int32(NEG_INF_I32)) for r in range(R)]
+    init = (
+        [col0s[r + 1] for r in range(R)],
+        [col0s[r] for r in range(R)],
+        e_init,
+        [zeros if local else col0s[r + 1] for r in range(R)],
+        [zeros] * R,
+    )
+    lefts, diags, evals, bests, bargs = jax.lax.fori_loop(
+        0, n_words, word_body, init)
+    for r in range(R):
+        aux_ref[0, r, 0] = bests[r]
+        aux_ref[0, r, 1] = bargs[r]
+    if not local:
+        @pl.when(ip == (m_pad // R) - 1)
         def _():
             hsel_ref[0] = hkeep_ref[...]
 
@@ -583,29 +637,29 @@ def _affine_align_kernel(*refs_args, m, n, pack, params: AlignmentParameters,
 def _affine_align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
                          interpret: bool = False):
     """Affine analogue of _align_blocks; same output structure."""
-    from versalignlib_tpu.ops.pallas_score import NEG_INF_I32  # noqa: F401
-
-    g, m = reads_b.shape[0], reads_b.shape[1]
+    g, m_pad = reads_b.shape[0], reads_b.shape[1]
     n = refs_b.shape[1]
     local = algorithm == Algorithm.SMITH_WATERMAN
     pack = _pick_pack_affine(n)
+    R = ALIGN_WAVE_ROWS
+    assert m_pad % R == 0
     kernel = functools.partial(
-        _affine_align_kernel, m=m, n=n, pack=pack, params=params, local=local
+        _affine_align_kernel, m_pad=m_pad, n=n, pack=pack, R=R,
+        params=params, local=local
     )
     nc = n // pack
     out_specs = [
-        pl.BlockSpec((1, 1, nc, BLOCK_SUBLANES, BLOCK_LANES),
+        pl.BlockSpec((1, R, nc, BLOCK_SUBLANES, BLOCK_LANES),
                      lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 3, BLOCK_SUBLANES, BLOCK_LANES),
+        pl.BlockSpec((1, R, 2, BLOCK_SUBLANES, BLOCK_LANES),
                      lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((g, m, nc, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((g, m, 3, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((g, m_pad, nc, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((g, m_pad, 2, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
     ]
     scratch_shapes = [
         pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-        pltpu.VMEM((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
         pltpu.VMEM((n, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),  # F row
     ]
     if not local:
@@ -617,13 +671,14 @@ def _affine_align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
         scratch_shapes.append(
             pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
     vmem_bytes = 4 * BLOCK_PAIRS * 2 * (
-        1 + n + 1 + nc + 3 + (0 if local else (n + 1))
-    ) + 4 * BLOCK_PAIRS * (2 * (n + 1) + 4 + (0 if local else (n + 1)))       + 1024 * 1024
+        R + n + 1 + R * (nc + 2) + (0 if local else (n + 1))
+    ) + 4 * BLOCK_PAIRS * (2 * (n + 1) + (0 if local else (n + 1))) \
+        + 2 * 1024 * 1024
     out = pl.pallas_call(
         kernel,
-        grid=(g, m),
+        grid=(g, m_pad // R),
         in_specs=[
-            pl.BlockSpec((1, 1, BLOCK_SUBLANES, BLOCK_LANES),
+            pl.BlockSpec((1, R, BLOCK_SUBLANES, BLOCK_LANES),
                          lambda gg, ii: (gg, ii, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, BLOCK_SUBLANES, BLOCK_LANES),
                          lambda gg, ii: (gg, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -688,6 +743,7 @@ def pallas_align_affine_batch(
         blocks = max(1, (64 << 20) // (bytes_per_pair * BLOCK_PAIRS))
         chunk_pairs = min(16, blocks) * BLOCK_PAIRS
     results: list[Alignment] = []
+    m_pad = -(-m // ALIGN_WAVE_ROWS) * ALIGN_WAVE_ROWS
     for lo in range(0, b, chunk_pairs):
         r_np = np.asarray(reads[lo : lo + chunk_pairs])
         f_np = np.asarray(refs[lo : lo + chunk_pairs])
@@ -695,16 +751,22 @@ def pallas_align_affine_batch(
         g = max(1, -(-nb // BLOCK_PAIRS))
         # Affine NW boundary validity is the Default flavor (code != 0).
         mrp = _last_valid_pos(r_np, TieBreak.DIAG_UP_LEFT)
+        r_rows = np.pad(r_np, ((0, 0), (0, m_pad - m)))
         ptr, aux, hsel = _affine_align_blocks(
-            _pack_blocks(r_np, g, m), _pack_blocks(f_np, g, n),
+            _pack_blocks(r_rows, g, m_pad), _pack_blocks(f_np, g, n),
             _pack_vec(mrp, g), params, algorithm, interpret,
         )
-        ptr = _unpack_pairs(ptr, g)[:nb]
-        aux = _unpack_pairs(aux, g)[:nb]
+        ptr = _unpack_pairs(ptr, g)[:nb, :m]
+        aux = _unpack_pairs(aux, g)[:nb, :m]
         if local:
-            start_r = aux[:, m - 1, 0]
-            start_f = aux[:, m - 1, 1]
-            scores = aux[:, m - 1, 2]
+            row_max = aux[:, :, 0]
+            gmax = row_max.max(axis=1, initial=0)
+            bi = np.argmax(row_max == gmax[:, None], axis=1).astype(np.int32)
+            bj = aux[np.arange(nb), bi, 1].astype(np.int32)
+            zero_best = gmax <= 0
+            start_r = np.where(zero_best, 0, bi)
+            start_f = np.where(zero_best, 0, bj)
+            scores = np.maximum(gmax, 0).astype(np.int32)
         else:
             hsel = _unpack_pairs(hsel, g)[:nb]
             row_args = aux[:, :, 1]
