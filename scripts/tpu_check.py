@@ -1,48 +1,73 @@
 #!/usr/bin/env python
-"""On-hardware verification + performance sweep.
+"""On-hardware verification + performance sweep, recorded as a JSON artifact.
 
 Runs the COMPILED Pallas kernels on the real TPU against the golden-gated
-numpy oracle (the pytest suite runs on a CPU mesh; this script is the
-hardware gate). Exits nonzero on any mismatch.
+numpy oracles (the pytest suite runs on a CPU mesh in interpreter mode; this
+script is the hardware gate). Writes ``TPU_CHECK.json`` and a per-round copy
+``TPU_CHECK_r{NN}.json`` at the repo root so compiled-kernel correctness is
+an auditable artifact, not a claim. Exits nonzero on any mismatch.
 
-Usage: python scripts/tpu_check.py [--quick]
+Usage: python scripts/tpu_check.py [--quick] [--no-perf]
 """
 
 import argparse
+import glob
+import json
 import pathlib
+import re
 import sys
 import time
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
 
 import numpy as np
+
+
+def _infer_round() -> int:
+    rounds = [int(m.group(1)) for f in glob.glob(str(ROOT / "BENCH_r*.json"))
+              if (m := re.search(r"BENCH_r(\d+)\.json$", f))]
+    return (max(rounds) + 1) if rounds else 1
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small sizes only")
+    ap.add_argument("--no-perf", action="store_true", help="skip perf sweep")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
-    if jax.devices()[0].platform != "tpu":
-        print("WARNING: no TPU; compiled checks will run on", jax.devices()[0].platform)
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        print(f"WARNING: no TPU; compiled checks will run on {platform}")
 
+    from versalignlib_tpu import AlignmentEngine
     from versalignlib_tpu.ops import gotoh, oracle
-    from versalignlib_tpu.ops.banded import band_offsets, banded_score_batch, banded_score_oracle
-    from versalignlib_tpu.ops.pallas_align import pallas_align_batch
-    from versalignlib_tpu.ops.pallas_score import PallasScorer
+    from versalignlib_tpu.ops.banded import (band_offsets, banded_align_batch,
+                                             banded_align_oracle,
+                                             banded_score_batch,
+                                             banded_score_oracle)
+    from versalignlib_tpu.ops.pallas_align import (pallas_align_affine_batch,
+                                                   pallas_align_batch)
+    from versalignlib_tpu.ops.pallas_score import PallasScorer, score_batch_device
     from versalignlib_tpu.params import AlignmentParameters
     from versalignlib_tpu.types import Algorithm, TieBreak
 
     rng = np.random.default_rng(123)
-    failures = 0
+    checks: dict[str, bool] = {}
+    perf: dict[str, float] = {}
 
     def check(name, ok):
-        nonlocal failures
+        checks[name] = bool(ok)
         print(f"  {'PASS' if ok else 'FAIL'}  {name}")
-        if not ok:
-            failures += 1
+
+    def same_alignments(got, want):
+        return all(
+            (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+            for g, w in zip(got, want)
+        )
 
     p_lin = AlignmentParameters()
     p_aff = AlignmentParameters(score_match=2, score_mismatch=-1,
@@ -57,24 +82,31 @@ def main() -> int:
     for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
         got = scorer(reads, refs, p_lin, alg)
         want = oracle.score_alignments(alg, reads, refs, p_lin)
-        check(f"linear {alg.name}", np.array_equal(got, want))
+        check(f"score/linear/{alg.name}", np.array_equal(got, want))
         got = scorer(reads, refs, p_aff, alg)
         want = gotoh.score_alignments_affine(alg, reads, refs, p_aff)
-        check(f"affine {alg.name}", np.array_equal(got, want))
+        check(f"score/affine/{alg.name}", np.array_equal(got, want))
 
-    print("== align kernel (compiled) ==")
+    print("== align kernels (compiled) ==")
     for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
         for tie in (TieBreak.DIAG_UP_LEFT, TieBreak.DIAG_LEFT_UP):
             got = pallas_align_batch(reads[:32], refs[:32], p_lin, alg, tie,
                                      interpret=False)
             want = oracle.compute_alignments(alg, reads[:32], refs[:32], p_lin, tie)
-            ok = all(
-                (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
-                for g, w in zip(got, want)
-            )
-            check(f"align {alg.name} {tie.name}", ok)
+            check(f"align/linear/{alg.name}/{tie.name}", same_alignments(got, want))
+        got = pallas_align_affine_batch(reads[:32], refs[:32], p_aff, alg,
+                                        interpret=False)
+        want = gotoh.compute_alignments_affine(alg, reads[:32], refs[:32], p_aff)
+        check(f"align/affine/{alg.name}", same_alignments(got, want))
+    # Odd ref length forces pack == 1 (caught a Mosaic relayout bug once).
+    odd_refs = refs[:16, :119]
+    got = pallas_align_affine_batch(reads[:16], odd_refs, p_aff,
+                                    Algorithm.SMITH_WATERMAN, interpret=False)
+    want = gotoh.compute_alignments_affine(Algorithm.SMITH_WATERMAN, reads[:16],
+                                           odd_refs, p_aff)
+    check("align/affine/odd-ref-len", same_alignments(got, want))
 
-    print("== banded kernel (compiled) ==")
+    print("== banded kernels (compiled) ==")
     m, n, band, tile = 300, 340, 64, 32
     reads_b = rng.integers(0, 6, size=(16, m)).astype(np.uint8)
     refs_b = rng.integers(0, 6, size=(16, n)).astype(np.uint8)
@@ -86,38 +118,132 @@ def main() -> int:
                                  tile=tile, interpret=False)
         want = np.array([banded_score_oracle(r, f, p_lin, band, alg, offs)
                          for r, f in zip(reads_pad, refs_b)])
-        check(f"banded {alg.name}", np.array_equal(got, want))
+        check(f"banded-score/{alg.name}", np.array_equal(got, want))
+        for p, label in ((p_lin, "linear"), (p_aff, "affine")):
+            got = banded_align_batch(reads_b[:8], refs_b[:8], p, alg,
+                                     band=band, tile=tile, interpret=False)
+            want = [banded_align_oracle(r, f, p, band, alg, offs)
+                    for r, f in zip(reads_b[:8], refs_b[:8])]
+            check(f"banded-align/{label}/{alg.name}", same_alignments(got, want))
 
-    if not args.quick:
+    print("== mesh (compiled shard_map + pallas, 1 real device) ==")
+    try:
+        from versalignlib_tpu.parallel import make_mesh
+        from versalignlib_tpu.parallel.distributed import distributed_score_batch
+
+        mesh = make_mesh(1)
+        s = distributed_score_batch(reads[:32], refs[:32], p_lin,
+                                    Algorithm.SMITH_WATERMAN, mesh=mesh,
+                                    impl="pallas")
+        want = oracle.score_alignments(Algorithm.SMITH_WATERMAN, reads[:32],
+                                       refs[:32], p_lin)
+        check("mesh/score-pallas", np.array_equal(s, want))
+        eng = AlignmentEngine(backend="pallas", mesh=mesh)
+        got = eng.compute_alignments(Algorithm.NEEDLEMAN_WUNSCH, reads[:32], refs[:32])
+        want = oracle.compute_alignments(Algorithm.NEEDLEMAN_WUNSCH, reads[:32],
+                                         refs[:32], p_lin, TieBreak.DIAG_UP_LEFT)
+        check("mesh/align-packed", same_alignments(got, want))
+    except Exception as exc:  # noqa: BLE001
+        print(f"  FAIL  mesh smoke raised: {exc}")
+        checks["mesh/smoke"] = False
+
+    if not args.quick and not args.no_perf:
         print("== performance (marginal rate; see BENCHMARKS.md) ==")
-        import jax.numpy as jnp
 
-        from versalignlib_tpu.ops.pallas_score import score_batch_device
+        def marginal(run, sizes, cells_per_unit):
+            """min-of-reps marginal rate between two sizes (cancels RTT)."""
+            ts = []
+            for s in sizes:
+                run(s)  # warm/compile
+                best = float("inf")
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    run(s)
+                    best = min(best, time.perf_counter() - t0)
+                ts.append(best)
+            return (sizes[1] - sizes[0]) * cells_per_unit / max(ts[1] - ts[0], 1e-9) / 1e9
 
-        def tmin(r, f, reps=5):
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
+        def score_run(b_):
+            r = jnp.asarray(rng.integers(1, 5, size=(b_, 512)).astype(np.uint8))
+            f = jnp.asarray(rng.integers(1, 5, size=(b_, 512)).astype(np.uint8))
+            def go(_=None, r=r, f=f):
                 np.asarray(score_batch_device(r, f, p_lin,
                                               Algorithm.SMITH_WATERMAN, False))
-                best = min(best, time.perf_counter() - t0)
-            return best
+            return go
 
-        for (b1, b2, m, n) in [(4096, 16384, 512, 512),
-                               (8192, 32768, 128, 128),
-                               (1024, 4096, 1024, 1024)]:
-            def mk(b):
-                return (jnp.asarray(rng.integers(1, 5, size=(b, m)).astype(np.uint8)),
-                        jnp.asarray(rng.integers(1, 5, size=(b, n)).astype(np.uint8)))
-            a1, a2 = mk(b1), mk(b2)
-            np.asarray(score_batch_device(*a1, p_lin, Algorithm.SMITH_WATERMAN, False))
-            np.asarray(score_batch_device(*a2, p_lin, Algorithm.SMITH_WATERMAN, False))
-            t1, t2 = tmin(*a1), tmin(*a2)
-            g = (b2 - b1) * m * n / max(t2 - t1, 1e-9) / 1e9
-            print(f"  SW score {m}x{n}: marginal {g:.1f} GCUPS "
-                  f"(t({b1})={t1*1e3:.1f}ms t({b2})={t2*1e3:.1f}ms)")
+        # score: build inputs once per size, time the kernel only
+        runs = {}
+        for b_ in (4096, 16384):
+            runs[b_] = score_run(b_)
+        perf["score_sw_512_gcups"] = marginal(lambda b_: runs[b_](), (4096, 16384),
+                                              512 * 512)
+        print(f"  SW score 512x512: {perf['score_sw_512_gcups']:.1f} GCUPS")
 
-    print(f"\n{failures} failures")
+        from versalignlib_tpu.ops.pallas_align import (_align_blocks,
+                                                       _last_valid_pos,
+                                                       _pack_blocks, _pack_vec)
+
+        def align_run(b_):
+            r = rng.integers(1, 5, size=(b_, 512)).astype(np.uint8)
+            f = rng.integers(1, 5, size=(b_, 512)).astype(np.uint8)
+            g = -(-b_ // 1024)
+            mrp = _pack_vec(_last_valid_pos(r, TieBreak.DIAG_UP_LEFT), g)
+            rb = jnp.asarray(_pack_blocks(r, g, 512))
+            fb = jnp.asarray(_pack_blocks(f, g, 512))
+            def go(_=None, rb=rb, fb=fb, mrp=mrp):
+                out = _align_blocks(rb, fb, mrp, p_lin,
+                                    Algorithm.SMITH_WATERMAN,
+                                    TieBreak.DIAG_UP_LEFT, False)
+                np.asarray(jnp.sum(out[1]))  # tiny transfer; forces the fill
+            return go
+
+        aruns = {b_: align_run(b_) for b_ in (4096, 16384)}
+        perf["align_sw_512_gcups"] = marginal(lambda b_: aruns[b_](),
+                                              (4096, 16384), 512 * 512)
+        print(f"  SW align fill 512x512: {perf['align_sw_512_gcups']:.1f} GCUPS")
+
+        from versalignlib_tpu.ops.banded import _banded_align_blocks
+
+        def banded_run(m_):
+            band_, tile_ = 512, 64
+            n_ = 16384
+            r = rng.integers(1, 5, size=(1024, m_)).astype(np.uint8)
+            f = rng.integers(1, 5, size=(1024, n_)).astype(np.uint8)
+            m_p = -(-m_ // tile_) * tile_
+            offs_ = band_offsets(m_p, m_, n_, band_)
+            d_max = max(int(np.diff(offs_).max(initial=1)), 1)
+            ws = jnp.asarray(offs_[::tile_].copy())
+            mrp = _pack_vec(_last_valid_pos(r, TieBreak.DIAG_UP_LEFT), 1)
+            rb = jnp.asarray(_pack_blocks(np.pad(r, ((0, 0), (0, m_p - m_))), 1, m_p))
+            fb = jnp.asarray(_pack_blocks(f, 1, n_))
+            offs_j = jnp.asarray(offs_)
+            def go(_=None):
+                out = _banded_align_blocks(rb, fb, offs_j, ws, mrp, p_lin,
+                                           Algorithm.SMITH_WATERMAN, band_,
+                                           tile_, d_max, False)
+                np.asarray(jnp.sum(out[1]))
+            return go
+
+        bruns = {m_: banded_run(m_) for m_ in (8192, 16384)}
+        perf["banded_align_sw_gcups"] = marginal(lambda m_: bruns[m_](),
+                                                 (8192, 16384), 512 * 1024)
+        print(f"  SW banded align fill (band cells): "
+              f"{perf['banded_align_sw_gcups']:.1f} GCUPS")
+
+    failures = sum(1 for ok in checks.values() if not ok)
+    rnd = _infer_round()
+    artifact = {
+        "round": rnd,
+        "platform": platform,
+        "device_kind": getattr(jax.devices()[0], "device_kind", platform),
+        "quick": args.quick,
+        "checks": checks,
+        "perf": perf,
+        "failures": failures,
+    }
+    for name in ("TPU_CHECK.json", f"TPU_CHECK_r{rnd:02d}.json"):
+        (ROOT / name).write_text(json.dumps(artifact, indent=2) + "\n")
+    print(f"\n{failures} failures — wrote TPU_CHECK_r{rnd:02d}.json")
     return 1 if failures else 0
 
 

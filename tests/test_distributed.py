@@ -81,3 +81,43 @@ def test_engine_mesh_align(rng, mesh, default_params):
     assert len(got) == 13
     for g, w in zip(got, want):
         assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+
+
+def test_engine_mesh_align_affine(rng, mesh):
+    # Mesh + affine must route through the sharded Gotoh fill, not silently
+    # bypass the mesh (round-1 defect), and must reject the SSE flavor.
+    from versalignlib_tpu import AlignmentEngine
+    from versalignlib_tpu.ops import gotoh
+    from versalignlib_tpu.params import AlignmentParameters
+
+    p = AlignmentParameters(score_match=2, score_mismatch=-1,
+                            score_gap_read=-1, score_gap_ref=-1,
+                            gap_open_read=-4, gap_open_ref=-4)
+    engine = AlignmentEngine(params=p, backend="xla", mesh=mesh)
+    reads = random_codes(rng, 9, 10, padded=True)
+    refs = random_codes(rng, 9, 12, padded=True)
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        got = engine.compute_alignments(algorithm, reads, refs)
+        want = gotoh.compute_alignments_affine(algorithm, reads, refs, p)
+        for g, w in zip(got, want):
+            assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+
+    bad = AlignmentEngine(params=p, backend="xla", mesh=mesh,
+                          tie=TieBreak.DIAG_LEFT_UP)
+    with pytest.raises(ValueError, match="canonical"):
+        bad.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+
+
+def test_distributed_align_batch_nw_padded(rng, mesh, default_params):
+    # NW through the packed sharded fill with padded reads (end-cell rule).
+    from versalignlib_tpu.parallel.distributed import distributed_align_batch
+
+    reads = random_codes(rng, 11, 10, padded=True, n_prob=0.1)
+    refs = random_codes(rng, 11, 14, padded=True, n_prob=0.1)
+    for tie in (TieBreak.DIAG_UP_LEFT, TieBreak.DIAG_LEFT_UP):
+        got = distributed_align_batch(reads, refs, default_params,
+                                      Algorithm.NEEDLEMAN_WUNSCH, tie, mesh=mesh)
+        want = oracle.compute_alignments(Algorithm.NEEDLEMAN_WUNSCH, reads,
+                                         refs, default_params, tie)
+        for g, w in zip(got, want):
+            assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)

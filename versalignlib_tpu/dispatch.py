@@ -163,27 +163,18 @@ class AlignmentEngine:
         self, algorithm: Algorithm, reads, refs
     ) -> list[Alignment]:
         reads_enc, refs_enc = self._prepare(reads, refs)
-        if self.mesh is not None and not self.params.affine:
-            import jax.numpy as jnp
-
-            from versalignlib_tpu.ops.traceback import decode_batch
+        if self.mesh is not None:
+            # Production pod path: every shard runs the packed Pallas fill
+            # (2-bit linear / 4-bit affine words); affine routes through the
+            # mesh too (canonical flavor enforced) instead of silently
+            # bypassing it.
             from versalignlib_tpu.parallel.distributed import (
-                distributed_align_device,
+                distributed_align_batch,
             )
 
-            b = reads_enc.shape[0]
-            n_dev = self.mesh.devices.size
-            b_pad = -(-b // n_dev) * n_dev
-            r = jnp.asarray(np.pad(reads_enc, ((0, b_pad - b), (0, 0))))
-            f = jnp.asarray(np.pad(refs_enc, ((0, b_pad - b), (0, 0))))
-            ptr, sr, sf, best = distributed_align_device(
-                r, f, self.params, algorithm, self.tie, self.mesh
-            )
-            # align_batch emits exact end-cell scores for both algorithms.
-            return decode_batch(
-                np.asarray(ptr)[:b], reads_enc, refs_enc,
-                np.asarray(sr)[:b], np.asarray(sf)[:b], self.params,
-                algorithm, np.asarray(best)[:b],
+            return distributed_align_batch(
+                reads_enc, refs_enc, self.params, algorithm, self.tie,
+                mesh=self.mesh,
             )
         return self.backend.compute_alignments(
             algorithm, reads_enc, refs_enc, self.params, self.tie

@@ -756,40 +756,52 @@ def pallas_align_affine_batch(
             _pack_blocks(r_rows, g, m_pad), _pack_blocks(f_np, g, n),
             _pack_vec(mrp, g), params, algorithm, interpret,
         )
-        ptr = _unpack_pairs(ptr, g)[:nb, :m]
-        aux = _unpack_pairs(aux, g)[:nb, :m]
-        if local:
-            row_max = aux[:, :, 0]
-            gmax = row_max.max(axis=1, initial=0)
-            bi = np.argmax(row_max == gmax[:, None], axis=1).astype(np.int32)
-            bj = aux[np.arange(nb), bi, 1].astype(np.int32)
-            zero_best = gmax <= 0
-            start_r = np.where(zero_best, 0, bi)
-            start_f = np.where(zero_best, 0, bj)
-            scores = np.maximum(gmax, 0).astype(np.int32)
-        else:
-            hsel = _unpack_pairs(hsel, g)[:nb]
-            row_args = aux[:, :, 1]
-            max_ref_pos = _last_valid_pos(f_np, TieBreak.DIAG_UP_LEFT)
-            gri = np.where(mrp >= 0, row_args[np.arange(nb), np.maximum(mrp, 0)], 0)
-            start_r = mrp
-            start_f = np.minimum(max_ref_pos, gri).astype(np.int32)
-            scores = np.where(
-                start_r >= 0, hsel[np.arange(nb), np.clip(start_f, -1, n - 1) + 1], 0
-            ).astype(np.int32)
-        rt = None if read_texts is None else read_texts[lo : lo + nb]
-        ft = None if ref_texts is None else ref_texts[lo : lo + nb]
-        try:
-            from versalignlib_tpu.native import decode_batch_native
-
-            results.extend(decode_batch_native(
-                (ptr, pack), r_np, f_np, start_r, start_f, params, algorithm,
-                scores, rt, ft, affine=True,
-            ))
-        except ImportError:
-            dense = _unpack_affine_words(ptr, pack, n)
-            results.extend(tb.decode_batch_affine(
-                dense, r_np, f_np, start_r, start_f, params, algorithm,
-                scores, rt, ft,
-            ))
+        results.extend(_decode_affine_chunk(
+            lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
+            pack, n, read_texts, ref_texts,
+        ))
     return results
+
+
+def _decode_affine_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params,
+                         algorithm, pack, n, read_texts, ref_texts) -> list[Alignment]:
+    """Affine analogue of :func:`_decode_chunk` (4-bit codes, Gotoh walk)."""
+    local = algorithm == Algorithm.SMITH_WATERMAN
+    m = r_np.shape[1]
+    nb = r_np.shape[0]
+    ptr = _unpack_pairs(ptr, g)[:nb, :m]
+    aux = _unpack_pairs(aux, g)[:nb, :m]
+    if local:
+        row_max = aux[:, :, 0]
+        gmax = row_max.max(axis=1, initial=0)
+        bi = np.argmax(row_max == gmax[:, None], axis=1).astype(np.int32)
+        bj = aux[np.arange(nb), bi, 1].astype(np.int32)
+        zero_best = gmax <= 0
+        start_r = np.where(zero_best, 0, bi)
+        start_f = np.where(zero_best, 0, bj)
+        scores = np.maximum(gmax, 0).astype(np.int32)
+    else:
+        hsel = _unpack_pairs(hsel, g)[:nb]
+        row_args = aux[:, :, 1]
+        max_ref_pos = _last_valid_pos(f_np, TieBreak.DIAG_UP_LEFT)
+        gri = np.where(mrp >= 0, row_args[np.arange(nb), np.maximum(mrp, 0)], 0)
+        start_r = mrp
+        start_f = np.minimum(max_ref_pos, gri).astype(np.int32)
+        scores = np.where(
+            start_r >= 0, hsel[np.arange(nb), np.clip(start_f, -1, n - 1) + 1], 0
+        ).astype(np.int32)
+    rt = None if read_texts is None else read_texts[lo : lo + nb]
+    ft = None if ref_texts is None else ref_texts[lo : lo + nb]
+    try:
+        from versalignlib_tpu.native import decode_batch_native
+
+        return decode_batch_native(
+            (ptr, pack), r_np, f_np, start_r, start_f, params, algorithm,
+            scores, rt, ft, affine=True,
+        )
+    except ImportError:
+        dense = _unpack_affine_words(ptr, pack, n)
+        return tb.decode_batch_affine(
+            dense, r_np, f_np, start_r, start_f, params, algorithm,
+            scores, rt, ft,
+        )
