@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Resource-scaling sweep — the analogue of the reference's thread sweep.
+
+The reference benchmark re-runs ``compute_alignments`` for threads in
+{1,2,4,8,16,32,64} (/root/reference/src/impl/main.cpp:66-69,240-295). On TPU
+the scaling axes are (a) devices in the mesh and (b) batch size per device,
+so this script sweeps both and writes ``SCALING.json``:
+
+- ``mesh``: devices in {1,2,4,8} on a virtual CPU mesh (SHAPE check only —
+  virtual devices share the host's physical cores, which XLA already
+  saturates at 1 device, so wall-clock here validates that sharding adds no
+  overhead cliff, NOT real speedup; real pod scaling is linear by
+  construction — zero inter-device communication in the fill, see
+  BENCHMARKS.md "Multi-chip scaling");
+- ``batch``: batch-size curve of the compiled score kernel on the attached
+  TPU (per-call wall time with full materialization; steady-state min of 5).
+
+Usage:
+  python scripts/scaling_sweep.py            # both sweeps (TPU for batch)
+  python scripts/scaling_sweep.py --mesh-only
+  python scripts/scaling_sweep.py --batch-only
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+import numpy as np
+
+MESH_SIZES = (1, 2, 4, 8)
+BATCH_SIZES = (1024, 4096, 16384, 65536)
+M = N = 512
+
+
+def _mesh_worker(n_dev: int) -> dict:
+    """Runs in a subprocess with a forced n_dev-device CPU platform."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from versalignlib_tpu.parallel import make_mesh
+    from versalignlib_tpu.parallel.distributed import distributed_score_batch
+    from versalignlib_tpu.params import AlignmentParameters
+    from versalignlib_tpu.types import Algorithm
+
+    rng = np.random.default_rng(0)
+    b = 2048
+    reads = rng.integers(1, 5, size=(b, 128)).astype(np.uint8)
+    refs = rng.integers(1, 5, size=(b, 128)).astype(np.uint8)
+    mesh = make_mesh(n_dev)
+    p = AlignmentParameters()
+    distributed_score_batch(reads, refs, p, Algorithm.SMITH_WATERMAN,
+                            mesh=mesh, impl="xla")  # compile
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        distributed_score_batch(reads, refs, p, Algorithm.SMITH_WATERMAN,
+                                mesh=mesh, impl="xla")
+        best = min(best, time.perf_counter() - t0)
+    cells = b * 128 * 128
+    return {"devices": n_dev, "seconds": best, "gcups": cells / best / 1e9}
+
+
+def mesh_sweep() -> list[dict]:
+    out = []
+    for n_dev in MESH_SIZES:
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count={n_dev}")
+        code = (
+            "import sys, json; sys.path.insert(0, %r); "
+            "from scripts.scaling_sweep import _mesh_worker; "
+            "print('RESULT ' + json.dumps(_mesh_worker(%d)))" % (str(ROOT), n_dev)
+        )
+        res = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=600)
+        for line in res.stdout.splitlines():
+            if line.startswith("RESULT "):
+                row = json.loads(line[len("RESULT "):])
+                out.append(row)
+                print(f"  mesh devices={row['devices']}: "
+                      f"{row['seconds']*1e3:.1f}ms ({row['gcups']:.1f} GCUPS)")
+                break
+        else:
+            print(f"  mesh devices={n_dev}: FAILED\n{res.stderr[-500:]}")
+    return out
+
+
+def batch_sweep() -> list[dict]:
+    import jax.numpy as jnp
+
+    from versalignlib_tpu.ops.pallas_score import score_batch_device
+    from versalignlib_tpu.params import AlignmentParameters
+    from versalignlib_tpu.types import Algorithm
+
+    import jax
+    platform = jax.devices()[0].platform
+    interpret = platform != "tpu"
+    p = AlignmentParameters()
+    rng = np.random.default_rng(0)
+    out = []
+    prev = None
+    for b in BATCH_SIZES:
+        r = jnp.asarray(rng.integers(1, 5, size=(b, M)).astype(np.uint8))
+        f = jnp.asarray(rng.integers(1, 5, size=(b, N)).astype(np.uint8))
+        np.asarray(score_batch_device(r, f, p, Algorithm.SMITH_WATERMAN, interpret))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(score_batch_device(r, f, p, Algorithm.SMITH_WATERMAN, interpret))
+            best = min(best, time.perf_counter() - t0)
+        row = {"batch": b, "seconds": best,
+               "gcups_raw": b * M * N / best / 1e9}
+        if prev is not None:
+            # Marginal rate between consecutive sizes cancels the fixed
+            # per-call overhead (25ms RTT on this workspace's tunnel).
+            row["gcups_marginal"] = ((b - prev["batch"]) * M * N /
+                                     max(best - prev["seconds"], 1e-9) / 1e9)
+        out.append(row)
+        prev = row
+        marg = row.get("gcups_marginal")
+        print(f"  batch={b}: {best*1e3:.1f}ms raw {row['gcups_raw']:.1f} GCUPS"
+              + (f", marginal {marg:.1f}" if marg else ""))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh-only", action="store_true")
+    ap.add_argument("--batch-only", action="store_true")
+    args = ap.parse_args()
+
+    artifact = {}
+    if not args.batch_only:
+        print("== CPU-mesh device sweep (shape check; see docstring) ==")
+        artifact["mesh"] = mesh_sweep()
+    if not args.mesh_only:
+        print(f"== batch-size sweep ({M}x{N} SW score) ==")
+        artifact["batch"] = batch_sweep()
+    (ROOT / "SCALING.json").write_text(json.dumps(artifact, indent=2) + "\n")
+    print("wrote SCALING.json")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -329,3 +329,20 @@ def test_capabilities_dense_gate():
     assert not v5e.dense_fits(16384, 16384)    # long pairs -> banded path
     cpu = DeviceCapabilities("cpu", "cpu", 8, False, 0)
     assert cpu.dense_fits(1 << 20, 1 << 20)    # interpret mode unconstrained
+
+
+def test_iter_fasta_streaming_matches_parse(tmp_path):
+    from versalignlib_tpu.io.fasta import (iter_fasta, iter_fasta_chunks,
+                                           parse_fasta, write_fasta)
+
+    seqs = ["ACGT" * k for k in range(1, 30)]
+    path = tmp_path / "s.fa"
+    write_fasta(path, seqs, width=7)
+    # plus a space-invalidated record and an empty-line-terminated one
+    with open(path, "a") as f:
+        f.write(">bad\nACG T\nACGT\n>trunc\nAC\n\nGT\n>ok\nTTTT\n")
+    want = parse_fasta(path)
+    assert list(iter_fasta(path)) == want
+    chunks = list(iter_fasta_chunks(path, chunk_records=10))
+    assert [s for c in chunks for s in c] == want
+    assert all(len(c) <= 10 for c in chunks)

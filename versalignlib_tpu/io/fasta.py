@@ -82,6 +82,50 @@ def parse_fasta_with_names(path) -> list[tuple[str, str]]:
     return out
 
 
+def iter_fasta(path: str | pathlib.Path | io.TextIOBase):
+    """Stream sequences one record at a time (same record semantics as
+    :func:`parse_fasta`, O(record) memory — for 10M+-record ingestion where
+    whole-file reads don't fit)."""
+    f = path if isinstance(path, io.TextIOBase) else open(path, "r")
+    try:
+        name = ""
+        content: list[str] = []
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line[0] == ">":
+                if name:
+                    yield "".join(content)
+                    name = ""
+                if line:
+                    name = line[1:]
+                content = []
+            elif name:
+                if " " in line:
+                    name = ""
+                    content = []
+                else:
+                    content.append(line)
+        if name:
+            yield "".join(content)
+    finally:
+        if not isinstance(path, io.TextIOBase):
+            f.close()
+
+
+def iter_fasta_chunks(path, chunk_records: int = 100_000):
+    """Yield lists of up to ``chunk_records`` sequences — the streaming
+    front-end for chunked pipelines (scripts/bulk_align.py, checkpointed
+    runs): memory stays O(chunk) regardless of file size."""
+    batch: list[str] = []
+    for seq in iter_fasta(path):
+        batch.append(seq)
+        if len(batch) >= chunk_records:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
+
+
 def write_fasta(path, sequences: Iterable[str], names: Iterable[str] | None = None,
                 width: int = 80) -> None:
     """Write sequences as FASTA (default names seq0, seq1, ...)."""

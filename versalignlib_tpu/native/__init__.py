@@ -45,6 +45,13 @@ def _load() -> ctypes.CDLL | None:
             lib = ctypes.CDLL(str(_SO))
         except Exception as exc:  # missing toolchain etc. -> python fallback
             _build_error = str(exc)
+            from versalignlib_tpu.utils.logging import get_logger
+
+            get_logger("native").warning(
+                "native decoder build unavailable (%s); falling back to the "
+                "pure-Python walkers — correct but slower for large batches",
+                _build_error.splitlines()[0] if _build_error else "unknown",
+            )
             return None
         lib.val_fasta_scan.restype = ctypes.c_int
         lib.val_fasta_scan.argtypes = [

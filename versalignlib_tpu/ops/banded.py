@@ -40,6 +40,7 @@ from versalignlib_tpu.ops.pallas_score import (
     BLOCK_SUBLANES,
     NEG_INF_I32,
     _is_tpu,
+    make_sub_fn,
 )
 from versalignlib_tpu.params import AlignmentParameters
 from versalignlib_tpu.types import Algorithm
@@ -93,7 +94,8 @@ def banded_score_oracle(read, ref, p: AlignmentParameters, band: int,
         row[0] = 0
         lo, hi = o + 1, min(o + band, n)  # H columns in band
         sub = substitution_scores(
-            read[i - 1], ref[lo - 1 : hi], p.score_match, p.score_mismatch
+            read[i - 1], ref[lo - 1 : hi], p.score_match, p.score_mismatch,
+            p.matrix,
         ).astype(np.int64)
         e = NEG
         for j in range(lo, hi + 1):
@@ -180,7 +182,8 @@ def banded_align_oracle(read, ref, p: AlignmentParameters, band: int,
         o = int(offsets[i - 1])
         lo, hi = o + 1, min(o + band, n)
         sub_row = substitution_scores(
-            read[i - 1], ref[lo - 1 : hi], p.score_match, p.score_mismatch
+            read[i - 1], ref[lo - 1 : hi], p.score_match, p.score_mismatch,
+            p.matrix,
         ).astype(np.int64)
         e = NEG
         for j in range(lo, hi + 1):
@@ -394,10 +397,11 @@ def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
     at_col0 = win_start == 0
     h_bound = jnp.where(at_col0, zero, neg_inf)
 
+    row_prep, col_prep, sub_of = make_sub_fn(params)
+
     def group_body(ig, _):
         i0 = ig * R
-        rcs = [reads_ref[i0 + r] for r in range(R)]
-        rvs = [(rc >= 1) & (rc <= 4) for rc in rcs]
+        rctxs = [row_prep(reads_ref[i0 + r]) for r in range(R)]
         lows = [offs_ref[i0 + r] - win_start for r in range(R)]
         # Column win_start of the row above: inside the pre-shift window only
         # for the tile's very first row (pre_diag); for every other row it is
@@ -424,15 +428,12 @@ def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
                 f_store = []
             store_vals = []
             for u in range(unroll):
-                ref_col = ref_chunk[u]
+                cctx = col_prep(ref_chunk[u])
                 up = old[u]
                 f_up = f_old[u] if affine else None
                 new_lefts, new_diags, new_evals = [], [], []
                 for r in range(R):
-                    valid = rvs[r] & (ref_col >= 1) & (ref_col <= 4)
-                    sub = jnp.where(
-                        valid, jnp.where(rcs[r] == ref_col, match, mismatch), 0
-                    )
+                    sub = sub_of(rctxs[r], cctx)
                     if affine:
                         f_val = jnp.maximum(
                             jnp.maximum(up + open_f + gap_ref, f_up + gap_ref),
@@ -730,11 +731,12 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
     d_code, u_code, l_code = jnp.int32(3), jnp.int32(1), jnp.int32(2)
     mrp_vec = mrp_ref[0]
 
+    row_prep, col_prep, sub_of = make_sub_fn(params)
+
     def group_body(ig, carry):
         best, bi, bj = carry
         i0 = ig * R
-        rcs = [reads_ref[0, i0 + r] for r in range(R)]
-        rvs = [(rc >= 1) & (rc <= 4) for rc in rcs]
+        rctxs = [row_prep(reads_ref[0, i0 + r]) for r in range(R)]
         lows = [offs_ref[t * tile + i0 + r] - win_start for r in range(R)]
         row_abs = [t * tile + i0 + r for r in range(R)]
         diag0s = [jnp.where((ig == 0) & (r == 0), pre_diag, h_bound)
@@ -764,13 +766,12 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
             for u in range(pack):
                 up = old[u]
                 ref_col = ref_chunk[u]
+                cctx = col_prep(ref_col)
                 f_up = f_old[u] if affine else None
                 keep_u = keep_old[u] if not local else None
                 new_lefts, new_diags, new_evals = [], [], []
                 for r in range(R):
-                    valid = rvs[r] & (ref_col >= 1) & (ref_col <= 4)
-                    sub = jnp.where(
-                        valid, jnp.where(rcs[r] == ref_col, match, mismatch), 0)
+                    sub = sub_of(rctxs[r], cctx)
                     diag_v = diags[r] + sub
                     if affine:
                         f_raw = f_up + gap_ref

@@ -82,7 +82,7 @@ def _fill_affine(
         h[1:, 0] = open_f + i_idx * ext_f
         f[1:, 0] = h[1:, 0]  # boundary gap may extend without reopening
 
-    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch)
+    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
     j_idx = np.arange(n + 1, dtype=np.int64)
 
     for i in range(1, m + 1):
@@ -226,7 +226,7 @@ def sw_align_affine(read, ref, p: AlignmentParameters,
     read = np.asarray(read, dtype=np.int32)
     ref = np.asarray(ref, dtype=np.int32)
     h, e, f = _fill_affine(read, ref, p, local=True, col0_penalty=False)
-    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch)
+    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
     ptr = _affine_pointers(h, e, f, sub, p, local=True)
     inner = h[1:, 1:]
     if inner.size == 0:
@@ -244,7 +244,7 @@ def nw_align_affine(read, ref, p: AlignmentParameters,
     ref = np.asarray(ref, dtype=np.int32)
     m, n = read.size, ref.size
     h, e, f = _fill_affine(read, ref, p, local=False, col0_penalty=True)
-    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch)
+    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
     ptr = _affine_pointers(h, e, f, sub, p, local=False)
 
     read_valid = read != 0

@@ -74,7 +74,7 @@ def _fill_matrix(
         h[:, 0] = np.arange(m + 1, dtype=np.int32) * p.score_gap_ref
 
     # sub[i, j] = substitution score of read[i] vs ref[j]
-    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch)
+    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
 
     for i in range(1, m + 1):
         t = np.empty(n + 1, dtype=np.int32)
@@ -252,7 +252,7 @@ def sw_align(
     read = np.asarray(read, dtype=np.int32)
     ref = np.asarray(ref, dtype=np.int32)
     h = _fill_matrix(read, ref, p, local=True, col0_penalty=False)
-    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch)
+    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
     valid_comp = is_valid_base(read)[:, None] & is_valid_base(ref)[None, :]
     ptr = _pointers(h, sub, valid_comp, p, local=True, tie=tie)
     inner = h[1:, 1:]
@@ -286,7 +286,7 @@ def nw_align(
     ref = np.asarray(ref, dtype=np.int32)
     m, n = read.size, ref.size
     h = _fill_matrix(read, ref, p, local=False, col0_penalty=True)
-    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch)
+    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
     valid_comp = is_valid_base(read)[:, None] & is_valid_base(ref)[None, :]
     ptr = _pointers(h, sub, valid_comp, p, local=False, tie=tie)
 
@@ -355,5 +355,8 @@ def compute_alignments(
     tie: TieBreak = TieBreak.DIAG_UP_LEFT,
 ) -> list[Alignment]:
     """Batch full alignments."""
+    from versalignlib_tpu.params import require_matrix_canonical
+
+    require_matrix_canonical(p, tie)
     fn = sw_align if algorithm == Algorithm.SMITH_WATERMAN else nw_align
     return [fn(r, f, p, tie) for r, f in zip(reads, refs)]

@@ -104,8 +104,12 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
         if not local:
             hkeep_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
 
+    from versalignlib_tpu.ops.pallas_score import make_sub_fn
+
+    row_prep, col_prep, sub_of = make_sub_fn(params)
     rcs = [reads_ref[0, r] for r in range(R)]
     rvs = [(rc >= 1) & (rc <= 4) for rc in rcs]
+    rctxs = [row_prep(rcs[r]) for r in range(R)]
     if local:
         col0s = [zeros] * (R + 1)
     else:
@@ -144,13 +148,11 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
             for u in range(unroll):
                 up = old[u]
                 ref_col = ref_chunk[u]
+                cctx = col_prep(ref_col)
                 keep_u = keep_old[u] if not local else None
                 new_lefts, new_diags = [], []
                 for r in range(R):
-                    valid = rvs[r] & (ref_col >= 1) & (ref_col <= 4)
-                    sub = jnp.where(
-                        valid, jnp.where(rcs[r] == ref_col, match, mismatch), 0
-                    )
+                    sub = sub_of(rctxs[r], cctx)
                     diag_v = diags[r] + sub
                     up_v = up + gap_ref
                     left_v = lefts[r] + gap_read
@@ -167,6 +169,8 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
                         if local:
                             ptr = jnp.where(cur == 0, s_code, ptr)
                     else:  # SSE flavor: DIAG gated on validity, DIAG > LEFT > UP
+                        # (DNA-only flavor; matrix mode is canonical-only.)
+                        valid = rvs[r] & (ref_col >= 1) & (ref_col <= 4)
                         ptr = jnp.where(
                             (cur == diag_v) & valid, d_code,
                             jnp.where(cur == left_v, l_code,
@@ -355,6 +359,9 @@ def pallas_align_batch(
     device->host link (the pointer stream dominates: 2 bits/cell). Device
     dispatch is pipelined one chunk ahead of the host decode.
     """
+    from versalignlib_tpu.params import require_matrix_canonical
+
+    require_matrix_canonical(params, tie)
     if interpret is None:
         interpret = not _is_tpu()
     algorithm = Algorithm(algorithm)
@@ -521,8 +528,10 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
         if not local:
             hkeep_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
 
-    rcs = [reads_ref[0, r] for r in range(R)]
-    rvs = [(rc >= 1) & (rc <= 4) for rc in rcs]
+    from versalignlib_tpu.ops.pallas_score import make_sub_fn
+
+    row_prep, col_prep, sub_of = make_sub_fn(params)
+    rctxs = [row_prep(reads_ref[0, r]) for r in range(R)]
     if local:
         col0s = [zeros] * (R + 1)
     else:
@@ -560,14 +569,12 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
         for u in range(pack):
             up = old[u]
             ref_col = ref_chunk[u]
+            cctx = col_prep(ref_col)
             f_up = f_old[u]
             keep_u = keep_old[u] if not local else None
             new_lefts, new_diags, new_evals = [], [], []
             for r in range(R):
-                valid = rvs[r] & (ref_col >= 1) & (ref_col <= 4)
-                sub = jnp.where(
-                    valid, jnp.where(rcs[r] == ref_col, match, mismatch), 0
-                )
+                sub = sub_of(rctxs[r], cctx)
                 f_raw = f_up + ext_f
                 f_val = jnp.maximum(up + open_f + ext_f, f_raw)
                 e_raw = evals[r] + ext_r
@@ -614,7 +621,8 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
     # constant) — a pure splat carry gets a replicated Mosaic layout that
     # cannot re-join the concrete loop value (observed at pack == 1:
     # "Invalid relayout: ... replicated in destination but not in source").
-    e_init = [jnp.minimum(rcs[r], jnp.int32(NEG_INF_I32)) for r in range(R)]
+    e_init = [jnp.minimum(reads_ref[0, r], jnp.int32(NEG_INF_I32))
+              for r in range(R)]
     init = (
         [col0s[r + 1] for r in range(R)],
         [col0s[r] for r in range(R)],

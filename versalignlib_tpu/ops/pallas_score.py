@@ -65,6 +65,62 @@ def _pick_unroll(n: int) -> int:
 NEG_INF_I32 = -(2**30)
 
 
+def make_sub_fn(params: AlignmentParameters):
+    """(row_prep, col_prep, sub_of) triple for in-kernel substitution scoring.
+
+    Default: the reference's 6x6 structure as arithmetic (1 compare chain +
+    2 selects per cell — no gather, alphabet.py:9-16). Generic S x S
+    ``params.matrix``: a per-row score table is built once per row group
+    (<= S*(S-1) selects, amortized over the whole ref sweep) by ``row_prep``;
+    ``col_prep`` computes the S-1 ref-code masks once per column (shared
+    across the R wavefront rows); each cell then pays only an
+    (S-1)-select chain — the VPU's gather-free table lookup (gathers don't
+    vectorize on TPU; one-hot MXU contraction loses to selects at these
+    widths). Matrix row/col 0 are all-zero (validated), so padding and
+    out-of-range codes score 0 exactly like the reference's '\\0' fill-up.
+    """
+    match = jnp.int32(params.score_match)
+    mismatch = jnp.int32(params.score_mismatch)
+    if params.matrix is None:
+        def row_prep(rc):
+            return rc, (rc >= 1) & (rc <= 4)
+
+        def col_prep(ref_col):
+            return ref_col, (ref_col >= 1) & (ref_col <= 4)
+
+        def sub_of(rctx, cctx):
+            rc, rv = rctx
+            fc, fv = cctx
+            return jnp.where(rv & fv,
+                             jnp.where(rc == fc, match, mismatch), 0)
+
+        return row_prep, col_prep, sub_of
+
+    M = params.matrix
+    S = len(M)
+
+    def row_prep(rc):
+        rows = []
+        for s_col in range(S):
+            acc = jnp.zeros_like(rc)  # M[0][s] == 0; codes >= S fall through
+            for a in range(1, S):
+                if M[a][s_col] != 0:
+                    acc = jnp.where(rc == a, jnp.int32(M[a][s_col]), acc)
+            rows.append(acc)
+        return rows
+
+    def col_prep(ref_col):
+        return [ref_col == s_col for s_col in range(1, S)]
+
+    def sub_of(rows, masks):
+        acc = rows[0]  # per-lane M[rc][0] == 0 (col 0 zeros)
+        for s_col in range(1, S):
+            acc = jnp.where(masks[s_col - 1], rows[s_col], acc)
+        return acc
+
+    return row_prep, col_prep, sub_of
+
+
 #: rows advanced together per pass (lead rows live in registers)
 WAVE_ROWS = 4
 
@@ -103,9 +159,7 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
     if affine:
         f_ref[...] = jnp.full((n, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
 
-    def sub_of(read_col, read_valid, ref_col):
-        valid = read_valid & (ref_col >= 1) & (ref_col <= 4)
-        return jnp.where(valid, jnp.where(read_col == ref_col, match, mismatch), 0)
+    row_prep, col_prep, sub_of = make_sub_fn(params)
 
     def make_group_body(R, base=None):
         """Row-group DP pass. ``base``: static start row (tail) or None to
@@ -113,8 +167,7 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
 
         def group_body(idx, best):
             i0 = idx * R if base is None else base
-            rcs = [reads_ref[0, i0 + r] for r in range(R)]
-            rvs = [(rc >= 1) & (rc <= 4) for rc in rcs]
+            rctxs = [row_prep(reads_ref[0, i0 + r]) for r in range(R)]
             h0 = h_ref[0]  # column-0 boundary: 0 in both score paths
 
             def chunk_body(c, carry):
@@ -127,12 +180,12 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
                     f_store = []
                 store_vals = []
                 for u in range(unroll):
-                    ref_col = ref_chunk[u]
+                    cctx = col_prep(ref_chunk[u])
                     up = old[u]
                     f_up = f_old[u] if affine else None
                     new_lefts, new_diags, new_evals = [], [], []
                     for r in range(R):
-                        s = sub_of(rcs[r], rvs[r], ref_col)
+                        s = sub_of(rctxs[r], cctx)
                         if affine:
                             f_val = jnp.maximum(up + open_ref + gap_ref,
                                                 f_up + gap_ref)

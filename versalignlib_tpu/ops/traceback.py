@@ -86,7 +86,7 @@ def decode_one(
             path_cost += int(
                 substitution_scores(
                     np.int32(read[rp]), np.int32(ref[fp]),
-                    params.score_match, params.score_mismatch,
+                    params.score_match, params.score_mismatch, params.matrix,
                 )
             )
             rp -= 1

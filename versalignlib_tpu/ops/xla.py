@@ -33,11 +33,20 @@ from versalignlib_tpu.params import AlignmentParameters
 from versalignlib_tpu.types import Algorithm, Alignment, TieBreak, Trace
 
 
-def _sub_row(read_col, refs, match, mismatch):
+def _sub_row(read_col, refs, match, mismatch, matrix=None):
     """Substitution scores of one read column vs all ref positions.
 
     read_col: (B, 1) int32; refs: (B, n) int32 -> (B, n) int32.
+    Generic S x S ``matrix`` (static tuple) lowers to an XLA gather, which
+    the TPU backend turns into one-hot contractions; row/col 0 are zero so
+    padding and out-of-range codes score 0.
     """
+    if matrix is not None:
+        m = jnp.asarray(matrix, dtype=jnp.int32)
+        s = m.shape[0]
+        a = jnp.where((read_col >= 0) & (read_col < s), read_col, 0)
+        b = jnp.where((refs >= 0) & (refs < s), refs, 0)
+        return m[a, b]
     valid = ((read_col >= 1) & (read_col <= 4)) & ((refs >= 1) & (refs <= 4))
     sub = jnp.where(read_col == refs, jnp.int32(match), jnp.int32(mismatch))
     return jnp.where(valid, sub, jnp.int32(0))
@@ -91,7 +100,7 @@ def score_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm):
 
     def body(carry, read_col):
         prev, f_prev, best = carry  # prev: (B, n+1) H row
-        sub = _sub_row(read_col[:, None], refs, params.score_match, params.score_mismatch)
+        sub = _sub_row(read_col[:, None], refs, params.score_match, params.score_mismatch, params.matrix)
         if affine:
             f_row = jnp.maximum(
                 prev[:, 1:] + params.gap_open_ref + gap_ref, f_prev + gap_ref
@@ -182,7 +191,7 @@ def align_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm,
     def body(carry, x):
         i, read_col = x
         prev, best_score, best_i, best_j, h_keep = carry
-        sub = _sub_row(read_col[:, None], refs, params.score_match, params.score_mismatch)
+        sub = _sub_row(read_col[:, None], refs, params.score_match, params.score_mismatch, params.matrix)
         up_v = prev[:, 1:] + gap_ref
         diag_v = prev[:, :-1] + sub
         t = jnp.maximum(diag_v, up_v)
@@ -297,7 +306,7 @@ def align_affine_batch(reads, refs, params: AlignmentParameters,
     def body(carry, x):
         i, read_col = x
         prev, f_prev, best_score, best_i, best_j, h_keep = carry
-        sub = _sub_row(read_col[:, None], refs, params.score_match, params.score_mismatch)
+        sub = _sub_row(read_col[:, None], refs, params.score_match, params.score_mismatch, params.matrix)
         f_row = jnp.maximum(prev[:, 1:] + open_f + ext_f, f_prev + ext_f)
         diag_v = prev[:, :-1] + sub
         t = jnp.maximum(diag_v, f_row)
@@ -396,6 +405,9 @@ class XLABackend:
         return np.asarray(out, dtype=np.int32)
 
     def compute_alignments(self, algorithm, reads, refs, params, tie):
+        from versalignlib_tpu.params import require_matrix_canonical
+
+        require_matrix_canonical(params, tie)
         algorithm = Algorithm(algorithm)
         if params.affine:
             from versalignlib_tpu.ops.gotoh import require_canonical_tie

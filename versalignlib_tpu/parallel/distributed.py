@@ -168,6 +168,9 @@ def distributed_align_batch(
 
     if mesh is None:
         mesh = make_mesh()
+    from versalignlib_tpu.params import require_matrix_canonical
+
+    require_matrix_canonical(params, tie)
     affine = params.affine
     if affine:
         require_canonical_tie(tie)

@@ -44,6 +44,16 @@ class AlignmentParameters:
     score_gap_ref: int = -3
     gap_open_read: int = 0
     gap_open_ref: int = 0
+    #: Optional S x S substitution matrix indexed by code (ADDITIVE over the
+    #: reference, whose only alphabet is the 6x6 DNA table,
+    #: DefaultKernel.h:83-96). Code 0 is the padding sentinel: row 0 and
+    #: column 0 must be all-zero so the tail-batch '\0' fill-up semantics
+    #: stay exact. When set, ``score_match``/``score_mismatch`` are ignored
+    #: for substitution (gap penalties still apply) and input codes must be
+    #: < S (codes >= S score 0, like padding). Stored as a tuple of tuples —
+    #: hashable, so it participates in the jit static key like every other
+    #: field. See ``alphabet.encode_custom`` / ``alphabet.blosum62``.
+    matrix: tuple | None = None
 
     def __post_init__(self) -> None:
         for name in ("score_gap_read", "score_gap_ref"):
@@ -52,10 +62,27 @@ class AlignmentParameters:
         for name in ("gap_open_read", "gap_open_ref"):
             if getattr(self, name) > 0:
                 raise ValueError(f"{name} must be <= 0, got {getattr(self, name)}")
+        if self.matrix is not None:
+            m = tuple(tuple(int(v) for v in row) for row in self.matrix)
+            object.__setattr__(self, "matrix", m)
+            s = len(m)
+            if s < 2 or any(len(row) != s for row in m):
+                raise ValueError(f"matrix must be square with S >= 2, got {m!r}")
+            if any(m[0][j] != 0 for j in range(s)) or any(m[i][0] != 0 for i in range(s)):
+                raise ValueError(
+                    "matrix row 0 and column 0 must be zero (code 0 is the "
+                    "padding sentinel; nonzero padding scores would break "
+                    "tail-batch fill-up semantics)"
+                )
 
     @property
     def affine(self) -> bool:
         return self.gap_open_read != 0 or self.gap_open_ref != 0
+
+    @property
+    def sub_size(self) -> int:
+        """Alphabet size S of the substitution model (6 = reference table)."""
+        return 6 if self.matrix is None else len(self.matrix)
 
     # -- reference-compatible key/value view ---------------------------------
     # (mirrors AlignmentParameters::param_int / has_key,
@@ -80,3 +107,20 @@ class AlignmentParameters:
 DEFAULT_PARAMETERS = AlignmentParameters(
     score_match=2, score_mismatch=-1, score_gap_read=-3, score_gap_ref=-3
 )
+
+
+def require_matrix_canonical(params: "AlignmentParameters", tie) -> None:
+    """Custom matrices define pointers only in the canonical flavor.
+
+    The SSE flavor's DIAG gate ("both bases A/C/G/T",
+    SSEKernel.cpp:364-379) is DNA-specific and has no meaning for a generic
+    alphabet, so matrix-mode align paths raise instead of guessing.
+    """
+    from versalignlib_tpu.types import TieBreak
+
+    if params.matrix is not None and TieBreak(tie) != TieBreak.DIAG_UP_LEFT:
+        raise ValueError(
+            "custom substitution matrices define pointers only in the "
+            "canonical flavor (TieBreak.DIAG_UP_LEFT); the SSE flavor's "
+            "validity gate is DNA-specific"
+        )
