@@ -111,7 +111,7 @@ def batch_sweep() -> list[dict]:
         f = jnp.asarray(rng.integers(1, 5, size=(b, N)).astype(np.uint8))
         np.asarray(score_batch_device(r, f, p, Algorithm.SMITH_WATERMAN, interpret))
         best = float("inf")
-        for _ in range(5):
+        for _ in range(8):
             t0 = time.perf_counter()
             np.asarray(score_batch_device(r, f, p, Algorithm.SMITH_WATERMAN, interpret))
             best = min(best, time.perf_counter() - t0)
@@ -119,9 +119,12 @@ def batch_sweep() -> list[dict]:
                "gcups_raw": b * M * N / best / 1e9}
         if prev is not None:
             # Marginal rate between consecutive sizes cancels the fixed
-            # per-call overhead (25ms RTT on this workspace's tunnel).
-            row["gcups_marginal"] = ((b - prev["batch"]) * M * N /
-                                     max(best - prev["seconds"], 1e-9) / 1e9)
+            # per-call overhead (25ms RTT on this workspace's tunnel). When
+            # RTT jitter exceeds the compute delta (small batches on the
+            # tunnel), the marginal is meaningless — report null.
+            dt = best - prev["seconds"]
+            row["gcups_marginal"] = (
+                (b - prev["batch"]) * M * N / dt / 1e9 if dt > 1e-3 else None)
         out.append(row)
         prev = row
         marg = row.get("gcups_marginal")
