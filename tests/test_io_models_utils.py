@@ -346,3 +346,42 @@ def test_iter_fasta_streaming_matches_parse(tmp_path):
     chunks = list(iter_fasta_chunks(path, chunk_records=10))
     assert [s for c in chunks for s in c] == want
     assert all(len(c) <= 10 for c in chunks)
+
+
+def test_cli_banded_matrix_tie_flags(tmp_path):
+    from versalignlib_tpu.cli import main
+
+    # banded CLI path
+    rc = main(["--selftest", "--outdir", str(tmp_path / "b"), "--band", "16"])
+    assert rc == 0
+    assert (tmp_path / "b" / "alignments_smith_waterman.txt").exists()
+    # blosum62 protein path (selftest data is DNA chars, all in the protein
+    # alphabet, so it encodes fine)
+    rc = main(["--selftest", "--outdir", str(tmp_path / "m"),
+               "--matrix", "blosum62", "--backend", "xla",
+               "--gap-read", "-11", "--gap-ref", "-11"])
+    assert rc == 0
+    # sse tie flavor
+    rc = main(["--selftest", "--outdir", str(tmp_path / "t"), "--tie", "sse",
+               "--backend", "xla"])
+    assert rc == 0
+    # matrix file without alphabet -> argparse error
+    mf = tmp_path / "m.tsv"
+    mf.write_text("0 0\n0 3\n")
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        main(["--selftest", "--outdir", str(tmp_path), "--matrix", str(mf)])
+    rc = main(["--selftest", "--outdir", str(tmp_path / "mf"),
+               "--matrix", str(mf), "--alphabet", "A", "--backend", "xla"])
+    assert rc == 0
+
+
+def test_protein_model_family():
+    from versalignlib_tpu.models import (affine_needleman_wunsch,
+                                         protein_smith_waterman)
+
+    m = protein_smith_waterman()
+    aln = m.align(["MKTWQERLLA"], ["MKTFQERLLA"], backend="oracle")[0]
+    assert aln.cigar == "10M"
+    nw = affine_needleman_wunsch()
+    assert nw.params.affine and nw.algorithm.name == "NEEDLEMAN_WUNSCH"

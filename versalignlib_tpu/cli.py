@@ -82,6 +82,22 @@ def main(argv=None) -> int:
     ap.add_argument("--gap-ref", type=int, default=-3)
     ap.add_argument("--gap-open", type=int, default=0,
                     help="affine gap-open penalty (0 = linear, reference model)")
+    ap.add_argument("--band", type=int, default=0,
+                    help="banded alignment with this band width (0 = dense; "
+                         "use for long pairs, e.g. --band 512 for 10-100kbp)")
+    ap.add_argument("--band-tile", type=int, default=64,
+                    help="row tile of the banded kernels (auto-clamped to VMEM)")
+    ap.add_argument("--matrix", default=None,
+                    help="substitution matrix: 'blosum62' or a whitespace TSV "
+                         "file of SxS ints (row/col 0 must be zero); implies "
+                         "--alphabet for encoding")
+    ap.add_argument("--alphabet", default=None,
+                    help="custom alphabet string (char i -> code i+1); "
+                         "defaults to the protein alphabet with "
+                         "--matrix blosum62, else the reference DNA table")
+    ap.add_argument("--tie", choices=["canonical", "sse"], default="canonical",
+                    help="traceback tie-break flavor: canonical = Default/"
+                         "OpenCL (DIAG>UP>LEFT), sse = SSE/AVX (DIAG>LEFT>UP)")
     ap.add_argument("--bench", action="store_true",
                     help="run the backend benchmark table afterwards")
     ap.add_argument("--reference-compat", action="store_true",
@@ -93,11 +109,36 @@ def main(argv=None) -> int:
                     help="run on synthetic sequences instead of files")
     args = ap.parse_args(argv)
 
+    matrix = None
+    alphabet = args.alphabet
+    if args.matrix:
+        from versalignlib_tpu.alphabet import PROTEIN_ALPHABET, blosum62
+
+        if args.matrix.lower() == "blosum62":
+            matrix = blosum62()
+            alphabet = alphabet or PROTEIN_ALPHABET
+        elif not pathlib.Path(args.matrix).is_file():
+            ap.error(f"--matrix {args.matrix!r} is neither a known matrix "
+                     "name ('blosum62') nor an existing file")
+        else:
+            rows = [[int(v) for v in line.split()]
+                    for line in pathlib.Path(args.matrix).read_text().splitlines()
+                    if line.strip()]
+            matrix = tuple(tuple(r) for r in rows)
+            if alphabet is None:
+                ap.error("--matrix FILE requires --alphabet")
+
     params = AlignmentParameters(
         score_match=args.match, score_mismatch=args.mismatch,
         score_gap_read=args.gap_read, score_gap_ref=args.gap_ref,
         gap_open_read=args.gap_open, gap_open_ref=args.gap_open,
+        matrix=matrix,
     )
+    from versalignlib_tpu.types import TieBreak
+    tie = TieBreak.DIAG_UP_LEFT if args.tie == "canonical" else TieBreak.DIAG_LEFT_UP
+    if args.tie == "sse" and (args.band or matrix is not None or params.affine):
+        ap.error("--tie sse is DNA/dense/linear only: banded, matrix, and "
+                 "affine pointers are defined in the canonical flavor")
 
     if args.selftest:
         rng = np.random.default_rng(0)
@@ -119,17 +160,42 @@ def main(argv=None) -> int:
 
     outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
-    try:
-        engine = AlignmentEngine(params=params, backend=args.backend)
-    except KeyError as exc:
-        ap.error(str(exc.args[0] if exc.args else exc))
-    _log.info("using backend %s over %d pairs", engine.backend.name, len(reads))
+
+    if alphabet is not None:
+        from versalignlib_tpu.alphabet import encode_custom
+
+        reads_in = encode_custom(reads, alphabet)
+        refs_in = encode_custom(refs, alphabet)
+    else:
+        reads_in, refs_in = reads, refs
+
+    if args.band:
+        from versalignlib_tpu.models.base import AlignmentModel
+
+        _log.info("banded path (band=%d) over %d pairs", args.band, len(reads))
+
+        def run(algorithm):
+            model = AlignmentModel("cli_banded", algorithm, params, tie,
+                                   banded=True, band=args.band,
+                                   band_tile=args.band_tile)
+            return (model.score(reads_in, refs_in),
+                    model.align(reads_in, refs_in))
+    else:
+        try:
+            engine = AlignmentEngine(params=params, backend=args.backend,
+                                     tie=tie)
+        except KeyError as exc:
+            ap.error(str(exc.args[0] if exc.args else exc))
+        _log.info("using backend %s over %d pairs", engine.backend.name, len(reads))
+
+        def run(algorithm):
+            return (engine.score_alignments(algorithm, reads_in, refs_in),
+                    engine.compute_alignments(algorithm, reads_in, refs_in))
 
     for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
-        scores = engine.score_alignments(algorithm, reads, refs)
+        scores, alns = run(algorithm)
         _write_scores(outdir / OUT_FILES[(algorithm, "score")], reads, refs,
                       scores, compat=args.reference_compat)
-        alns = engine.compute_alignments(algorithm, reads, refs)
         _write_alignments(outdir / OUT_FILES[(algorithm, "align")], alns,
                           compat=args.reference_compat)
         print(f"{algorithm.name}: wrote {len(reads)} scores + alignments")

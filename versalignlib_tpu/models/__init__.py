@@ -16,9 +16,11 @@ Families:
 
 from versalignlib_tpu.models.base import AlignmentModel
 from versalignlib_tpu.models.families import (
+    affine_needleman_wunsch,
     affine_smith_waterman,
     banded_needleman_wunsch,
     banded_smith_waterman,
+    protein_smith_waterman,
     needleman_wunsch,
     smith_waterman,
 )
@@ -27,7 +29,9 @@ __all__ = [
     "AlignmentModel",
     "smith_waterman",
     "needleman_wunsch",
+    "affine_needleman_wunsch",
     "affine_smith_waterman",
     "banded_smith_waterman",
+    "protein_smith_waterman",
     "banded_needleman_wunsch",
 ]

@@ -26,16 +26,26 @@ class AlignmentModel:
     banded: bool = False
     band: int = 512
     band_tile: int = 256
+    #: custom alphabet string for encoding (None = the reference DNA table);
+    #: char i maps to code i+1, code 0 stays the padding sentinel.
+    alphabet: str | None = None
+
+    def _encode_seqs(self, seqs):
+        if self.alphabet is None:
+            return pad_and_encode(seqs)
+        from versalignlib_tpu.alphabet import encode_custom
+
+        return encode_custom(seqs, self.alphabet)
 
     def _encode(self, reads, refs):
         if isinstance(reads, np.ndarray) and reads.dtype == np.uint8 and reads.ndim == 2:
             reads_enc = reads
         else:
-            reads_enc = pad_and_encode(reads)
+            reads_enc = self._encode_seqs(reads)
         if isinstance(refs, np.ndarray) and refs.dtype == np.uint8 and refs.ndim == 2:
             refs_enc = refs
         else:
-            refs_enc = pad_and_encode(refs)
+            refs_enc = self._encode_seqs(refs)
         if reads_enc.shape[0] != refs_enc.shape[0]:
             raise ValueError(
                 f"read/ref counts differ: {reads_enc.shape[0]} vs {refs_enc.shape[0]}"
@@ -64,6 +74,11 @@ class AlignmentModel:
         if self.banded:
             from versalignlib_tpu.ops.banded import banded_align_batch
 
+            if self.tie != TieBreak.DIAG_UP_LEFT:
+                raise ValueError(
+                    "banded alignment defines pointers only in the canonical "
+                    "flavor (TieBreak.DIAG_UP_LEFT); see banded_align_oracle"
+                )
             reads_enc, refs_enc = self._encode(reads, refs)
             return banded_align_batch(
                 reads_enc, refs_enc, self.params, self.algorithm,

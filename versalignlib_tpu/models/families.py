@@ -37,6 +37,38 @@ def affine_smith_waterman(
     return AlignmentModel("affine_smith_waterman", Algorithm.SMITH_WATERMAN, p)
 
 
+def affine_needleman_wunsch(
+    gap_open: int = -4,
+    gap_extend: int = -1,
+    params: AlignmentParameters = DEFAULT_PARAMETERS,
+) -> AlignmentModel:
+    """Gotoh affine-gap semi-global alignment (additive over the reference)."""
+    p = params.replace(
+        gap_open_read=gap_open, gap_open_ref=gap_open,
+        score_gap_read=gap_extend, score_gap_ref=gap_extend,
+    )
+    return AlignmentModel("affine_needleman_wunsch", Algorithm.NEEDLEMAN_WUNSCH, p)
+
+
+def protein_smith_waterman(
+    gap_open: int = -10,
+    gap_extend: int = -1,
+    matrix: tuple | None = None,
+) -> AlignmentModel:
+    """BLOSUM62 protein local alignment (additive: the reference is
+    DNA-only). Sequences are encoded against ``alphabet.PROTEIN_ALPHABET``;
+    pass a custom ``matrix`` (with zero padding row/col 0) to override."""
+    from versalignlib_tpu.alphabet import PROTEIN_ALPHABET, blosum62
+
+    p = AlignmentParameters(
+        score_gap_read=gap_extend, score_gap_ref=gap_extend,
+        gap_open_read=gap_open, gap_open_ref=gap_open,
+        matrix=blosum62() if matrix is None else matrix,
+    )
+    return AlignmentModel("protein_smith_waterman", Algorithm.SMITH_WATERMAN,
+                          p, alphabet=PROTEIN_ALPHABET)
+
+
 def banded_smith_waterman(
     band: int = 512,
     tile: int = 256,

@@ -864,6 +864,44 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
             keep_out_ref[0] = keep_s[...]
 
 
+def _banded_align_vmem(tile: int, win: int, shift_cap: int, keep_rows: int,
+                       affine: bool) -> int:
+    """VMEM plan of the banded align kernel (the ptr-tile double buffer
+    dominates: 2 * tile * win/8 blocks of 4KB)."""
+    state_rows = win + shift_cap
+    return 4 * BLOCK_PAIRS * (
+        2 * tile            # reads blocks (double-buffered)
+        + 2 * tile * (win // 8)  # ptr out blocks (double-buffered)
+        + 2 * (4 + keep_rows + 1)             # best/keep out + mrp in
+        + state_rows * (2 if affine else 1)   # state (+ fstate) scratch
+        + 2 * win           # refwin + bounce scratch
+        + keep_rows + 4     # keep_s + best_s scratch
+    ) + 4 * 1024 * 1024
+
+
+def _clamp_align_tile(tile: int, m: int, n: int, band: int,
+                      affine: bool, local: bool) -> int:
+    """Shrink the row tile until the kernel's VMEM plan fits the device
+    (models may pass score-path tiles like 256, whose pointer double-buffer
+    alone exceeds VMEM)."""
+    from versalignlib_tpu.utils.capabilities import probe
+
+    budget = probe().vmem_bytes
+    if budget == 0:
+        return tile  # CPU / interpret: no VMEM constraint
+    while tile > 8:
+        m_pad = -(-m // tile) * tile
+        offs = band_offsets(m_pad, m, n, band)
+        d = max(int(np.diff(offs).max(initial=1)), 1) if m_pad > 1 else 1
+        shift_cap = tile * d
+        win = -(-(band + shift_cap) // 8) * 8
+        keep_rows = win if not local else 1
+        if _banded_align_vmem(tile, win, shift_cap, keep_rows, affine) <= budget:
+            break
+        tile //= 2
+    return tile
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("params", "algorithm", "band", "tile", "d_max", "interpret"),
@@ -894,14 +932,7 @@ def _banded_align_blocks(reads_b, refs_b, offsets, win_starts, mrp_b, params,
         shift_cap=shift_cap, n=n, n_tiles=n_tiles, params=params, local=local,
     )
     state_rows = win + shift_cap
-    vmem_bytes = 4 * BLOCK_PAIRS * (
-        2 * tile            # reads blocks (double-buffered)
-        + 2 * tile * wc     # ptr out blocks (double-buffered)
-        + 2 * (4 + keep_rows + 1)             # best/keep out + mrp in
-        + state_rows * (2 if affine else 1)   # state (+ fstate) scratch
-        + 2 * win           # refwin + bounce scratch
-        + keep_rows + 4     # keep_s + best_s scratch
-    ) + 4 * 1024 * 1024
+    vmem_bytes = _banded_align_vmem(tile, win, shift_cap, keep_rows, affine)
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -989,6 +1020,8 @@ def banded_align_batch(
         ]
     band = min(band, n)
     tile = min(tile, max(8, m))
+    if not interpret:
+        tile = _clamp_align_tile(tile, m, n, band, params.affine, local)
     m_pad = -(-m // tile) * tile
     g = max(1, -(-b // BLOCK_PAIRS))
     b_pad = g * BLOCK_PAIRS
