@@ -106,6 +106,25 @@ def main() -> int:
                                            odd_refs, p_aff)
     check("align/affine/odd-ref-len", same_alignments(got, want))
 
+    print("== matrix mode (compiled) ==")
+    mrng = np.random.default_rng(7)
+    mm = mrng.integers(-4, 5, size=(6, 6))
+    np.fill_diagonal(mm, 5)
+    mm[0, :] = 0
+    mm[:, 0] = 0
+    p_mat = AlignmentParameters(score_gap_read=-3, score_gap_ref=-3,
+                                matrix=tuple(tuple(int(v) for v in r) for r in mm))
+    for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        got = scorer(reads[:64], refs[:64], p_mat, alg)
+        want = oracle.score_alignments(alg, reads[:64], refs[:64], p_mat)
+        check(f"matrix/score/{alg.name}", np.array_equal(got, want))
+    got = pallas_align_batch(reads[:16], refs[:16], p_mat,
+                             Algorithm.SMITH_WATERMAN,
+                             TieBreak.DIAG_UP_LEFT, interpret=False)
+    want = oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads[:16],
+                                     refs[:16], p_mat, TieBreak.DIAG_UP_LEFT)
+    check("matrix/align/SMITH_WATERMAN", same_alignments(got, want))
+
     print("== banded kernels (compiled) ==")
     m, n, band, tile = 300, 340, 64, 32
     reads_b = rng.integers(0, 6, size=(16, m)).astype(np.uint8)
