@@ -109,13 +109,22 @@ def main() -> int:
                         jnp.asarray(reads), jnp.asarray(refs), p, algorithm
                     ), dtype=np.int32)
             else:
+                # raw column-store results: the per-pair Alignment object
+                # build costs ~6x the C++ decode (see types.AlignmentBatch).
+                from versalignlib_tpu import native
+
+                raw = native.available()
                 alns = pallas_align_batch(reads, refs, p, algorithm,
-                                          interpret=not on_tpu)
-                scores = np.array([a.score for a in alns], dtype=np.int32)
+                                          interpret=not on_tpu, raw=raw)
+                scores = (np.asarray(alns.scores, dtype=np.int32) if raw
+                          else np.array([a.score for a in alns], dtype=np.int32))
                 out = pathlib.Path(args.ckpt) / f"alignments_{c:06d}.txt"
                 with open(out, "w") as f:
-                    for a in alns:
-                        f.write(f"{a.cigar}\t{a.score}\t{a.read}\t{a.ref}\n")
+                    if raw:
+                        alns.write_to(f)
+                    else:
+                        for a in alns:
+                            f.write(f"{a.read}\n{a.ref}\n{a.cigar}\t{a.score}\n")
         ckpt.commit(c, lo, scores)
         if (c % 8) == 0:
             print(f"  chunk {c}: {meter.report()}")

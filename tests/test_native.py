@@ -117,3 +117,36 @@ def test_native_decoder_fuzz_vs_python(rng, default_params):
             ]
             for g, w in zip(got, want):
                 assert g == w, (trial, algorithm, g, w)
+
+
+def test_raw_alignment_batch_matches_objects(rng, default_params):
+    # raw=True column store must materialize identical Alignments lazily.
+    import io as _io
+
+    from tests.conftest import random_codes
+    from versalignlib_tpu import native
+    from versalignlib_tpu.ops.pallas_align import pallas_align_batch
+    from versalignlib_tpu.types import Algorithm, TieBreak
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    reads = random_codes(rng, 20, 14, padded=True)
+    refs = random_codes(rng, 20, 18, padded=True)
+    for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        objs = pallas_align_batch(reads, refs, default_params, alg,
+                                  TieBreak.DIAG_UP_LEFT, interpret=True)
+        batch = pallas_align_batch(reads, refs, default_params, alg,
+                                   TieBreak.DIAG_UP_LEFT, interpret=True,
+                                   raw=True)
+        assert len(batch) == len(objs)
+        np.testing.assert_array_equal(batch.scores, [a.score for a in objs])
+        for got, want in zip(batch, objs):
+            assert (got.read, got.ref, got.score, got.cigar,
+                    got.read_start, got.ref_start) == \
+                (want.read, want.ref, want.score, want.cigar,
+                 want.read_start, want.ref_start)
+        buf = _io.StringIO()
+        batch.write_to(buf)
+        lines = buf.getvalue().splitlines()
+        assert len(lines) == 3 * len(objs)
+        assert lines[0] == objs[0].read and lines[1] == objs[0].ref

@@ -350,6 +350,7 @@ def pallas_align_batch(
     chunk_pairs: int | None = None,
     read_texts: list[str] | None = None,
     ref_texts: list[str] | None = None,
+    raw: bool = False,
 ) -> list[Alignment]:
     """Full-batch alignment: Pallas pointer fill + host traceback decode.
 
@@ -358,6 +359,10 @@ def pallas_align_batch(
     batching (OpenCLKernel.cpp:517-568) with the budget set by the
     device->host link (the pointer stream dominates: 2 bits/cell). Device
     dispatch is pipelined one chunk ahead of the host decode.
+
+    ``raw=True`` returns a :class:`~versalignlib_tpu.types.AlignmentBatch`
+    column store (requires the native decoder) — ~6x faster than
+    materializing per-pair ``Alignment`` objects; use for bulk pipelines.
     """
     from versalignlib_tpu.params import require_matrix_canonical
 
@@ -405,20 +410,25 @@ def pallas_align_batch(
         if len(pending) < 2 and idx + 1 < len(starts):
             continue
         lo, r_np, f_np, mrp, g, (ptr, aux, hsel) = pending.pop(0)
-        results.extend(_decode_chunk(
+        results.append(_decode_chunk(
             lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm, tie,
-            pack, n, read_texts, ref_texts,
+            pack, n, read_texts, ref_texts, raw,
         ))
     for lo, r_np, f_np, mrp, g, (ptr, aux, hsel) in pending:
-        results.extend(_decode_chunk(
+        results.append(_decode_chunk(
             lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm, tie,
-            pack, n, read_texts, ref_texts,
+            pack, n, read_texts, ref_texts, raw,
         ))
-    return results
+    if raw:
+        from versalignlib_tpu.types import AlignmentBatch
+
+        return AlignmentBatch.concat(results)
+    return [a for chunk in results for a in chunk]
 
 
 def _decode_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
-                  tie, pack, n, read_texts, ref_texts) -> list[Alignment]:
+                  tie, pack, n, read_texts, ref_texts,
+                  raw: bool = False) -> list[Alignment]:
     local = algorithm == Algorithm.SMITH_WATERMAN
     m = r_np.shape[1]
     nb = r_np.shape[0]
@@ -456,13 +466,13 @@ def _decode_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
     try:
         from versalignlib_tpu.native import decode_batch_native
 
-        results.extend(
-            decode_batch_native(
-                (ptr, pack), r_np, f_np, start_r, start_f, params,
-                algorithm, scores, rt, ft,
-            )
+        return decode_batch_native(
+            (ptr, pack), r_np, f_np, start_r, start_f, params,
+            algorithm, scores, rt, ft, raw=raw,
         )
     except ImportError:
+        if raw:
+            raise  # raw mode requires the native decoder
         for k in range(nb):
             results.append(
                 tb.decode_one(

@@ -96,6 +96,77 @@ class Alignment:
         return len(self.read)
 
 
+class AlignmentBatch:
+    """Column-store alignment results — zero Python objects per pair.
+
+    The native decoder writes gapped strings/CIGARs/metadata into flat
+    arrays; building one :class:`Alignment` dataclass per pair costs ~6x the
+    C++ walk itself (measured 735k alns/s raw vs 119k materialized), so bulk
+    pipelines request ``raw=True`` and consume the arrays directly (or index
+    lazily — ``batch[i]`` materializes a single :class:`Alignment`).
+
+    Columns: ``read_gapped``/``ref_gapped`` (b, aln_cap) uint8 ('-' gaps,
+    NUL-padded tails), ``cigar`` (b, cigar_cap) uint8, ``meta`` (b, 8) int32
+    [score, read_start, read_end, ref_start, ref_end, aln_len, buffer_start,
+    cigar_len].
+    """
+
+    def __init__(self, read_gapped, ref_gapped, cigar, meta):
+        self.read_gapped = read_gapped
+        self.ref_gapped = ref_gapped
+        self.cigar = cigar
+        self.meta = meta
+
+    def __len__(self) -> int:
+        return self.meta.shape[0]
+
+    @property
+    def scores(self):
+        return self.meta[:, 0]
+
+    def __getitem__(self, k: int) -> "Alignment":
+        (score, rs, re_, fs, fe, aln_len, buf_start, clen) = (
+            int(x) for x in self.meta[k])
+        return Alignment(
+            read=self.read_gapped[k, :aln_len].tobytes().decode("latin-1"),
+            ref=self.ref_gapped[k, :aln_len].tobytes().decode("latin-1"),
+            score=score,
+            cigar=self.cigar[k, :clen].tobytes().decode("ascii"),
+            read_start=rs, read_end=re_, ref_start=fs, ref_end=fe,
+            buffer_start=buf_start,
+            buffer_end=self.read_gapped.shape[1] - 1,
+        )
+
+    def __iter__(self):
+        return (self[k] for k in range(len(self)))
+
+    @staticmethod
+    def concat(batches: list["AlignmentBatch"]) -> "AlignmentBatch":
+        import numpy as _np
+
+        return AlignmentBatch(
+            _np.concatenate([b.read_gapped for b in batches]),
+            _np.concatenate([b.ref_gapped for b in batches]),
+            _np.concatenate([b.cigar for b in batches]),
+            _np.concatenate([b.meta for b in batches]),
+        )
+
+    def write_to(self, fileobj, compat: bool = False) -> None:
+        """Stream alignments to a text file without materializing objects
+        (``compat``: the reference's two-lines+blank format, main.cpp:146-153;
+        else the extended ``read/ref/cigar\\tscore`` format)."""
+        rg, fg, cg, meta = self.read_gapped, self.ref_gapped, self.cigar, self.meta
+        for k in range(len(self)):
+            aln_len = int(meta[k, 5])
+            r = rg[k, :aln_len].tobytes().decode("latin-1")
+            f = fg[k, :aln_len].tobytes().decode("latin-1")
+            if compat:
+                fileobj.write(f"{r}\n{f}\n\n")
+            else:
+                c = cg[k, : int(meta[k, 7])].tobytes().decode("ascii")
+                fileobj.write(f"{r}\n{f}\n{c}\t{int(meta[k, 0])}\n")
+
+
 def cigar_from_gapped(read_gapped: str, ref_gapped: str) -> str:
     """Derive a CIGAR string (M/I/D run-length) from two gapped strings.
 
