@@ -257,3 +257,22 @@ def test_banded_python_fallback_matches_native(rng, default_params):
                         g.read_start, g.ref_start) == \
                     (w.read, w.ref, w.score, w.cigar,
                      w.read_start, w.ref_start)
+
+
+def test_banded_raw_batch_matches_objects(rng, default_params):
+    from versalignlib_tpu import native
+    from versalignlib_tpu.ops.banded import banded_align_batch
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    reads = random_codes(rng, 6, 24, padded=True)
+    refs = random_codes(rng, 6, 30, padded=True)
+    objs = banded_align_batch(reads, refs, default_params,
+                              Algorithm.NEEDLEMAN_WUNSCH, band=12, tile=6,
+                              interpret=True)
+    batch = banded_align_batch(reads, refs, default_params,
+                               Algorithm.NEEDLEMAN_WUNSCH, band=12, tile=6,
+                               interpret=True, raw=True)
+    for got, want in zip(batch, objs):
+        assert (got.read, got.ref, got.score, got.cigar) == \
+            (want.read, want.ref, want.score, want.cigar)

@@ -256,9 +256,14 @@ def decode_banded_native(
     algorithm,
     scores: np.ndarray,
     n_threads: int | None = None,
+    raw: bool = False,
 ):
-    """Banded traceback decode through the C++ library (linear or affine)."""
-    from versalignlib_tpu.types import Alignment
+    """Banded traceback decode through the C++ library (linear or affine).
+
+    ``raw=True`` returns an :class:`~versalignlib_tpu.types.AlignmentBatch`
+    (see :func:`decode_batch_native`).
+    """
+    from versalignlib_tpu.types import Alignment, AlignmentBatch
 
     lib = _load()
     if lib is None:
@@ -298,6 +303,8 @@ def decode_banded_native(
     )
     if rc != 0:
         raise RuntimeError(f"val_decode_banded failed: {rc}")
+    if raw:
+        return AlignmentBatch(read_g, ref_g, cigar, meta)
     out = []
     rg_bytes = read_g.tobytes()
     fg_bytes = ref_g.tobytes()

@@ -991,6 +991,7 @@ def banded_align_batch(
     band: int = 512,
     tile: int = 64,
     interpret: bool | None = None,
+    raw: bool = False,
 ):
     """Banded full alignment: Pallas pointer fill + host band walk.
 
@@ -1087,9 +1088,11 @@ def banded_align_batch(
 
         return decode_banded_native(
             ptr, band, win, offsets_np, wbase_np, reads_np, refs_np,
-            starts_r, starts_f, params, algorithm, scores,
+            starts_r, starts_f, params, algorithm, scores, raw=raw,
         )
     except ImportError:
+        if raw:
+            raise  # raw mode requires the native decoder
         return [
             _banded_decode_one(
                 ptr[k], reads_np[k], refs_np[k], offsets_np, wbase_np, band,
