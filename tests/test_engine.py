@@ -116,3 +116,69 @@ def test_cross_backend_consistency_sweep():
                 assert (a0.read, a0.ref, a0.score, a0.cigar) == \
                        (a1.read, a1.ref, a1.score, a1.cigar) == \
                        (a2.read, a2.ref, a2.score, a2.cigar), (trial, algorithm)
+
+
+def test_cross_backend_consistency_sweep_extended():
+    """Randomized agreement sweep over the ADDITIVE surfaces: affine gaps,
+    custom matrices, and banded align — every trial draws params/shapes and
+    checks oracle == xla == pallas (and kernel == banded oracle)."""
+    import numpy as np
+
+    from tests.conftest import random_codes
+    from versalignlib_tpu import AlignmentParameters, get_backend
+    from versalignlib_tpu.ops.banded import (band_offsets, banded_align_batch,
+                                             banded_align_oracle)
+    from versalignlib_tpu.types import TieBreak
+
+    rng = np.random.default_rng(1234)
+    backends = [get_backend("oracle"), get_backend("xla"), get_backend("pallas")]
+    for trial in range(4):
+        affine = bool(rng.integers(0, 2))
+        use_matrix = bool(rng.integers(0, 2))
+        matrix = None
+        if use_matrix:
+            mm = rng.integers(-3, 4, size=(6, 6))
+            np.fill_diagonal(mm, rng.integers(2, 6, size=6))
+            mm[0, :] = 0
+            mm[:, 0] = 0
+            matrix = tuple(tuple(int(v) for v in r) for r in mm)
+        p = AlignmentParameters(
+            score_match=int(rng.integers(1, 4)),
+            score_mismatch=-int(rng.integers(1, 4)),
+            score_gap_read=-int(rng.integers(1, 4)),
+            score_gap_ref=-int(rng.integers(1, 4)),
+            gap_open_read=-int(rng.integers(1, 5)) if affine else 0,
+            gap_open_ref=-int(rng.integers(1, 5)) if affine else 0,
+            matrix=matrix,
+        )
+        b = int(rng.integers(3, 8))
+        mlen = int(rng.integers(6, 24))
+        nlen = int(rng.integers(6, 28))
+        reads = random_codes(rng, b, mlen, padded=True, n_prob=0.1)
+        refs = random_codes(rng, b, nlen, padded=True, n_prob=0.1)
+        ctx = (trial, affine, use_matrix)
+        for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+            scores = [bk.score_alignments(algorithm, reads, refs, p)
+                      for bk in backends]
+            np.testing.assert_array_equal(scores[0], scores[1], err_msg=str(ctx))
+            np.testing.assert_array_equal(scores[0], scores[2], err_msg=str(ctx))
+            alns = [bk.compute_alignments(algorithm, reads, refs, p,
+                                          TieBreak.DIAG_UP_LEFT)
+                    for bk in backends]
+            for a0, a1, a2 in zip(*alns):
+                assert (a0.read, a0.ref, a0.score, a0.cigar) == \
+                       (a1.read, a1.ref, a1.score, a1.cigar) == \
+                       (a2.read, a2.ref, a2.score, a2.cigar), ctx
+
+            # banded align vs its oracle at a random band/tile
+            band = int(rng.integers(4, nlen + 1))
+            tile = int(rng.integers(2, max(3, mlen // 2)))
+            m_pad = -(-mlen // tile) * tile
+            offs = band_offsets(m_pad, mlen, nlen, min(band, nlen))
+            got = banded_align_batch(reads, refs, p, algorithm, band=band,
+                                     tile=tile, interpret=True)
+            want = [banded_align_oracle(r, f, p, min(band, nlen), algorithm, offs)
+                    for r, f in zip(reads, refs)]
+            for g, w in zip(got, want):
+                assert (g.read, g.ref, g.score, g.cigar) == \
+                    (w.read, w.ref, w.score, w.cigar), (ctx, band, tile)
