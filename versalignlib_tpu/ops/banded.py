@@ -436,11 +436,9 @@ def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
                     sub = sub_of(rctxs[r], cctx)
                     if affine:
                         f_val = jnp.maximum(
-                            jnp.maximum(up + open_f + gap_ref, f_up + gap_ref),
-                            neg_inf)
+                            jnp.maximum(up + open_f, f_up) + gap_ref, neg_inf)
                         e_val = jnp.maximum(
-                            jnp.maximum(lefts[r] + open_r + gap_read,
-                                        evals[r] + gap_read),
+                            jnp.maximum(lefts[r] + open_r, evals[r]) + gap_read,
                             neg_inf)
                         cur = jnp.maximum(jnp.maximum(diags[r] + sub, f_val),
                                           e_val)
@@ -776,10 +774,10 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
                     if affine:
                         f_raw = f_up + gap_ref
                         f_val = jnp.maximum(
-                            jnp.maximum(up + open_f + gap_ref, f_raw), neg_inf)
+                            jnp.maximum(up + open_f, f_up) + gap_ref, neg_inf)
                         e_raw = evals[r] + gap_read
                         e_val = jnp.maximum(
-                            jnp.maximum(lefts[r] + open_r + gap_read, e_raw),
+                            jnp.maximum(lefts[r] + open_r, evals[r]) + gap_read,
                             neg_inf)
                         cur = jnp.maximum(jnp.maximum(diag_v, f_val), e_val)
                     else:

@@ -585,10 +585,13 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
             new_lefts, new_diags, new_evals = [], [], []
             for r in range(R):
                 sub = sub_of(rctxs[r], cctx)
-                f_raw = f_up + ext_f
-                f_val = jnp.maximum(up + open_f + ext_f, f_raw)
-                e_raw = evals[r] + ext_r
-                e_new = jnp.maximum(lefts[r] + open_r + ext_r, e_raw)
+                # max(a+c, b+c) == max(a,b)+c (exact in ints); the extend
+                # bits compare the pre-add maxes: f_val == f_up+ext iff
+                # max(up+open, f_up) == f_up.
+                f_pre = jnp.maximum(up + open_f, f_up)
+                f_val = f_pre + ext_f
+                e_pre = jnp.maximum(lefts[r] + open_r, evals[r])
+                e_new = e_pre + ext_r
                 diag_v = diags[r] + sub
                 cur = jnp.maximum(jnp.maximum(diag_v, f_val), e_new)
                 if local:
@@ -599,8 +602,8 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
                                          jnp.where(cur == e_new, l_code, s_code)))
                 if local:
                     hp = jnp.where(cur == 0, s_code, hp)
-                code = hp | ((e_new == e_raw).astype(jnp.int32) << 2) \
-                    | ((f_val == f_raw).astype(jnp.int32) << 3)
+                code = hp | ((e_pre == evals[r]).astype(jnp.int32) << 2) \
+                    | ((f_pre == f_up).astype(jnp.int32) << 3)
                 words[r] = words[r] | (code << (4 * u))
 
                 gt = cur > bests[r]

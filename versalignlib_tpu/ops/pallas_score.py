@@ -187,11 +187,11 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
                     for r in range(R):
                         s = sub_of(rctxs[r], cctx)
                         if affine:
-                            f_val = jnp.maximum(up + open_ref + gap_ref,
-                                                f_up + gap_ref)
-                            e_val = jnp.maximum(
-                                lefts[r] + open_read + gap_read,
-                                evals[r] + gap_read)
+                            # max(a+c, b+c) == max(a,b)+c: one add saved per
+                            # gap arm (exact in ints).
+                            f_val = jnp.maximum(up + open_ref, f_up) + gap_ref
+                            e_val = jnp.maximum(lefts[r] + open_read,
+                                                evals[r]) + gap_read
                             # SW: fuse the zero-clamp into the e-branch max.
                             e_in = jnp.maximum(e_val, 0) if local else e_val
                             cur = jnp.maximum(jnp.maximum(diags[r] + s, f_val),
