@@ -190,11 +190,13 @@ def main() -> int:
                                               Algorithm.SMITH_WATERMAN, False))
             return go
 
-        # score: build inputs once per size, time the kernel only
+        # score: build inputs once per size, time the kernel only. Wide
+        # spread (4096/32768) so the marginal's denominator dwarfs the
+        # tunnel's RTT jitter (same rationale as bench.py).
         runs = {}
-        for b_ in (4096, 16384):
+        for b_ in (4096, 32768):
             runs[b_] = score_run(b_)
-        perf["score_sw_512_gcups"] = marginal(lambda b_: runs[b_](), (4096, 16384),
+        perf["score_sw_512_gcups"] = marginal(lambda b_: runs[b_](), (4096, 32768),
                                               512 * 512)
         print(f"  SW score 512x512: {perf['score_sw_512_gcups']:.1f} GCUPS")
 
@@ -251,6 +253,14 @@ def main() -> int:
 
     failures = sum(1 for ok in checks.values() if not ok)
     rnd = _infer_round()
+    if not perf:
+        # --quick / --no-perf runs keep the last full run's perf numbers so
+        # a correctness-only re-check never clobbers the round artifact.
+        try:
+            perf = json.loads((ROOT / "TPU_CHECK.json").read_text()).get(
+                "perf", {})
+        except (OSError, ValueError):
+            perf = {}
     artifact = {
         "round": rnd,
         "platform": platform,
