@@ -276,3 +276,48 @@ def test_banded_raw_batch_matches_objects(rng, default_params):
     for got, want in zip(batch, objs):
         assert (got.read, got.ref, got.score, got.cigar) == \
             (want.read, want.ref, want.score, want.cigar)
+
+
+def test_banded_align_multi_chunk_matches_single_shot(rng, default_params):
+    # Pair-chunked dispatch (the 64MB link-budget path) must be invisible:
+    # 3 blocks of 1024 pairs through chunk_blocks=1 == one single-shot call.
+    from versalignlib_tpu.ops.banded import banded_align_batch
+
+    b = 2 * 1024 + 37  # 3 blocks, ragged tail
+    reads = random_codes(rng, b, 16, padded=True, n_prob=0.05)
+    refs = random_codes(rng, b, 20, padded=True, n_prob=0.05)
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        chunked = banded_align_batch(reads, refs, default_params, algorithm,
+                                     band=12, tile=8, interpret=True,
+                                     chunk_blocks=1)
+        single = banded_align_batch(reads, refs, default_params, algorithm,
+                                    band=12, tile=8, interpret=True,
+                                    chunk_blocks=8)
+        assert len(chunked) == len(single) == b
+        for g, w in zip(chunked, single):
+            assert (g.read, g.ref, g.score, g.cigar,
+                    g.read_start, g.read_end, g.ref_start, g.ref_end) == \
+                (w.read, w.ref, w.score, w.cigar,
+                 w.read_start, w.read_end, w.ref_start, w.ref_end)
+
+
+def test_banded_align_multi_chunk_raw_concat(rng, default_params):
+    from versalignlib_tpu import native
+    from versalignlib_tpu.ops.banded import banded_align_batch
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    b = 1024 + 11
+    reads = random_codes(rng, b, 16, padded=True)
+    refs = random_codes(rng, b, 20, padded=True)
+    chunked = banded_align_batch(reads, refs, default_params,
+                                 Algorithm.SMITH_WATERMAN, band=12, tile=8,
+                                 interpret=True, chunk_blocks=1, raw=True)
+    single = banded_align_batch(reads, refs, default_params,
+                                Algorithm.SMITH_WATERMAN, band=12, tile=8,
+                                interpret=True, chunk_blocks=2, raw=True)
+    assert len(chunked) == len(single) == b
+    for i in (0, 1023, 1024, b - 1):
+        g, w = chunked[i], single[i]
+        assert (g.read, g.ref, g.score, g.cigar) == \
+            (w.read, w.ref, w.score, w.cigar)

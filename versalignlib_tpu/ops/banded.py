@@ -990,14 +990,16 @@ def banded_align_batch(
     tile: int = 64,
     interpret: bool | None = None,
     raw: bool = False,
+    chunk_blocks: int | None = None,
 ):
     """Banded full alignment: Pallas pointer fill + host band walk.
 
     Semantics: ``banded_align_oracle`` (canonical flavor; linear AND affine
-    gap models). Memory: the pointer stream is ``bits x win`` per row per
-    pair (2-bit linear / 4-bit affine, win = band + tile*d rounded to 8) —
-    batch pairs accordingly for long reads (e.g. 16kbp x 576-win linear =
-    2.3MB/pair).
+    gap models). The pointer stream is ``win//8`` int32 words per row per
+    pair, so batches are chunked into ``chunk_blocks`` 1024-pair blocks per
+    device round under a 64MB budget (default), pipelined one chunk ahead
+    of the host decode — the banded analogue of the dense path's
+    memory-driven batching.
     """
     from versalignlib_tpu.types import TieBreak
 
@@ -1022,14 +1024,6 @@ def banded_align_batch(
     if not interpret:
         tile = _clamp_align_tile(tile, m, n, band, params.affine, local)
     m_pad = -(-m // tile) * tile
-    g = max(1, -(-b // BLOCK_PAIRS))
-    b_pad = g * BLOCK_PAIRS
-
-    def pack_arr(x, length, pad_len):
-        x = jnp.asarray(np.asarray(x)).astype(jnp.int32)
-        x = jnp.pad(x, ((0, b_pad - x.shape[0]), (0, pad_len - length)))
-        x = x.reshape(g, BLOCK_SUBLANES, BLOCK_LANES, pad_len)
-        return jnp.transpose(x, (0, 3, 1, 2))
 
     reads_np = np.asarray(reads)
     refs_np = np.asarray(refs)
@@ -1037,66 +1031,115 @@ def banded_align_batch(
     d_max = max(int(np.diff(offsets_np).max(initial=1)), 1) if m_pad > 1 else 1
     win_starts_np = offsets_np[::tile].copy()
     win = -(-(band + tile * d_max) // 8) * 8
+    wc = win // 8
+    wbase_np = np.repeat(win_starts_np, tile)[:m_pad].astype(np.int32)
 
     # Canonical-flavor validity (code != 0) for the NW end-cell rule.
     from versalignlib_tpu.ops.pallas_align import _last_valid_pos, _pack_vec
-    mrp = _last_valid_pos(reads_np, TieBreak.DIAG_UP_LEFT)
-    max_ref_pos = _last_valid_pos(refs_np, TieBreak.DIAG_UP_LEFT)
+    mrp_all = _last_valid_pos(reads_np, TieBreak.DIAG_UP_LEFT)
+    max_ref_pos_all = _last_valid_pos(refs_np, TieBreak.DIAG_UP_LEFT)
 
-    ptr, best, keep = _banded_align_blocks(
-        pack_arr(reads_np, m, m_pad), pack_arr(refs_np, n, n),
-        jnp.asarray(offsets_np), jnp.asarray(win_starts_np),
-        _pack_vec(mrp, g), params, algorithm, band, tile, d_max, interpret,
-    )
-    wc = win // 8
-    # (G, m_pad, wc, 8, 128) -> (B, m_pad, wc) etc.
-    ptr = np.asarray(ptr).transpose(0, 3, 4, 1, 2).reshape(
-        b_pad, m_pad, wc)[:b]
-    best = np.asarray(best).transpose(0, 2, 3, 1).reshape(b_pad, 4)[:b]
-    keep = np.asarray(keep).transpose(0, 2, 3, 1).reshape(b_pad, -1)[:b]
-    wbase_np = np.repeat(win_starts_np, tile)[:m_pad].astype(np.int32)
+    if chunk_blocks is None:
+        # ~64MB of packed pointer words per device round — the dense path's
+        # link budget (the reference's memory-driven batching,
+        # OpenCLKernel.cpp:517-568) — in whole 1024-pair blocks. Long pairs
+        # always get at least one block (e.g. 16kbp x win 576 = 4.7MB/pair).
+        bytes_per_block = m_pad * wc * 4 * BLOCK_PAIRS
+        chunk_blocks = max(1, (64 << 20) // bytes_per_block)
+    chunk_pairs = chunk_blocks * BLOCK_PAIRS
 
-    starts_r = np.zeros(b, dtype=np.int32)
-    starts_f = np.zeros(b, dtype=np.int32)
-    scores = np.zeros(b, dtype=np.int32)
-    if local:
-        scores[:] = best[:, 0]
-        starts_r[:] = best[:, 1]
-        starts_f[:] = best[:, 2]
-    else:
-        for k in range(b):
-            rp = int(mrp[k])
-            if rp < 0:
-                starts_r[k] = starts_f[k] = -1
-                continue
-            o = int(offsets_np[rp])
-            hi = min(o + band, n, int(max_ref_pos[k]) + 1)
-            if hi <= o:
-                starts_r[k] = starts_f[k] = -1
-                continue
-            wb = int(wbase_np[rp])
-            vals = keep[k, o - wb : o - wb + (hi - o)]
-            arg = int(np.argmax(vals))
-            starts_r[k] = rp
-            starts_f[k] = o + arg
-            scores[k] = int(vals[arg])
+    def pack_arr(x, length, pad_len, g):
+        x = jnp.asarray(x).astype(jnp.int32)
+        x = jnp.pad(
+            x, ((0, g * BLOCK_PAIRS - x.shape[0]), (0, pad_len - length)))
+        x = x.reshape(g, BLOCK_SUBLANES, BLOCK_LANES, pad_len)
+        return jnp.transpose(x, (0, 3, 1, 2))
 
-    try:
-        from versalignlib_tpu.native import decode_banded_native
-
-        return decode_banded_native(
-            ptr, band, win, offsets_np, wbase_np, reads_np, refs_np,
-            starts_r, starts_f, params, algorithm, scores, raw=raw,
+    def _dispatch(lo):
+        r_np = reads_np[lo : lo + chunk_pairs]
+        f_np = refs_np[lo : lo + chunk_pairs]
+        g = max(1, -(-r_np.shape[0] // BLOCK_PAIRS))
+        dev = _banded_align_blocks(
+            pack_arr(r_np, m, m_pad, g), pack_arr(f_np, n, n, g),
+            jnp.asarray(offsets_np), jnp.asarray(win_starts_np),
+            _pack_vec(mrp_all[lo : lo + chunk_pairs], g), params, algorithm,
+            band, tile, d_max, interpret,
         )
-    except ImportError:
-        if raw:
-            raise  # raw mode requires the native decoder
-        return [
-            _banded_decode_one(
-                ptr[k], reads_np[k], refs_np[k], offsets_np, wbase_np, band,
-                int(starts_r[k]), int(starts_f[k]), int(scores[k]), params)
-            for k in range(b)
-        ]
+        return lo, r_np, f_np, g, dev
+
+    def _decode(lo, r_np, f_np, g, dev):
+        ptr, best, keep = dev
+        bc = r_np.shape[0]
+        mrp = mrp_all[lo : lo + bc]
+        max_ref_pos = max_ref_pos_all[lo : lo + bc]
+        # (G, m_pad, wc, 8, 128) -> (Bc, m_pad, wc) etc.
+        ptr = np.asarray(ptr).transpose(0, 3, 4, 1, 2).reshape(
+            g * BLOCK_PAIRS, m_pad, wc)[:bc]
+        best = np.asarray(best).transpose(0, 2, 3, 1).reshape(
+            g * BLOCK_PAIRS, 4)[:bc]
+        keep = np.asarray(keep).transpose(0, 2, 3, 1).reshape(
+            g * BLOCK_PAIRS, -1)[:bc]
+
+        starts_r = np.zeros(bc, dtype=np.int32)
+        starts_f = np.zeros(bc, dtype=np.int32)
+        scores = np.zeros(bc, dtype=np.int32)
+        if local:
+            scores[:] = best[:, 0]
+            starts_r[:] = best[:, 1]
+            starts_f[:] = best[:, 2]
+        else:
+            for k in range(bc):
+                rp = int(mrp[k])
+                if rp < 0:
+                    starts_r[k] = starts_f[k] = -1
+                    continue
+                o = int(offsets_np[rp])
+                hi = min(o + band, n, int(max_ref_pos[k]) + 1)
+                if hi <= o:
+                    starts_r[k] = starts_f[k] = -1
+                    continue
+                wb = int(wbase_np[rp])
+                vals = keep[k, o - wb : o - wb + (hi - o)]
+                arg = int(np.argmax(vals))
+                starts_r[k] = rp
+                starts_f[k] = o + arg
+                scores[k] = int(vals[arg])
+
+        try:
+            from versalignlib_tpu.native import decode_banded_native
+
+            return decode_banded_native(
+                ptr, band, win, offsets_np, wbase_np, r_np, f_np,
+                starts_r, starts_f, params, algorithm, scores, raw=raw,
+            )
+        except ImportError:
+            if raw:
+                raise  # raw mode requires the native decoder
+            return [
+                _banded_decode_one(
+                    ptr[k], r_np[k], f_np[k], offsets_np, wbase_np, band,
+                    int(starts_r[k]), int(starts_f[k]), int(scores[k]),
+                    params)
+                for k in range(bc)
+            ]
+
+    # Device dispatch pipelined one chunk ahead of the host decode, as in
+    # the dense path (pallas_align_batch).
+    starts_list = list(range(0, b, chunk_pairs))
+    pending: list = []
+    results = []
+    for idx, lo in enumerate(starts_list):
+        pending.append(_dispatch(lo))
+        if len(pending) < 2 and idx + 1 < len(starts_list):
+            continue
+        results.append(_decode(*pending.pop(0)))
+    for item in pending:
+        results.append(_decode(*item))
+    if raw:
+        from versalignlib_tpu.types import AlignmentBatch
+
+        return AlignmentBatch.concat(results)
+    return [a for chunk in results for a in chunk]
 
 
 def _banded_decode_one(ptr_words, read, ref, offsets, wbase, band,
