@@ -7,6 +7,15 @@ come back via XLA collectives over ICI/DCN.
 """
 
 from versalignlib_tpu.parallel.mesh import make_mesh
-from versalignlib_tpu.parallel.distributed import distributed_score_batch
+from versalignlib_tpu.parallel.distributed import (
+    distributed_align_batch,
+    distributed_score_batch,
+)
+from versalignlib_tpu.parallel import multihost
 
-__all__ = ["make_mesh", "distributed_score_batch"]
+__all__ = [
+    "make_mesh",
+    "distributed_score_batch",
+    "distributed_align_batch",
+    "multihost",
+]
