@@ -70,14 +70,17 @@ def make_sub_fn(params: AlignmentParameters):
 
     Default: the reference's 6x6 structure as arithmetic (1 compare chain +
     2 selects per cell — no gather, alphabet.py:9-16). Generic S x S
-    ``params.matrix``: a per-row score table is built once per row group
-    (<= S*(S-1) selects, amortized over the whole ref sweep) by ``row_prep``;
-    ``col_prep`` computes the S-1 ref-code masks once per column (shared
-    across the R wavefront rows); each cell then pays only an
-    (S-1)-select chain — the VPU's gather-free table lookup (gathers don't
-    vectorize on TPU; one-hot MXU contraction loses to selects at these
-    widths). Matrix row/col 0 are all-zero (validated), so padding and
-    out-of-range codes score 0 exactly like the reference's '\\0' fill-up.
+    ``params.matrix``: a per-row table is built once per row group by
+    ``row_prep`` (amortized over the whole ref sweep); ``col_prep`` computes
+    per-column lookup state once, shared across the R wavefront rows; each
+    cell pays a gather-free VPU lookup (gathers don't vectorize on TPU;
+    one-hot MXU contraction loses to selects at these widths): biased
+    matrix entries bit-packed 8-per-word (entry span <= 15) or 4-per-word
+    (span <= 255) — ceil(S/fields) selects + a lane-wise variable-shift
+    field extract per cell — falling back to an (S-1)-select chain when the
+    chain is cheaper or the span exceeds 8 bits. Matrix row/col 0 are
+    all-zero (validated), so padding and out-of-range codes score 0 exactly
+    like the reference's '\\0' fill-up.
     """
     match = jnp.int32(params.score_match)
     mismatch = jnp.int32(params.score_mismatch)
@@ -98,6 +101,66 @@ def make_sub_fn(params: AlignmentParameters):
 
     M = params.matrix
     S = len(M)
+    entries = [M[a][s] for a in range(S) for s in range(S)]
+
+    lo, hi = min(entries), max(entries)
+    _fw = 4 if hi - lo <= 15 else 8
+    _W = -(-S // (32 // _fw))
+    # Per-cell cost: packed = W selects + ~3 extract ops; chain = S-1
+    # selects. Pack whenever it wins (a 6x6 span<=15 matrix is ONE word).
+    if hi - lo <= 255 and _W + 3 < S - 1:
+        # Bit-packed row tables: each read row's matrix row is packed into
+        # W int32 words of biased fields (field = M - lo), at the narrowest
+        # power-of-2 field width the entry SPAN allows — 4 bits / 8 fields
+        # per word for span <= 15 (BLOSUM62's [-4,11] fits: W = 4 at S=25),
+        # else 8 bits / 4 fields. A cell pays W selects + a lane-wise
+        # variable-shift field extract (~7 VPU ops at S=25) instead of an
+        # (S-1)-select chain (24) — and holds W words live per wavefront
+        # row instead of S vectors, which matters as much for register
+        # pressure as for ALU count.
+        fw, W = _fw, _W                      # field bits / words per row
+        fpw = 32 // fw                       # fields per word
+        fmask = (1 << fw) - 1
+        bias = -lo
+
+        def _word(a: int, w: int) -> int:
+            v = 0
+            for k in range(fpw):
+                s_col = fpw * w + k
+                f = (M[a][s_col] + bias) if s_col < S else bias
+                v |= (f & fmask) << (fw * k)
+            return v - (1 << 32) if v >= (1 << 31) else v
+
+        all_bias = _word(0, 0)  # row 0 is all-zero (validated) = pure bias
+        packed = [[_word(a, w) for w in range(W)] for a in range(S)]
+        idx_shift = fpw.bit_length() - 1     # log2(fields per word)
+        sh_shift = fw.bit_length() - 1       # log2(field bits)
+
+        def row_prep(rc):
+            words = []
+            for w in range(W):
+                acc = jnp.full_like(rc, all_bias)  # codes 0 / >= S: sub 0
+                for a in range(1, S):
+                    if packed[a][w] != all_bias:
+                        acc = jnp.where(rc == a, jnp.int32(packed[a][w]), acc)
+                words.append(acc)
+            return words
+
+        def col_prep(ref_col):
+            # Word index + field shift, shared across the R wavefront rows.
+            masks = [(ref_col >> idx_shift) == w for w in range(W)]
+            return masks, (ref_col & (fpw - 1)) << sh_shift
+
+        def sub_of(words, cctx):
+            masks, shift = cctx
+            word = jnp.full_like(shift, all_bias)  # ref codes >= W*fpw: sub 0
+            for w in range(W):
+                word = jnp.where(masks[w], words[w], word)
+            # Arithmetic shift then mask is exact even when the top field
+            # sets the sign bit; fields are biased non-negative.
+            return ((word >> shift) & fmask) - bias
+
+        return row_prep, col_prep, sub_of
 
     def row_prep(rc):
         rows = []
