@@ -385,3 +385,25 @@ def test_protein_model_family():
     assert aln.cigar == "10M"
     nw = affine_needleman_wunsch()
     assert nw.params.affine and nw.algorithm.name == "NEEDLEMAN_WUNSCH"
+
+
+def test_prefetch_to_device_stages_arrays_in_order(rng):
+    from versalignlib_tpu.io.staging import prefetch_to_device
+
+    chunks = [(c, c * 10, rng.integers(0, 9, size=(4, 6)).astype(np.uint8),
+               rng.integers(0, 9, size=(4, 7)).astype(np.uint8))
+              for c in range(5)]
+    out = list(prefetch_to_device(iter(chunks), depth=2))
+    assert [(o[0], o[1]) for o in out] == [(c[0], c[1]) for c in chunks]
+    for got, want in zip(out, chunks):
+        # ndarrays staged to device (jax.Array), metadata passed through.
+        assert not isinstance(got[2], np.ndarray)
+        np.testing.assert_array_equal(np.asarray(got[2]), want[2])
+        np.testing.assert_array_equal(np.asarray(got[3]), want[3])
+
+    # Depth >= len(chunks) and empty iterators both behave.
+    assert len(list(prefetch_to_device(iter(chunks), depth=9))) == 5
+    assert list(prefetch_to_device(iter([]), depth=2)) == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        next(prefetch_to_device(iter(chunks), depth=0))
