@@ -25,12 +25,17 @@ import time
 import numpy as np
 
 
-def _time_call(fn, reps: int = 8) -> float:
-    """Min-of-reps wall time of fn() with full materialization."""
+def _time_call(fn, reps: int = 8, tag0: int = 0) -> float:
+    """Min-of-reps wall time of fn(tag) with full materialization.
+
+    Each rep gets a distinct tag: fn perturbs one input element per tag so
+    no two executions see identical buffers — the tunnel serves repeated
+    identical executions from a cache, which would collapse the timing to
+    pure RTT (CLAUDE.md)."""
     best = float("inf")
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.perf_counter()
-        np.asarray(fn())
+        np.asarray(fn(tag0 + i))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -61,15 +66,18 @@ def main() -> int:
     reads1, refs1, r1, f1 = make(b1)
     _, _, r2, f2 = make(b2)
 
-    if on_tpu:
-        fn1 = lambda: score_batch_device(r1, f1, p, Algorithm.SMITH_WATERMAN, False)
-        fn2 = lambda: score_batch_device(r2, f2, p, Algorithm.SMITH_WATERMAN, False)
-    else:
-        fn1 = lambda: xla_score_batch(r1, f1, p, Algorithm.SMITH_WATERMAN)
-        fn2 = lambda: xla_score_batch(r2, f2, p, Algorithm.SMITH_WATERMAN)
+    kern = (
+        (lambda r, f: score_batch_device(r, f, p, Algorithm.SMITH_WATERMAN, False))
+        if on_tpu else
+        (lambda r, f: xla_score_batch(r, f, p, Algorithm.SMITH_WATERMAN))
+    )
+    # tag=0 keeps element [0,0] at its original value mod-pattern; the
+    # correctness gate below scores the UNperturbed batch.
+    fn1 = lambda tag: kern(r1.at[0, 0].set(tag % 4 + 1), f1)
+    fn2 = lambda tag: kern(r2.at[0, 0].set(tag % 4 + 1), f2)
 
-    out1 = np.asarray(fn1())  # compile + warm
-    np.asarray(fn2())
+    out1 = np.asarray(kern(r1, f1))  # compile + warm, unperturbed
+    np.asarray(kern(r2, f2))
 
     # Correctness gate (bit-exact vs golden-gated oracle on a subset).
     sub = rng.integers(0, b1, size=24)
@@ -81,7 +89,7 @@ def main() -> int:
         return 1
 
     t1 = _time_call(fn1)
-    t2 = _time_call(fn2)
+    t2 = _time_call(fn2, tag0=8)
     if t2 <= t1:  # degenerate timing; fall back to the large-batch rate
         gcups = b2 * m * n / t2 / 1e9
     else:

@@ -169,23 +169,39 @@ def main() -> int:
     if not args.quick and not args.no_perf:
         print("== performance (marginal rate; see BENCHMARKS.md) ==")
 
-        def marginal(run, sizes, cells_per_unit):
-            """min-of-reps marginal rate between two sizes (cancels RTT)."""
-            ts = []
-            for s in sizes:
-                run(s)  # warm/compile
-                best = float("inf")
-                for _ in range(4):
-                    t0 = time.perf_counter()
-                    run(s)
-                    best = min(best, time.perf_counter() - t0)
-                ts.append(best)
-            return (sizes[1] - sizes[0]) * cells_per_unit / max(ts[1] - ts[0], 1e-9) / 1e9
+        _tag = [0]
+
+        def marginal(run, sizes, cells_per_unit, tries=3):
+            """Median over ``tries`` of the min-of-reps marginal rate
+            between two sizes (cancels the tunnel's fixed RTT). Every call
+            gets a fresh tag: runs perturb one input element per tag so no
+            two executions see identical buffers (the tunnel serves
+            repeated identical executions from a cache, which collapses
+            the denominator — CLAUDE.md). Measurements whose denominator
+            does not dwarf RTT jitter (< 5ms) are discarded."""
+            rates = []
+            for _ in range(tries):
+                ts = []
+                for s in sizes:
+                    run(s, _tag[0]); _tag[0] += 1  # warm/compile
+                    best = float("inf")
+                    for _ in range(4):
+                        _tag[0] += 1
+                        t0 = time.perf_counter()
+                        run(s, _tag[0])
+                        best = min(best, time.perf_counter() - t0)
+                    ts.append(best)
+                dt = ts[1] - ts[0]
+                if dt > 0.005:
+                    rates.append(
+                        (sizes[1] - sizes[0]) * cells_per_unit / dt / 1e9)
+            return round(float(np.median(rates)), 1) if rates else 0.0
 
         def score_run(b_):
             r = jnp.asarray(rng.integers(1, 5, size=(b_, 512)).astype(np.uint8))
             f = jnp.asarray(rng.integers(1, 5, size=(b_, 512)).astype(np.uint8))
-            def go(_=None, r=r, f=f):
+            def go(tag, r=r, f=f):
+                r = r.at[0, 0].set(tag % 4 + 1)
                 np.asarray(score_batch_device(r, f, p_lin,
                                               Algorithm.SMITH_WATERMAN, False))
             return go
@@ -196,9 +212,32 @@ def main() -> int:
         runs = {}
         for b_ in (4096, 32768):
             runs[b_] = score_run(b_)
-        perf["score_sw_512_gcups"] = marginal(lambda b_: runs[b_](), (4096, 32768),
-                                              512 * 512)
+        perf["score_sw_512_gcups"] = marginal(
+            lambda b_, tag: runs[b_](tag), (4096, 32768), 512 * 512)
         print(f"  SW score 512x512: {perf['score_sw_512_gcups']:.1f} GCUPS")
+
+        # Matrix-mode scoring (bit-packed lookup, make_sub_fn): BLOSUM62
+        # S=25 protein — the large-alphabet throughput story.
+        from versalignlib_tpu.alphabet import blosum62
+
+        p_blo = AlignmentParameters(score_gap_read=-1, score_gap_ref=-1,
+                                    matrix=blosum62())
+        S_blo = len(p_blo.matrix)
+
+        def blosum_run(b_):
+            r = jnp.asarray(rng.integers(1, S_blo, size=(b_, 512)).astype(np.uint8))
+            f = jnp.asarray(rng.integers(1, S_blo, size=(b_, 512)).astype(np.uint8))
+            def go(tag, r=r, f=f):
+                r = r.at[0, 0].set(tag % 4 + 1)
+                np.asarray(score_batch_device(r, f, p_blo,
+                                              Algorithm.SMITH_WATERMAN, False))
+            return go
+
+        bruns_m = {b_: blosum_run(b_) for b_ in (4096, 16384)}
+        perf["score_blosum62_gcups"] = marginal(
+            lambda b_, tag: bruns_m[b_](tag), (4096, 16384), 512 * 512)
+        print(f"  BLOSUM62 (S=25) score 512x512: "
+              f"{perf['score_blosum62_gcups']:.1f} GCUPS")
 
         from versalignlib_tpu.ops.pallas_align import (_align_blocks,
                                                        _last_valid_pos,
@@ -211,7 +250,8 @@ def main() -> int:
             mrp = _pack_vec(_last_valid_pos(r, TieBreak.DIAG_UP_LEFT), g)
             rb = jnp.asarray(_pack_blocks(r, g, 512))
             fb = jnp.asarray(_pack_blocks(f, g, 512))
-            def go(_=None, rb=rb, fb=fb, mrp=mrp):
+            def go(tag, rb=rb, fb=fb, mrp=mrp):
+                rb = rb.at[0, 0, 0, 0].set(tag % 4 + 1)
                 out = _align_blocks(rb, fb, mrp, p_lin,
                                     Algorithm.SMITH_WATERMAN,
                                     TieBreak.DIAG_UP_LEFT, False)
@@ -219,8 +259,8 @@ def main() -> int:
             return go
 
         aruns = {b_: align_run(b_) for b_ in (4096, 16384)}
-        perf["align_sw_512_gcups"] = marginal(lambda b_: aruns[b_](),
-                                              (4096, 16384), 512 * 512)
+        perf["align_sw_512_gcups"] = marginal(
+            lambda b_, tag: aruns[b_](tag), (4096, 16384), 512 * 512)
         print(f"  SW align fill 512x512: {perf['align_sw_512_gcups']:.1f} GCUPS")
 
         from versalignlib_tpu.ops.banded import _banded_align_blocks
@@ -238,7 +278,8 @@ def main() -> int:
             rb = jnp.asarray(_pack_blocks(np.pad(r, ((0, 0), (0, m_p - m_))), 1, m_p))
             fb = jnp.asarray(_pack_blocks(f, 1, n_))
             offs_j = jnp.asarray(offs_)
-            def go(_=None):
+            def go(tag, rb=rb, fb=fb):
+                rb = rb.at[0, 0, 0, 0].set(tag % 4 + 1)
                 out = _banded_align_blocks(rb, fb, offs_j, ws, mrp, p_lin,
                                            Algorithm.SMITH_WATERMAN, band_,
                                            tile_, d_max, False)
@@ -246,8 +287,8 @@ def main() -> int:
             return go
 
         bruns = {m_: banded_run(m_) for m_ in (8192, 16384)}
-        perf["banded_align_sw_gcups"] = marginal(lambda m_: bruns[m_](),
-                                                 (8192, 16384), 512 * 1024)
+        perf["banded_align_sw_gcups"] = marginal(
+            lambda m_, tag: bruns[m_](tag), (8192, 16384), 512 * 1024)
         print(f"  SW banded align fill (band cells): "
               f"{perf['banded_align_sw_gcups']:.1f} GCUPS")
 
