@@ -407,3 +407,76 @@ def test_prefetch_to_device_stages_arrays_in_order(rng):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         next(prefetch_to_device(iter(chunks), depth=0))
+
+
+def test_sam_output_known_case():
+    import io as _io
+
+    from versalignlib_tpu import AlignmentEngine
+    from versalignlib_tpu.io.sam import write_sam
+    from versalignlib_tpu.types import Algorithm
+
+    engine = AlignmentEngine(backend="oracle")
+    reads = ["ACGTACGT", "GGGG"]
+    refs = ["TTACGTACGTTT", "CCCC"]
+    alns = engine.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+    buf = _io.StringIO()
+    write_sam(buf, alns, reads, refs, read_names=["r0", "r1"],
+              ref_names=["chr0", "chr1"])
+    lines = buf.getvalue().splitlines()
+    assert lines[0].startswith("@HD")
+    assert "@SQ\tSN:chr0\tLN:12" in lines
+    rec = [l for l in lines if l.startswith("r0\t")][0].split("\t")
+    # Full read matches ref at 0-based pos 2: POS=3, no soft clips.
+    assert rec[1] == "0" and rec[2] == "chr0" and rec[3] == "3"
+    assert rec[5] == "8M" and rec[9] == "ACGTACGT"
+    assert rec[-1] == f"AS:i:{alns[0].score}"
+    # All-mismatch pair: SW empty alignment -> unmapped record.
+    rec1 = [l for l in lines if l.startswith("r1\t")][0].split("\t")
+    assert rec1[1] == "4" and rec1[5] == "*"
+
+
+def test_sam_records_consistent_on_random_batch(rng):
+    import io as _io
+    import re
+
+    from versalignlib_tpu import AlignmentEngine
+    from versalignlib_tpu.io.sam import write_sam
+    from versalignlib_tpu.types import Algorithm
+
+    bases = np.array(list("ACGT"))
+    reads = ["".join(rng.choice(bases, size=int(rng.integers(8, 20))))
+             for _ in range(16)]
+    refs = ["".join(rng.choice(bases, size=int(rng.integers(10, 24))))
+            for _ in range(16)]
+    engine = AlignmentEngine(backend="oracle")
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        alns = engine.compute_alignments(algorithm, reads, refs)
+        buf = _io.StringIO()
+        write_sam(buf, alns, reads, refs)
+        recs = [l.split("\t") for l in buf.getvalue().splitlines()
+                if not l.startswith("@")]
+        assert len(recs) == 16
+        for rec, read, ref, aln in zip(recs, reads, refs, alns):
+            if rec[1] == "4":
+                continue
+            ops = re.findall(r"(\d+)([MIDS])", rec[5])
+            read_consumed = sum(int(n) for n, op in ops if op in "MIS")
+            ref_consumed = sum(int(n) for n, op in ops if op in "MD")
+            assert read_consumed == len(read), rec
+            assert int(rec[3]) - 1 + ref_consumed == aln.ref_end
+            assert int(rec[3]) - 1 == aln.ref_start
+
+
+def test_cli_sam_flag(tmp_path):
+    from versalignlib_tpu.cli import main
+
+    rc = main(["--selftest", "--outdir", str(tmp_path), "--backend", "xla",
+               "--sam"])
+    assert rc == 0
+    for algo in ("smith_waterman", "needleman_wunsch"):
+        sam = tmp_path / f"alignments_{algo}.sam"
+        text = sam.read_text()
+        assert text.startswith("@HD")
+        assert len([l for l in text.splitlines()
+                    if not l.startswith("@")]) == 128

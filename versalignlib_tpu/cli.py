@@ -105,6 +105,9 @@ def main(argv=None) -> int:
                          "reference driver (read\\tscore lines; two gapped "
                          "strings + blank line) instead of the extended "
                          "format with CIGAR/score")
+    ap.add_argument("--sam", action="store_true",
+                    help="additionally write SAM files (soft-clipped flanks, "
+                         "AS score tag) next to the text alignments")
     ap.add_argument("--selftest", action="store_true",
                     help="run on synthetic sequences instead of files")
     args = ap.parse_args(argv)
@@ -198,6 +201,11 @@ def main(argv=None) -> int:
                       scores, compat=args.reference_compat)
         _write_alignments(outdir / OUT_FILES[(algorithm, "align")], alns,
                           compat=args.reference_compat)
+        if args.sam:
+            from versalignlib_tpu.io.sam import write_sam
+
+            base = OUT_FILES[(algorithm, "align")].removesuffix(".txt")
+            write_sam(outdir / f"{base}.sam", alns, reads, refs)
         print(f"{algorithm.name}: wrote {len(reads)} scores + alignments")
 
     if args.bench:

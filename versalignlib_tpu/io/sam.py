@@ -1,0 +1,104 @@
+"""SAM output for alignment results (production interop surface).
+
+The reference emits only its own two-gapped-strings text format
+(/root/reference/src/impl/main.cpp:146-155); downstream genomics tooling
+expects SAM. This maps :class:`~versalignlib_tpu.types.Alignment` results
+(local or semi-global) onto single-end SAM records: the aligned window
+becomes POS/CIGAR with the unaligned read flanks soft-clipped, the raw read
+is SEQ, and the DP score rides the standard ``AS:i`` tag. CIGAR convention
+matches SAM: M consumes read+ref, D consumes ref only (read deletion), I
+consumes read only.
+"""
+
+from __future__ import annotations
+
+import io
+import pathlib
+import re
+from typing import Iterable, Sequence
+
+from versalignlib_tpu.types import Alignment
+
+_CIG_RE = re.compile(r"(\d+)([MID])")
+
+
+def _consumed(cigar: str) -> tuple[int, int]:
+    """(read_bases, ref_bases) consumed by a CIGAR."""
+    r = f = 0
+    for n, op in _CIG_RE.findall(cigar):
+        n = int(n)
+        if op in ("M", "I"):
+            r += n
+        if op in ("M", "D"):
+            f += n
+    return r, f
+
+
+def sam_record(
+    aln: Alignment,
+    read_seq: str,
+    read_name: str,
+    ref_name: str,
+) -> str:
+    """One SAM line (no trailing newline) for an alignment of ``read_seq``."""
+    unmapped = not aln.cigar or aln.read_start < 0 or aln.read_end <= aln.read_start
+    if unmapped:
+        return "\t".join([
+            read_name, "4", "*", "0", "0", "*", "*", "0", "0",
+            read_seq or "*", "*", f"AS:i:{aln.score}",
+        ])
+    lead = aln.read_start
+    tail = len(read_seq) - aln.read_end
+    cigar = (f"{lead}S" if lead else "") + aln.cigar + (f"{tail}S" if tail else "")
+    return "\t".join([
+        read_name,
+        "0",
+        ref_name,
+        str(aln.ref_start + 1),  # SAM POS is 1-based
+        "255",                   # mapping quality unavailable
+        cigar,
+        "*", "0", "0",
+        read_seq,
+        "*",
+        f"AS:i:{aln.score}",
+    ])
+
+
+def write_sam(
+    path,
+    alignments: Sequence[Alignment],
+    reads: Sequence[str],
+    refs: Sequence[str],
+    read_names: Iterable[str] | None = None,
+    ref_names: Iterable[str] | None = None,
+) -> None:
+    """Write single-end SAM: one record per (read, ref) pair.
+
+    ``reads``/``refs`` are the ORIGINAL (ungapped) sequences the batch was
+    aligned from; names default to ``read<i>`` / ``ref<i>``. Each pair's
+    ref becomes its own @SQ entry (deduplicated by name).
+    """
+    read_names = list(read_names) if read_names is not None else [
+        f"read{i}" for i in range(len(reads))]
+    ref_names = list(ref_names) if ref_names is not None else [
+        f"ref{i}" for i in range(len(refs))]
+    if not (len(alignments) == len(reads) == len(refs)
+            == len(read_names) == len(ref_names)):
+        raise ValueError("alignments/reads/refs/names length mismatch")
+
+    def emit(f):
+        f.write("@HD\tVN:1.6\tSO:unknown\n")
+        seen = set()
+        for name, seq in zip(ref_names, refs):
+            if name not in seen:
+                seen.add(name)
+                f.write(f"@SQ\tSN:{name}\tLN:{len(seq)}\n")
+        f.write("@PG\tID:versalignlib_tpu\tPN:versalignlib_tpu\n")
+        for aln, seq, rn, fn in zip(alignments, reads, read_names, ref_names):
+            f.write(sam_record(aln, seq, rn, fn) + "\n")
+
+    if isinstance(path, (str, pathlib.Path)):
+        with open(path, "w") as f:
+            emit(f)
+    else:
+        emit(path)
