@@ -98,6 +98,15 @@ def main() -> int:
                                         interpret=False)
         want = gotoh.compute_alignments_affine(alg, reads[:32], refs[:32], p_aff)
         check(f"align/affine/{alg.name}", same_alignments(got, want))
+    # Affine SSE flavor (validity-gated DIAG > LEFT(E) > UP(F)).
+    got = pallas_align_affine_batch(reads[:32], refs[:32], p_aff,
+                                    Algorithm.SMITH_WATERMAN,
+                                    TieBreak.DIAG_LEFT_UP, interpret=False)
+    want = gotoh.compute_alignments_affine(
+        Algorithm.SMITH_WATERMAN, reads[:32], refs[:32], p_aff,
+        TieBreak.DIAG_LEFT_UP)
+    check("align/affine/SMITH_WATERMAN/DIAG_LEFT_UP",
+          same_alignments(got, want))
     # Odd ref length forces pack == 1 (caught a Mosaic relayout bug once).
     odd_refs = refs[:16, :119]
     got = pallas_align_affine_batch(reads[:16], odd_refs, p_aff,
@@ -118,12 +127,15 @@ def main() -> int:
         got = scorer(reads[:64], refs[:64], p_mat, alg)
         want = oracle.score_alignments(alg, reads[:64], refs[:64], p_mat)
         check(f"matrix/score/{alg.name}", np.array_equal(got, want))
-    got = pallas_align_batch(reads[:16], refs[:16], p_mat,
-                             Algorithm.SMITH_WATERMAN,
-                             TieBreak.DIAG_UP_LEFT, interpret=False)
-    want = oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads[:16],
-                                     refs[:16], p_mat, TieBreak.DIAG_UP_LEFT)
-    check("matrix/align/SMITH_WATERMAN", same_alignments(got, want))
+    for tie in (TieBreak.DIAG_UP_LEFT, TieBreak.DIAG_LEFT_UP):
+        got = pallas_align_batch(reads[:16], refs[:16], p_mat,
+                                 Algorithm.SMITH_WATERMAN, tie,
+                                 interpret=False)
+        want = oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads[:16],
+                                         refs[:16], p_mat, tie)
+        label = "matrix/align/SMITH_WATERMAN" + (
+            "" if tie == TieBreak.DIAG_UP_LEFT else "/DIAG_LEFT_UP")
+        check(label, same_alignments(got, want))
 
     print("== banded kernels (compiled) ==")
     m, n, band, tile = 300, 340, 64, 32
@@ -144,6 +156,17 @@ def main() -> int:
             want = [banded_align_oracle(r, f, p, band, alg, offs)
                     for r, f in zip(reads_b[:8], refs_b[:8])]
             check(f"banded-align/{label}/{alg.name}", same_alignments(got, want))
+    # Banded SSE flavor (compiled): linear + affine, SW.
+    for p, label in ((p_lin, "linear"), (p_aff, "affine")):
+        got = banded_align_batch(reads_b[:8], refs_b[:8], p,
+                                 Algorithm.SMITH_WATERMAN, band=band,
+                                 tile=tile, interpret=False,
+                                 tie=TieBreak.DIAG_LEFT_UP)
+        want = [banded_align_oracle(r, f, p, band, Algorithm.SMITH_WATERMAN,
+                                    offs, tie=TieBreak.DIAG_LEFT_UP)
+                for r, f in zip(reads_b[:8], refs_b[:8])]
+        check(f"banded-align/{label}/SMITH_WATERMAN/DIAG_LEFT_UP",
+              same_alignments(got, want))
 
     print("== mesh (compiled shard_map + pallas, 1 real device) ==")
     try:
@@ -282,7 +305,8 @@ def main() -> int:
                 rb = rb.at[0, 0, 0, 0].set(tag % 4 + 1)
                 out = _banded_align_blocks(rb, fb, offs_j, ws, mrp, p_lin,
                                            Algorithm.SMITH_WATERMAN, band_,
-                                           tile_, d_max, False)
+                                           tile_, d_max, canonical=True,
+                                           interpret=False)
                 np.asarray(jnp.sum(out[1]))
             return go
 

@@ -115,19 +115,47 @@ def test_banded_align_matches_oracle(rng, default_params, algorithm, affine,
         assert g.read_end <= m
 
 
+@pytest.mark.parametrize("affine", [False, True])
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN,
+                                       Algorithm.NEEDLEMAN_WUNSCH])
+def test_banded_align_sse_flavor_matches_oracle(rng, default_params,
+                                                algorithm, affine):
+    """SSE tie flavor on the banded path (validity-gated DIAG > LEFT > UP,
+    flavored NW boundaries): kernel bit-equal to the flavored oracle."""
+    from versalignlib_tpu.ops.banded import banded_align_batch, banded_align_oracle
+    from versalignlib_tpu.types import TieBreak
+
+    p = AFFINE_PARAMS if affine else default_params
+    tie = TieBreak.DIAG_LEFT_UP
+    b, m, n, band, tile = 6, 30, 36, 12, 6
+    reads = random_codes(rng, b, m, padded=True, n_prob=0.1)
+    refs = random_codes(rng, b, n, padded=True, n_prob=0.1)
+    got = banded_align_batch(reads, refs, p, algorithm, band=band, tile=tile,
+                             interpret=True, tie=tie)
+    m_pad = -(-m // tile) * tile
+    offs = band_offsets(m_pad, m, n, band)
+    want = [banded_align_oracle(r, f, p, band, algorithm, offs, tie=tie)
+            for r, f in zip(reads, refs)]
+    for g, w in zip(got, want):
+        assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+        assert "\0" not in g.read and "\0" not in g.ref
+
+
 def test_banded_align_full_band_equals_dense(rng, default_params):
     from versalignlib_tpu.ops.banded import banded_align_batch
     from versalignlib_tpu.types import TieBreak
 
-    reads = random_codes(rng, 6, 20)
-    refs = random_codes(rng, 6, 20)
-    got = banded_align_batch(reads, refs, default_params,
-                             Algorithm.SMITH_WATERMAN, band=20, tile=10,
-                             interpret=True)
-    want = oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs,
-                                     default_params, TieBreak.DIAG_UP_LEFT)
-    for g, w in zip(got, want):
-        assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+    reads = random_codes(rng, 6, 20, n_prob=0.1)
+    refs = random_codes(rng, 6, 20, n_prob=0.1)
+    for tie in (TieBreak.DIAG_UP_LEFT, TieBreak.DIAG_LEFT_UP):
+        got = banded_align_batch(reads, refs, default_params,
+                                 Algorithm.SMITH_WATERMAN, band=20, tile=10,
+                                 interpret=True, tie=tie)
+        want = oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs,
+                                         default_params, tie)
+        for g, w in zip(got, want):
+            assert (g.read, g.ref, g.score, g.cigar) == (
+                w.read, w.ref, w.score, w.cigar), tie
 
 
 def test_banded_affine_full_band_equals_dense_gotoh(rng):

@@ -102,10 +102,13 @@ def test_engine_mesh_align_affine(rng, mesh):
         for g, w in zip(got, want):
             assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
 
-    bad = AlignmentEngine(params=p, backend="xla", mesh=mesh,
+    sse = AlignmentEngine(params=p, backend="xla", mesh=mesh,
                           tie=TieBreak.DIAG_LEFT_UP)
-    with pytest.raises(ValueError, match="canonical"):
-        bad.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+    got = sse.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+    want = gotoh.compute_alignments_affine(
+        Algorithm.SMITH_WATERMAN, reads, refs, p, TieBreak.DIAG_LEFT_UP)
+    for g, w in zip(got, want):
+        assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
 
 
 def test_distributed_align_batch_nw_padded(rng, mesh, default_params):

@@ -145,6 +145,45 @@ def test_affine_engine_routing(rng):
     assert int(scores[0]) == alns[0].score
 
 
+def test_affine_sse_flavor_cross_backend(rng):
+    """SSE-flavor affine pointers (validity-gated DIAG > LEFT(E) > UP(F), no
+    zero-force, N-invalid boundaries): XLA + Pallas(interpret) bit-equal to
+    the flavored Gotoh oracle."""
+    from versalignlib_tpu.ops.pallas_align import pallas_align_affine_batch
+    from versalignlib_tpu.ops.xla import XLABackend
+    from versalignlib_tpu.types import TieBreak
+
+    p = AFFINE_PARAMS[0]
+    tie = TieBreak.DIAG_LEFT_UP
+    backend = XLABackend()
+    reads = random_codes(rng, 16, 12, padded=True, n_prob=0.15)
+    refs = random_codes(rng, 16, 16, padded=True, n_prob=0.15)
+    for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        want = gotoh.compute_alignments_affine(alg, reads, refs, p, tie)
+        got_x = backend.compute_alignments(alg, reads, refs, p, tie)
+        got_p = pallas_align_affine_batch(reads, refs, p, alg, tie,
+                                          interpret=True)
+        for i, (w, gx, gp) in enumerate(zip(want, got_x, got_p)):
+            assert (gx.read, gx.ref, gx.score, gx.cigar) == (
+                w.read, w.ref, w.score, w.cigar), ("xla", alg, i, gx, w)
+            assert (gp.read, gp.ref, gp.score, gp.cigar) == (
+                w.read, w.ref, w.score, w.cigar), ("pallas", alg, i, gp, w)
+
+
+def test_affine_sse_flavor_boundary_differs():
+    """The SSE flavor's N-invalid boundary rule must actually bite: an N in
+    the read shortens the NW end row (canonical counts N valid)."""
+    from versalignlib_tpu.types import TieBreak
+
+    p = AFFINE_PARAMS[0]
+    read, ref = encode("ANGTAC"), encode("ATGTAC")
+    can = gotoh.nw_align_affine(read, ref, p, TieBreak.DIAG_UP_LEFT)
+    sse = gotoh.nw_align_affine(read, ref, p, TieBreak.DIAG_LEFT_UP)
+    assert (can.read, can.cigar, can.score, can.read_end) == (
+        "ANGTAC", "6M", 10, 6)
+    assert (sse.read, sse.cigar, sse.score, sse.read_end) == ("A", "1M", 2, 1)
+
+
 def test_xla_affine_align_matches_oracle(rng):
     """Device affine pointer plane + native decode vs the Gotoh oracle."""
     from versalignlib_tpu.ops.xla import XLABackend

@@ -299,25 +299,28 @@ def test_cli_reference_compat_output(tmp_path):
     assert "\t" not in aln_text  # no CIGAR/score extension lines
 
 
-def test_affine_rejects_sse_tie_flavor(rng):
-    # Affine pointers exist only in the canonical flavor; every align path
-    # raises on the SSE flavor instead of silently ignoring it.
-    import pytest as _pytest
-
+def test_affine_sse_tie_flavor_through_engine(rng):
+    # The SSE flavor is defined across the additive affine surface: every
+    # backend must agree with the flavored Gotoh oracle.
     from versalignlib_tpu.dispatch import AlignmentEngine
+    from versalignlib_tpu.ops import gotoh
     from versalignlib_tpu.params import AlignmentParameters
     from versalignlib_tpu.types import Algorithm, TieBreak
 
     p = AlignmentParameters(score_match=2, score_mismatch=-1,
                             score_gap_read=-1, score_gap_ref=-1,
                             gap_open_read=-4, gap_open_ref=-4)
-    reads = random_codes(rng, 2, 8)
-    refs = random_codes(rng, 2, 8)
+    reads = random_codes(rng, 6, 8, padded=True, n_prob=0.15)
+    refs = random_codes(rng, 6, 8, padded=True, n_prob=0.15)
+    want = gotoh.compute_alignments_affine(
+        Algorithm.SMITH_WATERMAN, reads, refs, p, TieBreak.DIAG_LEFT_UP)
     for backend in ("oracle", "xla"):
         engine = AlignmentEngine(params=p, backend=backend,
                                  tie=TieBreak.DIAG_LEFT_UP)
-        with _pytest.raises(ValueError, match="canonical"):
-            engine.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+        got = engine.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+        for g, w in zip(got, want):
+            assert (g.read, g.ref, g.score, g.cigar) == (
+                w.read, w.ref, w.score, w.cigar), backend
 
 
 def test_capabilities_dense_gate():

@@ -116,15 +116,48 @@ def test_matrix_banded(rng, mat_params):
             assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
 
 
-def test_matrix_rejects_sse_flavor(rng, mat_params):
-    reads = random_codes(rng, 2, 8)
-    refs = random_codes(rng, 2, 8)
-    with pytest.raises(ValueError, match="canonical"):
-        oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs,
-                                  mat_params, TieBreak.DIAG_LEFT_UP)
-    with pytest.raises(ValueError, match="canonical"):
-        XLABackend().compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs,
-                                        mat_params, TieBreak.DIAG_LEFT_UP)
+def test_matrix_sse_flavor_validity_gate():
+    """SSE-flavor DIAG gating generalizes "A/C/G/T" to nonzero-scoring codes
+    (alphabet.valid_code_mask): a code with an all-zero matrix row/col (the
+    N analogue) blocks DIAG pointers under TieBreak.DIAG_LEFT_UP."""
+    m = ((0, 0, 0), (0, 3, 0), (0, 0, 0))  # code 2 scores 0 vs everything
+    p = AlignmentParameters(score_gap_read=-2, score_gap_ref=-2, matrix=m)
+    reads = np.array([[1, 2, 1]], dtype=np.uint8)
+    refs = np.array([[1, 2, 1]], dtype=np.uint8)
+    can = oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs,
+                                    p, TieBreak.DIAG_UP_LEFT)[0]
+    sse = oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs,
+                                    p, TieBreak.DIAG_LEFT_UP)[0]
+    # The walk from the unique max at (3,3) hits the zero-sub diag tie at
+    # (2,2): canonical walks through it, the SSE flavor's validity gate
+    # stops there (mirroring the DNA flavor's N behavior).
+    assert (can.cigar, can.score) == ("3M", 6)
+    assert (sse.cigar, sse.score) == ("1M", 6)
+
+
+def test_matrix_sse_flavor_cross_backend(rng):
+    """Matrix mode under the SSE flavor: XLA + Pallas(interpret) tracebacks
+    bit-equal to the flavored oracle, incl. an interior zero row/col code."""
+    m = np.array(_random_matrix(rng, 7), dtype=np.int64)
+    m[4, :] = 0
+    m[:, 4] = 0  # N-analogue: code 4 is score-invalid
+    p = AlignmentParameters(score_gap_read=-3, score_gap_ref=-3,
+                            matrix=tuple(tuple(int(v) for v in r) for r in m))
+    reads = rng.integers(1, 7, size=(8, 10)).astype(np.uint8)
+    refs = rng.integers(1, 7, size=(8, 13)).astype(np.uint8)
+    reads[:, -1] *= rng.integers(0, 2, size=8).astype(np.uint8)  # some padding
+    tie = TieBreak.DIAG_LEFT_UP
+    be = XLABackend()
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        want = oracle.compute_alignments(algorithm, reads, refs, p, tie)
+        got_x = be.compute_alignments(algorithm, reads, refs, p, tie)
+        got_p = pallas_align_batch(reads, refs, p, algorithm, tie,
+                                   interpret=True)
+        for i, (w, gx, gp) in enumerate(zip(want, got_x, got_p)):
+            assert (gx.read, gx.ref, gx.score, gx.cigar) == (
+                w.read, w.ref, w.score, w.cigar), ("xla", algorithm, i)
+            assert (gp.read, gp.ref, gp.score, gp.cigar) == (
+                w.read, w.ref, w.score, w.cigar), ("pallas", algorithm, i)
 
 
 def test_blosum62_protein_alignment():

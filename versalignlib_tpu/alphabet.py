@@ -121,6 +121,46 @@ def is_valid_base(codes):
     return (codes >= 1) & (codes <= 4)
 
 
+def valid_code_mask(matrix=None) -> np.ndarray:
+    """(S,) bool: code can contribute a nonzero substitution score.
+
+    This is the alphabet-generic form of the SSE flavor's "both bases
+    A/C/G/T" DIAG gate (SSEKernel.cpp:364-379): for the reference's 6x6 DNA
+    table it is exactly {A,T,C,G} (padding 0 and N have all-zero rows); for
+    a custom S x S matrix a code is valid iff its row or column has any
+    nonzero entry.
+    """
+    if matrix is None:
+        m = base_score_matrix(1, -1)
+    else:
+        m = np.asarray(matrix, dtype=np.int64)
+    return (m != 0).any(axis=1) | (m != 0).any(axis=0)
+
+
+def make_validity(matrix=None):
+    """Elementwise validity predicate over code arrays (numpy OR jax).
+
+    Returns ``f(codes) -> bool array`` implementing :func:`valid_code_mask`
+    with pure comparisons (no gather — usable inside Pallas kernels). Codes
+    outside [0, S) are invalid.
+    """
+    mask = valid_code_mask(matrix)
+    idx = np.flatnonzero(mask)
+    if idx.size == 0:
+        return lambda c: c < 0  # all-False of the right shape/backend
+    if idx.size == idx[-1] - idx[0] + 1:  # contiguous range (the common case)
+        lo, hi = int(idx[0]), int(idx[-1])
+        return lambda c: (c >= lo) & (c <= hi)
+
+    def f(c):
+        v = c < 0
+        for s in idx:
+            v = v | (c == int(s))
+        return v
+
+    return f
+
+
 # ---------------------------------------------------------------------------
 # Generic alphabets (ADDITIVE: the reference only knows the DNA table)
 # ---------------------------------------------------------------------------

@@ -139,9 +139,6 @@ def main(argv=None) -> int:
     )
     from versalignlib_tpu.types import TieBreak
     tie = TieBreak.DIAG_UP_LEFT if args.tie == "canonical" else TieBreak.DIAG_LEFT_UP
-    if args.tie == "sse" and (args.band or matrix is not None or params.affine):
-        ap.error("--tie sse is DNA/dense/linear only: banded, matrix, and "
-                 "affine pointers are defined in the canonical flavor")
 
     if args.selftest:
         rng = np.random.default_rng(0)

@@ -201,8 +201,8 @@ def _oracle_factory() -> Backend:
 
         def compute_alignments(self, algorithm, reads, refs, params, tie):
             if params.affine:
-                gotoh.require_canonical_tie(tie)
-                return gotoh.compute_alignments_affine(algorithm, reads, refs, params)
+                return gotoh.compute_alignments_affine(
+                    algorithm, reads, refs, params, tie)
             return oracle.compute_alignments(algorithm, reads, refs, params, tie)
 
     return OracleBackend()

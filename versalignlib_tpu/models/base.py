@@ -74,15 +74,10 @@ class AlignmentModel:
         if self.banded:
             from versalignlib_tpu.ops.banded import banded_align_batch
 
-            if self.tie != TieBreak.DIAG_UP_LEFT:
-                raise ValueError(
-                    "banded alignment defines pointers only in the canonical "
-                    "flavor (TieBreak.DIAG_UP_LEFT); see banded_align_oracle"
-                )
             reads_enc, refs_enc = self._encode(reads, refs)
             return banded_align_batch(
                 reads_enc, refs_enc, self.params, self.algorithm,
-                band=self.band, tile=self.band_tile,
+                band=self.band, tile=self.band_tile, tie=self.tie,
             )
         reads_enc, refs_enc = self._encode(reads, refs)
         from versalignlib_tpu.dispatch import get_backend

@@ -125,11 +125,12 @@ def banded_score_oracle(read, ref, p: AlignmentParameters, band: int,
     return final
 
 
-def last_valid_pos(codes: np.ndarray) -> int:
-    """Canonical-flavor max_*_pos for one sequence: index before the first
-    invalid (0) code, else len-1 (DefaultKernel.cpp:308,348 semantics)."""
+def last_valid_pos(codes: np.ndarray, valid=None) -> int:
+    """max_*_pos for one sequence: index before the first invalid code, else
+    len-1 (DefaultKernel.cpp:308,348 semantics). ``valid``: elementwise
+    validity predicate (default = canonical flavor, any nonzero code)."""
     codes = np.asarray(codes)
-    inv = np.flatnonzero(codes == 0)
+    inv = np.flatnonzero(codes == 0 if valid is None else ~valid(codes))
     return int(inv[0]) - 1 if inv.size else codes.size - 1
 
 
@@ -137,7 +138,8 @@ def banded_align_oracle(read, ref, p: AlignmentParameters, band: int,
                         algorithm: Algorithm,
                         offsets: np.ndarray | None = None,
                         read_text: str | None = None,
-                        ref_text: str | None = None):
+                        ref_text: str | None = None,
+                        tie=None):
     """Reference banded ALIGNMENT: full-matrix DP with -inf outside the band,
     canonical pointer flavor, explicit end-cell rules. This is the semantics
     definition the Pallas banded traceback kernel is tested against
@@ -146,8 +148,13 @@ def banded_align_oracle(read, ref, p: AlignmentParameters, band: int,
     /root/reference/src/Kernels/OpenCL/opencl_c/alignment_kernels.cl:10-12).
 
     Boundaries are the banded-score oracle's (row 0 / col 0 free). Pointer
-    model: linear DIAG > UP > LEFT with SW zero-force; affine 4-bit
-    ``hptr | e_ext<<2 | f_ext<<3`` with extend-beats-open ties (ops/gotoh.py).
+    model: canonical flavor (``tie`` None/DIAG_UP_LEFT) linear DIAG > UP >
+    LEFT with SW zero-force; affine 4-bit ``hptr | e_ext<<2 | f_ext<<3``
+    with extend-beats-open ties (ops/gotoh.py). SSE flavor
+    (``TieBreak.DIAG_LEFT_UP``): validity-gated DIAG > LEFT > UP (affine:
+    DIAG > LEFT(E) > UP(F)), no SW zero-force, and validity-flavored NW
+    end-cell tracking — the banded extension of the dense SSE rules
+    (oracle._pointers / gotoh._affine_pointers).
 
     End cells:
       - SW: first in-band cell (row-major) attaining the global clamped max;
@@ -162,10 +169,17 @@ def banded_align_oracle(read, ref, p: AlignmentParameters, band: int,
     The walk stops at START pointers, at the free row-0/col-0 boundaries,
     and when stepping outside the band.
     """
+    from versalignlib_tpu.alphabet import make_validity
+    from versalignlib_tpu.types import TieBreak
+
     read = np.asarray(read, dtype=np.int32)
     ref = np.asarray(ref, dtype=np.int32)
     m, n = read.size, ref.size
     local = Algorithm(algorithm) == Algorithm.SMITH_WATERMAN
+    canonical = tie is None or TieBreak(tie) == TieBreak.DIAG_UP_LEFT
+    vfn = make_validity(p.matrix)
+    rvalid = vfn(read)
+    fvalid = vfn(ref)
     if offsets is None:
         offsets = band_offsets(m, m, n, band)
     band = min(band, n)
@@ -203,20 +217,29 @@ def banded_align_oracle(read, ref, p: AlignmentParameters, band: int,
             cur = max(cur, NEG)
             if local:
                 cur = max(cur, 0)
+            cell_valid = bool(rvalid[i - 1]) and bool(fvalid[j - 1])
             if affine:
-                hp = D if cur == diag_v else (U if cur == f_v else
-                                              (L if cur == e else S))
-                if local and cur == 0:
-                    hp = S
+                if canonical:
+                    hp = D if cur == diag_v else (U if cur == f_v else
+                                                  (L if cur == e else S))
+                    if local and cur == 0:
+                        hp = S
+                else:
+                    hp = (D if (cur == diag_v and cell_valid) else
+                          (L if cur == e else (U if cur == f_v else S)))
                 e_ext = 1 if e == e_prev + p.score_gap_read else 0
                 f_ext = 1 if f_v == f_prev + p.score_gap_ref else 0
                 ptr[i, j] = hp | (e_ext << 2) | (f_ext << 3)
                 f[i, j] = f_v
             else:
-                hp = D if cur == diag_v else (U if cur == up_v else
-                                              (L if cur == left_v else S))
-                if local and cur == 0:
-                    hp = S
+                if canonical:
+                    hp = D if cur == diag_v else (U if cur == up_v else
+                                                  (L if cur == left_v else S))
+                    if local and cur == 0:
+                        hp = S
+                else:
+                    hp = (D if (cur == diag_v and cell_valid) else
+                          (L if cur == left_v else (U if cur == up_v else S)))
                 ptr[i, j] = hp
             h[i, j] = cur
 
@@ -235,8 +258,9 @@ def banded_align_oracle(read, ref, p: AlignmentParameters, band: int,
             start_r, start_f = divmod(flat, n)
             score = best
     else:
-        mrp = last_valid_pos(read)
-        max_ref_pos = last_valid_pos(ref)
+        bvalid = None if canonical else vfn
+        mrp = last_valid_pos(read, bvalid)
+        max_ref_pos = last_valid_pos(ref, bvalid)
         if mrp < 0:
             start_r = start_f = -1
             score = 0
@@ -649,7 +673,8 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
                          ptr_ref, best_out_ref, keep_out_ref,
                          state_ref, fstate_ref, refwin_ref, bounce_ref,
                          best_s, keep_s, sem, *, tile, band, win, shift_cap,
-                         n, n_tiles, params: AlignmentParameters, local: bool):
+                         n, n_tiles, params: AlignmentParameters, local: bool,
+                         canonical: bool = True):
     """One (pair_block, row_tile) grid step emitting packed pointers.
 
     Scalar prefetch: offs (m_pad,) per-row band starts; ws (n_tiles,) window
@@ -729,12 +754,17 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
     d_code, u_code, l_code = jnp.int32(3), jnp.int32(1), jnp.int32(2)
     mrp_vec = mrp_ref[0]
 
+    from versalignlib_tpu.alphabet import make_validity
+
     row_prep, col_prep, sub_of = make_sub_fn(params)
+    vfn = make_validity(params.matrix)
 
     def group_body(ig, carry):
         best, bi, bj = carry
         i0 = ig * R
-        rctxs = [row_prep(reads_ref[0, i0 + r]) for r in range(R)]
+        rcs = [reads_ref[0, i0 + r] for r in range(R)]
+        rvls = [vfn(rc) for rc in rcs]
+        rctxs = [row_prep(rcs[r]) for r in range(R)]
         lows = [offs_ref[t * tile + i0 + r] - win_start for r in range(R)]
         row_abs = [t * tile + i0 + r for r in range(R)]
         diag0s = [jnp.where((ig == 0) & (r == 0), pre_diag, h_bound)
@@ -787,23 +817,38 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
                     cur = jnp.maximum(cur, neg_inf)
                     if local:
                         cur = jnp.maximum(cur, 0)
-                    # Canonical pointer: DIAG > UP > LEFT; SW zero-force.
+                    # Canonical pointer: DIAG > UP > LEFT, SW zero-force;
+                    # SSE flavor: validity-gated DIAG > LEFT > UP, no force.
                     if affine:
-                        code = jnp.where(
-                            cur == diag_v, d_code,
-                            jnp.where(cur == f_val, u_code,
-                                      jnp.where(cur == e_val, l_code, 0)))
-                        if local:
-                            code = jnp.where(cur == 0, 0, code)
+                        if canonical:
+                            code = jnp.where(
+                                cur == diag_v, d_code,
+                                jnp.where(cur == f_val, u_code,
+                                          jnp.where(cur == e_val, l_code, 0)))
+                            if local:
+                                code = jnp.where(cur == 0, 0, code)
+                        else:
+                            valid = rvls[r] & vfn(ref_col)
+                            code = jnp.where(
+                                (cur == diag_v) & valid, d_code,
+                                jnp.where(cur == e_val, l_code,
+                                          jnp.where(cur == f_val, u_code, 0)))
                         code = code | ((e_val == e_raw).astype(jnp.int32) << 2)
                         code = code | ((f_val == f_raw).astype(jnp.int32) << 3)
                     else:
-                        code = jnp.where(
-                            cur == diag_v, d_code,
-                            jnp.where(cur == up_v, u_code,
-                                      jnp.where(cur == left_v, l_code, 0)))
-                        if local:
-                            code = jnp.where(cur == 0, 0, code)
+                        if canonical:
+                            code = jnp.where(
+                                cur == diag_v, d_code,
+                                jnp.where(cur == up_v, u_code,
+                                          jnp.where(cur == left_v, l_code, 0)))
+                            if local:
+                                code = jnp.where(cur == 0, 0, code)
+                        else:
+                            valid = rvls[r] & vfn(ref_col)
+                            code = jnp.where(
+                                (cur == diag_v) & valid, d_code,
+                                jnp.where(cur == left_v, l_code,
+                                          jnp.where(cur == up_v, u_code, 0)))
                     in_band = masks[r][u]
                     cur = jnp.where(in_band, cur, neg_inf)
                     code = jnp.where(in_band, code, 0)
@@ -911,11 +956,12 @@ def _clamp_align_tile(tile: int, m: int, n: int, band: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "algorithm", "band", "tile", "d_max", "interpret"),
+    static_argnames=("params", "algorithm", "band", "tile", "d_max",
+                     "canonical", "interpret"),
 )
 def _banded_align_blocks(reads_b, refs_b, offsets, win_starts, mrp_b, params,
                          algorithm, band: int, tile: int, d_max: int,
-                         interpret: bool = False):
+                         canonical: bool = True, interpret: bool = False):
     """Banded pointer fill. reads_b (G, m_pad, 8, 128); refs_b (G, n, 8, 128);
     offsets (m_pad,); win_starts (n_tiles,); mrp_b (G, 8, 128).
 
@@ -937,6 +983,7 @@ def _banded_align_blocks(reads_b, refs_b, offsets, win_starts, mrp_b, params,
     kernel = functools.partial(
         _banded_align_kernel, tile=tile, band=band, win=win,
         shift_cap=shift_cap, n=n, n_tiles=n_tiles, params=params, local=local,
+        canonical=canonical,
     )
     state_rows = win + shift_cap
     vmem_bytes = _banded_align_vmem(tile, win, shift_cap, keep_rows, affine)
@@ -1000,10 +1047,11 @@ def banded_align_batch(
     interpret: bool | None = None,
     raw: bool = False,
     chunk_blocks: int | None = None,
+    tie=None,
 ):
     """Banded full alignment: Pallas pointer fill + host band walk.
 
-    Semantics: ``banded_align_oracle`` (canonical flavor; linear AND affine
+    Semantics: ``banded_align_oracle`` (both tie flavors; linear AND affine
     gap models). The pointer stream is ``win//8`` int32 words per row per
     pair, so batches are chunked into ``chunk_blocks`` 1024-pair blocks per
     device round under a 64MB budget (default), pipelined one chunk ahead
@@ -1043,10 +1091,12 @@ def banded_align_batch(
     wc = win // 8
     wbase_np = np.repeat(win_starts_np, tile)[:m_pad].astype(np.int32)
 
-    # Canonical-flavor validity (code != 0) for the NW end-cell rule.
+    # Flavored validity for the NW end-cell rule (canonical: code != 0).
     from versalignlib_tpu.ops.pallas_align import _last_valid_pos, _pack_vec
-    mrp_all = _last_valid_pos(reads_np, TieBreak.DIAG_UP_LEFT)
-    max_ref_pos_all = _last_valid_pos(refs_np, TieBreak.DIAG_UP_LEFT)
+    tie_v = TieBreak.DIAG_UP_LEFT if tie is None else TieBreak(tie)
+    canonical = tie_v == TieBreak.DIAG_UP_LEFT
+    mrp_all = _last_valid_pos(reads_np, tie_v, params.matrix)
+    max_ref_pos_all = _last_valid_pos(refs_np, tie_v, params.matrix)
 
     if chunk_blocks is None:
         # ~64MB of packed pointer words per device round — the dense path's
@@ -1072,7 +1122,7 @@ def banded_align_batch(
             pack_arr(r_np, m, m_pad, g), pack_arr(f_np, n, n, g),
             jnp.asarray(offsets_np), jnp.asarray(win_starts_np),
             _pack_vec(mrp_all[lo : lo + chunk_pairs], g), params, algorithm,
-            band, tile, d_max, interpret,
+            band, tile, d_max, canonical, interpret,
         )
         return lo, r_np, f_np, g, dev
 

@@ -34,29 +34,14 @@ from __future__ import annotations
 
 import numpy as np
 
-from versalignlib_tpu.alphabet import substitution_scores
+from versalignlib_tpu.alphabet import make_validity, substitution_scores
 from versalignlib_tpu.params import AlignmentParameters
-from versalignlib_tpu.types import Algorithm, Alignment, Trace, cigar_from_gapped
+from versalignlib_tpu.types import (
+    Algorithm, Alignment, TieBreak, Trace, cigar_from_gapped,
+)
 
 #: -inf stand-in safe against int32 adds
 NEG_INF = np.int32(-(2**30))
-
-
-def require_canonical_tie(tie) -> None:
-    """Affine pointers are defined only in the canonical flavor.
-
-    The reference has no affine kernels to mirror the SSE flavor from, so
-    every affine align path raises on ``TieBreak.DIAG_LEFT_UP`` instead of
-    silently ignoring the argument.
-    """
-    from versalignlib_tpu.types import TieBreak
-
-    if TieBreak(tie) != TieBreak.DIAG_UP_LEFT:
-        raise ValueError(
-            "affine (Gotoh) alignment defines pointers only in the canonical "
-            "flavor (TieBreak.DIAG_UP_LEFT); the reference has no affine "
-            "kernels to mirror the SSE flavor from"
-        )
 
 
 def _fill_affine(
@@ -120,12 +105,18 @@ def nw_score_affine(read, ref, p: AlignmentParameters) -> int:
 # Affine traceback (three-state machine)
 # ---------------------------------------------------------------------------
 
-def _affine_pointers(h, e, f, sub, p: AlignmentParameters, *, local: bool):
+def _affine_pointers(h, e, f, sub, p: AlignmentParameters, *, local: bool,
+                     tie: TieBreak = TieBreak.DIAG_UP_LEFT,
+                     valid_comp: np.ndarray | None = None):
     """Per-cell 4-bit pointer: hptr(2b) | e_ext(1b)<<2 | f_ext(1b)<<3.
 
-    hptr: START/DIAG or "enter E" (LEFT) / "enter F" (UP). Tie order
-    DIAG > UP(F) > LEFT(E), the canonical linear order; gap open-vs-extend
-    ties prefer extend (longer gaps coalesce).
+    hptr: START/DIAG or "enter E" (LEFT) / "enter F" (UP). Canonical flavor:
+    tie order DIAG > UP(F) > LEFT(E) (the canonical linear order) with the
+    SW zero-force. SSE flavor (``DIAG_LEFT_UP``, the affine extension of the
+    SSE linear rules, SSEKernel.cpp:364-379 — the reference has no affine
+    kernels): DIAG gated on ``valid_comp`` (both symbols score-valid),
+    order DIAG > LEFT(E) > UP(F), no zero-force. Gap open-vs-extend ties
+    prefer extend in both flavors (longer gaps coalesce).
     """
     m1, n1 = h.shape
     ptr = np.zeros((m1, n1), dtype=np.uint8)
@@ -133,13 +124,22 @@ def _affine_pointers(h, e, f, sub, p: AlignmentParameters, *, local: bool):
         return ptr
     cur = h[1:, 1:]
     diag = h[:-1, :-1] + sub
-    hp = np.where(
-        cur == diag, np.uint8(Trace.DIAG),
-        np.where(cur == f[1:, 1:], np.uint8(Trace.UP),
-                 np.where(cur == e[1:, 1:], np.uint8(Trace.LEFT), np.uint8(Trace.START))),
-    )
-    if local:
-        hp = np.where(cur == 0, np.uint8(Trace.START), hp)
+    D, U, L, S = (np.uint8(Trace.DIAG), np.uint8(Trace.UP),
+                  np.uint8(Trace.LEFT), np.uint8(Trace.START))
+    if tie == TieBreak.DIAG_UP_LEFT:
+        hp = np.where(
+            cur == diag, D,
+            np.where(cur == f[1:, 1:], U,
+                     np.where(cur == e[1:, 1:], L, S)),
+        )
+        if local:
+            hp = np.where(cur == 0, S, hp)
+    else:
+        hp = np.where(
+            (cur == diag) & valid_comp, D,
+            np.where(cur == e[1:, 1:], L,
+                     np.where(cur == f[1:, 1:], U, S)),
+        )
     # extend bits: prefer extend on ties
     e_ext = (e[1:, 1:] == e[1:, :-1] + p.score_gap_read).astype(np.uint8)
     f_ext = (f[1:, 1:] == f[:-1, 1:] + p.score_gap_ref).astype(np.uint8)
@@ -222,12 +222,16 @@ def _affine_traceback(read, ref, ptr, start_rp, start_fp, score,
 
 
 def sw_align_affine(read, ref, p: AlignmentParameters,
+                    tie: TieBreak = TieBreak.DIAG_UP_LEFT,
                     read_text=None, ref_text=None) -> Alignment:
     read = np.asarray(read, dtype=np.int32)
     ref = np.asarray(ref, dtype=np.int32)
     h, e, f = _fill_affine(read, ref, p, local=True, col0_penalty=False)
     sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
-    ptr = _affine_pointers(h, e, f, sub, p, local=True)
+    vfn = make_validity(p.matrix)
+    valid_comp = vfn(read)[:, None] & vfn(ref)[None, :]
+    ptr = _affine_pointers(h, e, f, sub, p, local=True, tie=tie,
+                           valid_comp=valid_comp)
     inner = h[1:, 1:]
     if inner.size == 0:
         return _affine_traceback(read, ref, ptr, -1, -1, 0, read_text, ref_text)
@@ -238,6 +242,7 @@ def sw_align_affine(read, ref, p: AlignmentParameters,
 
 
 def nw_align_affine(read, ref, p: AlignmentParameters,
+                    tie: TieBreak = TieBreak.DIAG_UP_LEFT,
                     read_text=None, ref_text=None) -> Alignment:
     """Semi-global affine alignment with the reference's NW end-cell rule."""
     read = np.asarray(read, dtype=np.int32)
@@ -245,10 +250,17 @@ def nw_align_affine(read, ref, p: AlignmentParameters,
     m, n = read.size, ref.size
     h, e, f = _fill_affine(read, ref, p, local=False, col0_penalty=True)
     sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
-    ptr = _affine_pointers(h, e, f, sub, p, local=False)
+    vfn = make_validity(p.matrix)
+    valid_comp = vfn(read)[:, None] & vfn(ref)[None, :]
+    ptr = _affine_pointers(h, e, f, sub, p, local=False, tie=tie,
+                           valid_comp=valid_comp)
 
-    read_valid = read != 0
-    ref_valid = ref != 0
+    if TieBreak(tie) == TieBreak.DIAG_UP_LEFT:
+        read_valid = read != 0
+        ref_valid = ref != 0
+    else:
+        read_valid = vfn(read)
+        ref_valid = vfn(ref)
     inv_r = np.flatnonzero(~read_valid)
     max_read_pos = int(inv_r[0]) - 1 if inv_r.size else m - 1
     inv_f = np.flatnonzero(~ref_valid)
@@ -274,6 +286,7 @@ def score_alignments_affine(algorithm, reads, refs, p):
     return np.array([fn(r, f, p) for r, f in zip(reads, refs)], dtype=np.int32)
 
 
-def compute_alignments_affine(algorithm, reads, refs, p):
+def compute_alignments_affine(algorithm, reads, refs, p,
+                              tie: TieBreak = TieBreak.DIAG_UP_LEFT):
     fn = sw_align_affine if Algorithm(algorithm) == Algorithm.SMITH_WATERMAN else nw_align_affine
-    return [fn(r, f, p) for r, f in zip(reads, refs)]
+    return [fn(r, f, p, tie) for r, f in zip(reads, refs)]

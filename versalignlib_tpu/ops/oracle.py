@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from versalignlib_tpu.alphabet import is_valid_base, substitution_scores
+from versalignlib_tpu.alphabet import make_validity, substitution_scores
 from versalignlib_tpu.params import AlignmentParameters
 from versalignlib_tpu.types import Algorithm, Alignment, TieBreak, Trace, cigar_from_gapped
 
@@ -132,8 +132,10 @@ def _pointers(
     - DIAG_UP_LEFT (Default, DefaultKernel.cpp:238-248/:338-346): if/else
       chain START(SW@0) > DIAG > UP > LEFT; DIAG unconditional.
     - DIAG_LEFT_UP (SSE, SSEKernel.cpp:364-379): max-of-codes
-      DIAG(3) > LEFT(2) > UP(1), DIAG only where both bases are A/C/G/T
-      (``valid_comp``), no START force at zero SW cells.
+      DIAG(3) > LEFT(2) > UP(1), DIAG only where both symbols are valid
+      (``valid_comp`` — A/C/G/T for the DNA table; nonzero matrix row/col
+      for custom matrices, alphabet.valid_code_mask), no START force at
+      zero SW cells.
     """
     m, n = h.shape
     ptr = np.zeros((m, n), dtype=np.uint8)
@@ -253,7 +255,8 @@ def sw_align(
     ref = np.asarray(ref, dtype=np.int32)
     h = _fill_matrix(read, ref, p, local=True, col0_penalty=False)
     sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
-    valid_comp = is_valid_base(read)[:, None] & is_valid_base(ref)[None, :]
+    vfn = make_validity(p.matrix)
+    valid_comp = vfn(read)[:, None] & vfn(ref)[None, :]
     ptr = _pointers(h, sub, valid_comp, p, local=True, tie=tie)
     inner = h[1:, 1:]
     if inner.size == 0:
@@ -287,18 +290,20 @@ def nw_align(
     m, n = read.size, ref.size
     h = _fill_matrix(read, ref, p, local=False, col0_penalty=True)
     sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
-    valid_comp = is_valid_base(read)[:, None] & is_valid_base(ref)[None, :]
+    vfn = make_validity(p.matrix)
+    valid_comp = vfn(read)[:, None] & vfn(ref)[None, :]
     ptr = _pointers(h, sub, valid_comp, p, local=False, tie=tie)
 
     # End-cell validity tracking: the Default kernel counts N as valid
     # (char_to_score != 0, DefaultKernel.cpp:308,348) while SSE counts only
-    # A/C/G/T (SSEKernel.cpp:515-527,676-681).
+    # A/C/G/T (SSEKernel.cpp:515-527,676-681; generalized to nonzero-scoring
+    # codes for custom matrices).
     if tie == TieBreak.DIAG_UP_LEFT:
         read_valid = read != 0
         ref_valid = ref != 0
     else:
-        read_valid = is_valid_base(read)
-        ref_valid = is_valid_base(ref)
+        read_valid = vfn(read)
+        ref_valid = vfn(ref)
     # max_read_pos: position before the first invalid read char (or m-1).
     invalid_reads = np.flatnonzero(~read_valid)
     max_read_pos = int(invalid_reads[0]) - 1 if invalid_reads.size else m - 1
@@ -355,8 +360,5 @@ def compute_alignments(
     tie: TieBreak = TieBreak.DIAG_UP_LEFT,
 ) -> list[Alignment]:
     """Batch full alignments."""
-    from versalignlib_tpu.params import require_matrix_canonical
-
-    require_matrix_canonical(p, tie)
     fn = sw_align if algorithm == Algorithm.SMITH_WATERMAN else nw_align
     return [fn(r, f, p, tie) for r, f in zip(reads, refs)]

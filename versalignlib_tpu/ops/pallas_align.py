@@ -106,9 +106,12 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
 
     from versalignlib_tpu.ops.pallas_score import make_sub_fn
 
+    from versalignlib_tpu.alphabet import make_validity
+
     row_prep, col_prep, sub_of = make_sub_fn(params)
+    vfn = make_validity(params.matrix)
     rcs = [reads_ref[0, r] for r in range(R)]
-    rvs = [(rc >= 1) & (rc <= 4) for rc in rcs]
+    rvs = [vfn(rc) for rc in rcs]
     rctxs = [row_prep(rcs[r]) for r in range(R)]
     if local:
         col0s = [zeros] * (R + 1)
@@ -169,8 +172,8 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
                         if local:
                             ptr = jnp.where(cur == 0, s_code, ptr)
                     else:  # SSE flavor: DIAG gated on validity, DIAG > LEFT > UP
-                        # (DNA-only flavor; matrix mode is canonical-only.)
-                        valid = rvs[r] & (ref_col >= 1) & (ref_col <= 4)
+                        # (validity = nonzero-scoring codes, matrix-aware).
+                        valid = rvs[r] & vfn(ref_col)
                         ptr = jnp.where(
                             (cur == diag_v) & valid, d_code,
                             jnp.where(cur == left_v, l_code,
@@ -326,16 +329,19 @@ def _unpack_pairs(x: np.ndarray, g: int):
     return x.transpose(perm).reshape((g * BLOCK_PAIRS,) + mid)
 
 
-def _validity(codes: np.ndarray, tie: TieBreak) -> np.ndarray:
-    """Boundary validity flavor: Default counts N valid; SSE only A/C/G/T."""
+def _validity(codes: np.ndarray, tie: TieBreak, matrix=None) -> np.ndarray:
+    """Boundary validity flavor: Default counts any nonzero code valid; SSE
+    only nonzero-scoring codes (A/C/G/T for DNA; matrix-aware otherwise)."""
     if tie == TieBreak.DIAG_UP_LEFT:
         return codes != 0
-    return (codes >= 1) & (codes <= 4)
+    from versalignlib_tpu.alphabet import make_validity
+
+    return make_validity(matrix)(codes)
 
 
-def _last_valid_pos(codes: np.ndarray, tie: TieBreak) -> np.ndarray:
+def _last_valid_pos(codes: np.ndarray, tie: TieBreak, matrix=None) -> np.ndarray:
     """Reference max_*_pos: index before the first invalid char, else len-1."""
-    invalid = ~_validity(codes, tie)
+    invalid = ~_validity(codes, tie, matrix)
     any_inv = invalid.any(axis=1)
     return np.where(any_inv, invalid.argmax(axis=1) - 1, codes.shape[1] - 1).astype(np.int32)
 
@@ -364,9 +370,6 @@ def pallas_align_batch(
     column store (requires the native decoder) — ~6x faster than
     materializing per-pair ``Alignment`` objects; use for bulk pipelines.
     """
-    from versalignlib_tpu.params import require_matrix_canonical
-
-    require_matrix_canonical(params, tie)
     if interpret is None:
         interpret = not _is_tpu()
     algorithm = Algorithm(algorithm)
@@ -394,7 +397,7 @@ def pallas_align_batch(
         r_np = np.asarray(reads[lo : lo + chunk_pairs])
         f_np = np.asarray(refs[lo : lo + chunk_pairs])
         g = max(1, -(-r_np.shape[0] // BLOCK_PAIRS))
-        mrp = _last_valid_pos(r_np, tie)
+        mrp = _last_valid_pos(r_np, tie, params.matrix)
         r_rows = np.pad(r_np, ((0, 0), (0, m_pad - m)))
         dev = _align_blocks(
             _pack_blocks(r_rows, g, m_pad), _pack_blocks(f_np, g, n),
@@ -451,7 +454,7 @@ def _decode_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
     else:
         hsel = _unpack_pairs(hsel, g)[:nb]  # (nb, n+1)
         row_args = aux[:, :, 1]             # (nb, m)
-        max_ref_pos = _last_valid_pos(f_np, tie)
+        max_ref_pos = _last_valid_pos(f_np, tie, params.matrix)
         gri = np.where(
             mrp >= 0, row_args[np.arange(nb), np.maximum(mrp, 0)], 0
         )
@@ -497,18 +500,19 @@ def _pick_pack_affine(n: int) -> int:
     return 1
 
 
-from versalignlib_tpu.ops.gotoh import require_canonical_tie as _require_canonical_tie  # noqa: E402
-
-
 def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
-                         params: AlignmentParameters, local: bool):
+                         params: AlignmentParameters, local: bool,
+                         tie: TieBreak):
     """Affine pointer-row fill; 4-bit codes hptr(2b)|e_ext<<2|f_ext<<3.
 
     Same R-row register wavefront as the linear kernel plus a persisted
     Gotoh F row (F flows row-to-row through the wave registers, the scratch
     holds the group's last row); E is a register carry within each row.
-    Tie order DIAG > UP(F) > LEFT(E); extend beats open on gap ties.
-    aux journals per-row [row_max, row_argmax] like the linear kernel.
+    Canonical tie order DIAG > UP(F) > LEFT(E) with the SW zero-force; the
+    SSE flavor gates DIAG on symbol validity and orders DIAG > LEFT(E) >
+    UP(F), no zero-force (gotoh._affine_pointers). Extend beats open on gap
+    ties in both flavors. aux journals per-row [row_max, row_argmax] like
+    the linear kernel.
     """
     from versalignlib_tpu.ops.pallas_score import NEG_INF_I32
 
@@ -538,10 +542,14 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
         if not local:
             hkeep_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
 
+    from versalignlib_tpu.alphabet import make_validity
     from versalignlib_tpu.ops.pallas_score import make_sub_fn
 
     row_prep, col_prep, sub_of = make_sub_fn(params)
-    rctxs = [row_prep(reads_ref[0, r]) for r in range(R)]
+    vfn = make_validity(params.matrix)
+    rcs = [reads_ref[0, r] for r in range(R)]
+    rvs = [vfn(rc) for rc in rcs]
+    rctxs = [row_prep(rcs[r]) for r in range(R)]
     if local:
         col0s = [zeros] * (R + 1)
     else:
@@ -597,11 +605,17 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
                 if local:
                     cur = jnp.maximum(cur, 0)
 
-                hp = jnp.where(cur == diag_v, d_code,
-                               jnp.where(cur == f_val, u_code,
-                                         jnp.where(cur == e_new, l_code, s_code)))
-                if local:
-                    hp = jnp.where(cur == 0, s_code, hp)
+                if tie == TieBreak.DIAG_UP_LEFT:
+                    hp = jnp.where(cur == diag_v, d_code,
+                                   jnp.where(cur == f_val, u_code,
+                                             jnp.where(cur == e_new, l_code, s_code)))
+                    if local:
+                        hp = jnp.where(cur == 0, s_code, hp)
+                else:
+                    valid = rvs[r] & vfn(ref_col)
+                    hp = jnp.where((cur == diag_v) & valid, d_code,
+                                   jnp.where(cur == e_new, l_code,
+                                             jnp.where(cur == f_val, u_code, s_code)))
                 code = hp | ((e_pre == evals[r]).astype(jnp.int32) << 2) \
                     | ((f_pre == f_up).astype(jnp.int32) << 3)
                 words[r] = words[r] | (code << (4 * u))
@@ -654,8 +668,9 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
             hsel_ref[0] = hkeep_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("params", "algorithm", "interpret"))
+@functools.partial(jax.jit, static_argnames=("params", "algorithm", "tie", "interpret"))
 def _affine_align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
+                         tie: TieBreak = TieBreak.DIAG_UP_LEFT,
                          interpret: bool = False):
     """Affine analogue of _align_blocks; same output structure."""
     g, m_pad = reads_b.shape[0], reads_b.shape[1]
@@ -666,7 +681,7 @@ def _affine_align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
     assert m_pad % R == 0
     kernel = functools.partial(
         _affine_align_kernel, m_pad=m_pad, n=n, pack=pack, R=R,
-        params=params, local=local
+        params=params, local=local, tie=tie
     )
     nc = n // pack
     out_specs = [
@@ -741,11 +756,10 @@ def pallas_align_affine_batch(
 ) -> list[Alignment]:
     """Affine full-batch alignment on the Pallas path.
 
-    The affine pointer model is defined only in the canonical flavor
-    (DIAG > UP(F) > LEFT(E), extend beats open — ops/gotoh.py); requesting
-    the SSE flavor raises instead of silently ignoring the argument.
+    Pointer model: ops/gotoh.py — canonical DIAG > UP(F) > LEFT(E) with the
+    SW zero-force, or the SSE flavor (validity-gated DIAG > LEFT(E) > UP(F),
+    no zero-force); extend beats open in both.
     """
-    _require_canonical_tie(tie)
     if interpret is None:
         interpret = not _is_tpu()
     algorithm = Algorithm(algorithm)
@@ -770,22 +784,22 @@ def pallas_align_affine_batch(
         f_np = np.asarray(refs[lo : lo + chunk_pairs])
         nb = r_np.shape[0]
         g = max(1, -(-nb // BLOCK_PAIRS))
-        # Affine NW boundary validity is the Default flavor (code != 0).
-        mrp = _last_valid_pos(r_np, TieBreak.DIAG_UP_LEFT)
+        mrp = _last_valid_pos(r_np, tie, params.matrix)
         r_rows = np.pad(r_np, ((0, 0), (0, m_pad - m)))
         ptr, aux, hsel = _affine_align_blocks(
             _pack_blocks(r_rows, g, m_pad), _pack_blocks(f_np, g, n),
-            _pack_vec(mrp, g), params, algorithm, interpret,
+            _pack_vec(mrp, g), params, algorithm, tie, interpret,
         )
         results.extend(_decode_affine_chunk(
-            lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
+            lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm, tie,
             pack, n, read_texts, ref_texts,
         ))
     return results
 
 
 def _decode_affine_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params,
-                         algorithm, pack, n, read_texts, ref_texts) -> list[Alignment]:
+                         algorithm, tie, pack, n, read_texts,
+                         ref_texts) -> list[Alignment]:
     """Affine analogue of :func:`_decode_chunk` (4-bit codes, Gotoh walk)."""
     local = algorithm == Algorithm.SMITH_WATERMAN
     m = r_np.shape[1]
@@ -804,7 +818,7 @@ def _decode_affine_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params,
     else:
         hsel = _unpack_pairs(hsel, g)[:nb]
         row_args = aux[:, :, 1]
-        max_ref_pos = _last_valid_pos(f_np, TieBreak.DIAG_UP_LEFT)
+        max_ref_pos = _last_valid_pos(f_np, tie, params.matrix)
         gri = np.where(mrp >= 0, row_args[np.arange(nb), np.maximum(mrp, 0)], 0)
         start_r = mrp
         start_f = np.minimum(max_ref_pos, gri).astype(np.int32)

@@ -175,14 +175,18 @@ def align_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm,
     local = algorithm == Algorithm.SMITH_WATERMAN
     gap_ref = jnp.int32(params.score_gap_ref)
     gap_read = params.score_gap_read
-    ref_valid = (refs >= 1) & (refs <= 4)
+    from versalignlib_tpu.alphabet import make_validity
 
-    # Boundary validity flavor: Default counts N valid; SSE only A/C/G/T.
+    vfn = make_validity(params.matrix)
+    ref_valid = vfn(refs)
+
+    # Boundary validity flavor: Default counts N valid; SSE only A/C/G/T
+    # (nonzero-scoring codes for custom matrices).
     if tie == TieBreak.DIAG_UP_LEFT:
         read_invalid = reads == 0
         ref_invalid = refs == 0
     else:
-        read_invalid = ~((reads >= 1) & (reads <= 4))
+        read_invalid = ~vfn(reads)
         ref_invalid = ~ref_valid
     any_r = jnp.any(read_invalid, axis=1)
     first_r = jnp.argmax(read_invalid, axis=1).astype(jnp.int32)
@@ -205,7 +209,7 @@ def align_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm,
         h = _row_solve(t_full, gap_read)
         cur = h[:, 1:]
         left_v = h[:, :-1] + gap_read
-        valid_comp = ((read_col[:, None] >= 1) & (read_col[:, None] <= 4)) & ref_valid
+        valid_comp = vfn(read_col[:, None]) & ref_valid
         ptr_row = _pointer_row(cur, diag_v, up_v, left_v, valid_comp, local, tie)
 
         if local:
@@ -273,14 +277,19 @@ def align_batch(reads, refs, params: AlignmentParameters, algorithm: Algorithm,
 # Affine (Gotoh) alignment kernel: 4-bit pointer plane
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("params", "algorithm"))
+@functools.partial(jax.jit, static_argnames=("params", "algorithm", "tie"))
 def align_affine_batch(reads, refs, params: AlignmentParameters,
-                       algorithm: Algorithm):
+                       algorithm: Algorithm,
+                       tie: TieBreak = TieBreak.DIAG_UP_LEFT):
     """Affine pointer-plane fill (see ops/gotoh.py for the pointer model).
 
     Returns (ptr, start_read_pos, start_ref_pos, score): ptr is (B, m, n)
-    uint8 with hptr(2b) | e_ext<<2 | f_ext<<3. Tie order DIAG > UP(F) >
-    LEFT(E); extend beats open on gap ties (gaps coalesce).
+    uint8 with hptr(2b) | e_ext<<2 | f_ext<<3. Canonical tie order
+    DIAG > UP(F) > LEFT(E) with the SW zero-force; the SSE flavor gates
+    DIAG on symbol validity and orders DIAG > LEFT(E) > UP(F) with no
+    zero-force (the affine extension of SSEKernel.cpp:364-379 — the
+    reference has no affine kernels; see gotoh._affine_pointers). Extend
+    beats open on gap ties in both flavors (gaps coalesce).
     """
     reads = reads.astype(jnp.int32)
     refs = refs.astype(jnp.int32)
@@ -291,11 +300,19 @@ def align_affine_batch(reads, refs, params: AlignmentParameters,
     ext_r = params.score_gap_read
     open_f = jnp.int32(params.gap_open_ref)
     open_r = jnp.int32(params.gap_open_read)
+    from versalignlib_tpu.alphabet import make_validity
 
-    # NW end-cell validity: the affine NW variant uses the Default flavor
-    # (code != 0 counts valid), matching gotoh.nw_align_affine.
-    read_invalid = reads == 0
-    ref_invalid = refs == 0
+    vfn = make_validity(params.matrix)
+    ref_valid = vfn(refs)
+
+    # NW end-cell validity: Default flavor counts any nonzero code valid
+    # (matching gotoh.nw_align_affine); SSE flavor only nonzero-scoring codes.
+    if tie == TieBreak.DIAG_UP_LEFT:
+        read_invalid = reads == 0
+        ref_invalid = refs == 0
+    else:
+        read_invalid = ~vfn(reads)
+        ref_invalid = ~ref_valid
     any_r = jnp.any(read_invalid, axis=1)
     first_r = jnp.argmax(read_invalid, axis=1).astype(jnp.int32)
     max_read_pos = jnp.where(any_r, first_r - 1, m - 1)
@@ -322,11 +339,17 @@ def align_affine_batch(reads, refs, params: AlignmentParameters,
             h_inner = jnp.maximum(h_inner, 0)
         h = jnp.concatenate([col0, h_inner], axis=1)
 
-        hp = jnp.where(h_inner == diag_v, d,
-                       jnp.where(h_inner == f_row, u,
-                                 jnp.where(h_inner == e_row, l, s)))
-        if local:
-            hp = jnp.where(h_inner == 0, s, hp)
+        if tie == TieBreak.DIAG_UP_LEFT:
+            hp = jnp.where(h_inner == diag_v, d,
+                           jnp.where(h_inner == f_row, u,
+                                     jnp.where(h_inner == e_row, l, s)))
+            if local:
+                hp = jnp.where(h_inner == 0, s, hp)
+        else:
+            valid_comp = vfn(read_col[:, None]) & ref_valid
+            hp = jnp.where((h_inner == diag_v) & valid_comp, d,
+                           jnp.where(h_inner == e_row, l,
+                                     jnp.where(h_inner == f_row, u, s)))
         e_shift = jnp.concatenate(
             [jnp.full((b, 1), NEG_INF, jnp.int32), e_row[:, :-1]], axis=1
         )
@@ -405,19 +428,13 @@ class XLABackend:
         return np.asarray(out, dtype=np.int32)
 
     def compute_alignments(self, algorithm, reads, refs, params, tie):
-        from versalignlib_tpu.params import require_matrix_canonical
-
-        require_matrix_canonical(params, tie)
         algorithm = Algorithm(algorithm)
         if params.affine:
-            from versalignlib_tpu.ops.gotoh import require_canonical_tie
-
-            require_canonical_tie(tie)
             results: list[Alignment] = []
             for lo in range(0, reads.shape[0], self.align_chunk):
                 r = jnp.asarray(reads[lo : lo + self.align_chunk])
                 f = jnp.asarray(refs[lo : lo + self.align_chunk])
-                ptr, sr, sf, sc = align_affine_batch(r, f, params, algorithm)
+                ptr, sr, sf, sc = align_affine_batch(r, f, params, algorithm, tie)
                 results.extend(
                     tb.decode_batch_affine(
                         np.asarray(ptr), reads[lo : lo + self.align_chunk],

@@ -122,7 +122,8 @@ def _distributed_align_packed(reads_b, refs_b, mrp_b, params, algorithm,
 
     def fn(r, f, mrp):
         if affine:
-            out = _affine_align_blocks(r, f, mrp, params, algorithm, interpret)
+            out = _affine_align_blocks(r, f, mrp, params, algorithm, tie,
+                                       interpret)
         else:
             out = _align_blocks(r, f, mrp, params, algorithm, tie, interpret)
         ptr, aux, hsel = out
@@ -156,10 +157,9 @@ def distributed_align_batch(
     linear / 4-bit affine words); the host decodes shard results with the
     native walker. B pads up to blocks x devices with all-invalid pairs
     (the reference's tail-batch fill-up). Affine routes through the Gotoh
-    kernel (canonical flavor enforced) instead of silently bypassing the
-    mesh, and the only collective is the trailing result gather.
+    kernel instead of silently bypassing the mesh, and the only collective
+    is the trailing result gather.
     """
-    from versalignlib_tpu.ops.gotoh import require_canonical_tie
     from versalignlib_tpu.ops.pallas_align import (
         ALIGN_WAVE_ROWS, _decode_affine_chunk, _decode_chunk, _last_valid_pos,
         _pack_blocks, _pack_vec, _pick_pack, _pick_pack_affine,
@@ -168,12 +168,7 @@ def distributed_align_batch(
 
     if mesh is None:
         mesh = make_mesh()
-    from versalignlib_tpu.params import require_matrix_canonical
-
-    require_matrix_canonical(params, tie)
     affine = params.affine
-    if affine:
-        require_canonical_tie(tie)
     if interpret is None:
         interpret = mesh.devices.flat[0].platform != "tpu"
     n_dev = mesh.devices.size
@@ -189,7 +184,8 @@ def distributed_align_batch(
     m_pad = -(-m // ALIGN_WAVE_ROWS) * ALIGN_WAVE_ROWS
     r_pad = np.pad(reads, ((0, b_pad - b), (0, m_pad - m)))
     f_pad = np.pad(refs, ((0, b_pad - b), (0, 0)))
-    mrp = _last_valid_pos(np.pad(reads, ((0, b_pad - b), (0, 0))), tie)
+    mrp = _last_valid_pos(np.pad(reads, ((0, b_pad - b), (0, 0))), tie,
+                          params.matrix)
 
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     reads_b = jax.device_put(jnp.asarray(_pack_blocks(r_pad, g, m_pad)), sharding)
@@ -204,7 +200,7 @@ def distributed_align_batch(
     out = decode(
         0, reads, refs, mrp[:b], g, np.asarray(ptr), np.asarray(aux),
         None if hsel is None else np.asarray(hsel),
-        params, Algorithm(algorithm), *(() if affine else (tie,)),
+        params, Algorithm(algorithm), tie,
         pack, n, None, None,
     )
     return out[:b]

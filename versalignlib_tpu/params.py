@@ -107,20 +107,3 @@ class AlignmentParameters:
 DEFAULT_PARAMETERS = AlignmentParameters(
     score_match=2, score_mismatch=-1, score_gap_read=-3, score_gap_ref=-3
 )
-
-
-def require_matrix_canonical(params: "AlignmentParameters", tie) -> None:
-    """Custom matrices define pointers only in the canonical flavor.
-
-    The SSE flavor's DIAG gate ("both bases A/C/G/T",
-    SSEKernel.cpp:364-379) is DNA-specific and has no meaning for a generic
-    alphabet, so matrix-mode align paths raise instead of guessing.
-    """
-    from versalignlib_tpu.types import TieBreak
-
-    if params.matrix is not None and TieBreak(tie) != TieBreak.DIAG_UP_LEFT:
-        raise ValueError(
-            "custom substitution matrices define pointers only in the "
-            "canonical flavor (TieBreak.DIAG_UP_LEFT); the SSE flavor's "
-            "validity gate is DNA-specific"
-        )

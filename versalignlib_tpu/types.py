@@ -43,6 +43,13 @@ class TieBreak(enum.IntEnum):
       max-of-codes, DIAG only when both bases are A/C/G/T, no START force at
       zero SW cells, and N counts as *invalid* for NW end-cell tracking
       (SSEKernel.cpp:364-379,515-527,597-611).
+
+    The additive surfaces (affine gaps, custom S x S matrices, banded
+    alignment — the reference has none of these) extend both flavors
+    uniformly: the SSE flavor's "A/C/G/T" validity generalizes to
+    "nonzero-scoring code" (``alphabet.valid_code_mask`` — exactly A/C/G/T
+    for the DNA table), and affine pointers order DIAG > LEFT(E) > UP(F)
+    with no zero-force, extend still beating open on gap ties.
     """
 
     DIAG_UP_LEFT = 0  # canonical (Default + OpenCL backends)
