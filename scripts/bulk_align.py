@@ -73,8 +73,10 @@ def main() -> int:
     else:
         if not (args.reads and args.refs):
             ap.error("--pairs or (--reads and --refs) required")
-        reads_all = pad_and_encode(__import__("versalignlib_tpu.io.fasta", fromlist=["parse_fasta"]).parse_fasta(args.reads))
-        refs_all = pad_and_encode(__import__("versalignlib_tpu.io.fasta", fromlist=["parse_fasta"]).parse_fasta(args.refs))
+        from versalignlib_tpu.io.fastq import parse_sequences
+
+        reads_all = pad_and_encode(parse_sequences(args.reads))
+        refs_all = pad_and_encode(parse_sequences(args.refs))
         total = reads_all.shape[0]
         get_chunk = lambda c, lo, hi: (reads_all[lo:hi], refs_all[lo:hi])
 

@@ -471,6 +471,82 @@ def test_sam_records_consistent_on_random_batch(rng):
             assert int(rec[3]) - 1 == aln.ref_start
 
 
+def test_fastq_roundtrip_and_sniff(tmp_path, rng):
+    from versalignlib_tpu.io.fastq import (iter_fastq_chunks, parse_fastq,
+                                           parse_fastq_with_names,
+                                           parse_sequences, sniff_format,
+                                           write_fastq)
+
+    bases = np.array(list("ACGT"))
+    seqs = ["".join(rng.choice(bases, size=int(rng.integers(5, 20))))
+            for _ in range(7)]
+    quals = ["".join(chr(33 + int(q)) for q in rng.integers(0, 40, len(s)))
+             for s in seqs]
+    fq = tmp_path / "reads.fastq"
+    write_fastq(fq, seqs, names=[f"r{i}" for i in range(7)], qualities=quals)
+    assert sniff_format(fq) == "fastq"
+    assert parse_fastq(fq) == seqs
+    assert parse_sequences(fq) == seqs
+    recs = parse_fastq_with_names(fq)
+    assert [r[0] for r in recs] == [f"r{i}" for i in range(7)]
+    assert [r[2] for r in recs] == quals
+    chunks = list(iter_fastq_chunks(fq, chunk_records=3))
+    assert [len(c) for c in chunks] == [3, 3, 1]
+    assert [s for c in chunks for s in c] == seqs
+
+    # FASTA routes through the same front door.
+    from versalignlib_tpu.io.fasta import write_fasta
+
+    fa = tmp_path / "reads.fasta"
+    write_fasta(fa, seqs)
+    assert sniff_format(fa) == "fasta"
+    assert parse_sequences(fa) == seqs
+
+
+def test_fastq_rejects_malformed(tmp_path):
+    import pytest as _pytest
+
+    from versalignlib_tpu.io.fastq import parse_fastq, sniff_format
+
+    bad_header = tmp_path / "h.fastq"
+    bad_header.write_text("not_a_header\nACGT\n+\nIIII\n")
+    with _pytest.raises(ValueError, match="@"):
+        parse_fastq(bad_header)
+    bad_sep = tmp_path / "s.fastq"
+    bad_sep.write_text("@r0\nACGT\nIIII\nACGT\n")
+    with _pytest.raises(ValueError, match=r"\+"):
+        parse_fastq(bad_sep)
+    bad_qual = tmp_path / "q.fastq"
+    bad_qual.write_text("@r0\nACGT\n+\nII\n")
+    with _pytest.raises(ValueError, match="length"):
+        parse_fastq(bad_qual)
+    truncated = tmp_path / "t.fastq"
+    truncated.write_text("@r0\nACGT\n")
+    with _pytest.raises(ValueError, match="truncated"):
+        parse_fastq(truncated)
+    with _pytest.raises(ValueError, match="sniff"):
+        sniff_format(bad_header)
+
+
+def test_cli_accepts_fastq_inputs(tmp_path, rng):
+    from versalignlib_tpu.cli import main
+    from versalignlib_tpu.io.fastq import write_fastq
+
+    bases = np.array(list("ACGT"))
+    reads = ["".join(rng.choice(bases, size=20)) for _ in range(8)]
+    refs = ["".join(rng.choice(bases, size=30)) for _ in range(8)]
+    rq = tmp_path / "reads.fastq"
+    fq = tmp_path / "refs.fastq"
+    write_fastq(rq, reads)
+    write_fastq(fq, refs)
+    rc = main(["--reads", str(rq), "--refs", str(fq),
+               "--outdir", str(tmp_path / "out"), "--backend", "oracle"])
+    assert rc == 0
+    scores = (tmp_path / "out" / "scores_smith_waterman.txt").read_text()
+    assert len(scores.splitlines()) == 3 * 8  # read/ref/score per pair
+    assert scores.splitlines()[0] == reads[0]
+
+
 def test_cli_sam_flag(tmp_path):
     from versalignlib_tpu.cli import main
 

@@ -27,7 +27,7 @@ from versalignlib_tpu import (
     available_backends,
 )
 from versalignlib_tpu.alphabet import pad_and_encode
-from versalignlib_tpu.io.fasta import parse_fasta
+from versalignlib_tpu.io.fastq import parse_sequences
 from versalignlib_tpu.utils.logging import get_logger
 from versalignlib_tpu.utils.profiling import GcupsMeter
 
@@ -71,8 +71,9 @@ def _write_alignments(path, alignments, compat: bool = False):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="versalignlib_tpu", description=__doc__)
-    ap.add_argument("--reads", help="FASTA file of reads")
-    ap.add_argument("--refs", help="FASTA file of references")
+    ap.add_argument("--reads", help="FASTA or FASTQ file of reads "
+                                    "(format sniffed from the first byte)")
+    ap.add_argument("--refs", help="FASTA or FASTQ file of references")
     ap.add_argument("--outdir", default=".", help="output directory")
     ap.add_argument("--backend", default="auto",
                     help=f"kernel backend (auto|{'|'.join(sorted(available_backends()))})")
@@ -148,8 +149,9 @@ def main(argv=None) -> int:
     else:
         if not args.reads or not args.refs:
             ap.error("--reads and --refs are required (or use --selftest)")
-        reads = parse_fasta(args.reads)
-        refs = parse_fasta(args.refs)
+        # Format-sniffed: FASTA ('>') or FASTQ ('@') both accepted.
+        reads = parse_sequences(args.reads)
+        refs = parse_sequences(args.refs)
         if len(reads) != len(refs):
             # main.cpp:93-102 semantics.
             print(
