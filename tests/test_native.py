@@ -150,3 +150,35 @@ def test_raw_alignment_batch_matches_objects(rng, default_params):
         lines = buf.getvalue().splitlines()
         assert len(lines) == 3 * len(objs)
         assert lines[0] == objs[0].read and lines[1] == objs[0].ref
+
+
+def test_raw_affine_batch_matches_objects(rng):
+    # The affine dense path's raw column store (API parity with the linear
+    # and banded raw modes).
+    from tests.conftest import random_codes
+    from versalignlib_tpu import native
+    from versalignlib_tpu.ops.pallas_align import pallas_align_affine_batch
+    from versalignlib_tpu.params import AlignmentParameters
+    from versalignlib_tpu.types import Algorithm, TieBreak
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    p = AlignmentParameters(score_match=2, score_mismatch=-1,
+                            score_gap_read=-1, score_gap_ref=-1,
+                            gap_open_read=-4, gap_open_ref=-4)
+    reads = random_codes(rng, 16, 14, padded=True)
+    refs = random_codes(rng, 16, 18, padded=True)
+    for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        objs = pallas_align_affine_batch(reads, refs, p, alg,
+                                         TieBreak.DIAG_UP_LEFT,
+                                         interpret=True)
+        batch = pallas_align_affine_batch(reads, refs, p, alg,
+                                          TieBreak.DIAG_UP_LEFT,
+                                          interpret=True, raw=True)
+        assert len(batch) == len(objs)
+        np.testing.assert_array_equal(batch.scores, [a.score for a in objs])
+        for got, want in zip(batch, objs):
+            assert (got.read, got.ref, got.score, got.cigar,
+                    got.read_start, got.ref_start) == \
+                (want.read, want.ref, want.score, want.cigar,
+                 want.read_start, want.ref_start)

@@ -753,12 +753,15 @@ def pallas_align_affine_batch(
     chunk_pairs: int | None = None,
     read_texts: list[str] | None = None,
     ref_texts: list[str] | None = None,
+    raw: bool = False,
 ) -> list[Alignment]:
     """Affine full-batch alignment on the Pallas path.
 
     Pointer model: ops/gotoh.py — canonical DIAG > UP(F) > LEFT(E) with the
     SW zero-force, or the SSE flavor (validity-gated DIAG > LEFT(E) > UP(F),
-    no zero-force); extend beats open in both.
+    no zero-force); extend beats open in both. ``raw=True`` returns an
+    :class:`~versalignlib_tpu.types.AlignmentBatch` column store (requires
+    the native decoder), as in :func:`pallas_align_batch`.
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -790,16 +793,21 @@ def pallas_align_affine_batch(
             _pack_blocks(r_rows, g, m_pad), _pack_blocks(f_np, g, n),
             _pack_vec(mrp, g), params, algorithm, tie, interpret,
         )
-        results.extend(_decode_affine_chunk(
+        chunk = _decode_affine_chunk(
             lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm, tie,
-            pack, n, read_texts, ref_texts,
-        ))
+            pack, n, read_texts, ref_texts, raw,
+        )
+        results.append(chunk) if raw else results.extend(chunk)
+    if raw:
+        from versalignlib_tpu.types import AlignmentBatch
+
+        return AlignmentBatch.concat(results)
     return results
 
 
 def _decode_affine_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params,
                          algorithm, tie, pack, n, read_texts,
-                         ref_texts) -> list[Alignment]:
+                         ref_texts, raw: bool = False) -> list[Alignment]:
     """Affine analogue of :func:`_decode_chunk` (4-bit codes, Gotoh walk)."""
     local = algorithm == Algorithm.SMITH_WATERMAN
     m = r_np.shape[1]
@@ -832,9 +840,11 @@ def _decode_affine_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params,
 
         return decode_batch_native(
             (ptr, pack), r_np, f_np, start_r, start_f, params, algorithm,
-            scores, rt, ft, affine=True,
+            scores, rt, ft, affine=True, raw=raw,
         )
     except ImportError:
+        if raw:
+            raise  # raw mode requires the native decoder
         dense = _unpack_affine_words(ptr, pack, n)
         return tb.decode_batch_affine(
             dense, r_np, f_np, start_r, start_f, params, algorithm,
