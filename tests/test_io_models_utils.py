@@ -528,6 +528,23 @@ def test_fastq_rejects_malformed(tmp_path):
         sniff_format(bad_header)
 
 
+def test_cli_sse_flavor_on_additive_modes(tmp_path):
+    # --tie sse now composes with affine gaps and banded mode (previously
+    # an argparse error).
+    from versalignlib_tpu.cli import main
+
+    rc = main(["--selftest", "--outdir", str(tmp_path / "aff"),
+               "--backend", "oracle", "--tie", "sse", "--gap-open", "-4",
+               "--gap-read", "-1", "--gap-ref", "-1"])
+    assert rc == 0
+    rc = main(["--selftest", "--outdir", str(tmp_path / "band"),
+               "--backend", "xla", "--tie", "sse", "--band", "32"])
+    assert rc == 0
+    for sub in ("aff", "band"):
+        text = (tmp_path / sub / "alignments_smith_waterman.txt").read_text()
+        assert len([l for l in text.splitlines() if l.strip()]) > 0
+
+
 def test_cli_accepts_fastq_inputs(tmp_path, rng):
     from versalignlib_tpu.cli import main
     from versalignlib_tpu.io.fastq import write_fastq
