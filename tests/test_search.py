@@ -1,0 +1,102 @@
+"""Database search (one-vs-many): cross-product scoring + best-hit align.
+
+Additive over the reference's strict 1:1 pairwise API
+(/root/reference/include/AlignmentKernel.h:34-44); semantics defined by the
+pairwise oracle applied to every (read, panel[j]) pair.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_codes
+from versalignlib_tpu import best_hits, score_matrix
+from versalignlib_tpu.ops import gotoh, oracle
+from versalignlib_tpu.params import AlignmentParameters
+from versalignlib_tpu.types import Algorithm, TieBreak
+
+
+def _oracle_matrix(reads, panel, p, algorithm):
+    if p.affine:
+        fn = (gotoh.sw_score_affine
+              if algorithm == Algorithm.SMITH_WATERMAN else gotoh.nw_score_affine)
+    else:
+        fn = oracle.sw_score if algorithm == Algorithm.SMITH_WATERMAN else oracle.nw_score
+    return np.array([[fn(r, f, p) for f in panel] for r in reads],
+                    dtype=np.int32)
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN,
+                                       Algorithm.NEEDLEMAN_WUNSCH])
+def test_score_matrix_matches_oracle(rng, default_params, algorithm):
+    reads = random_codes(rng, 5, 12, padded=True, n_prob=0.1)
+    panel = random_codes(rng, 7, 16, padded=True, n_prob=0.1)
+    got = score_matrix(reads, panel, default_params, algorithm)
+    want = _oracle_matrix(reads, panel, default_params, algorithm)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_score_matrix_chunking_invariant(rng, default_params):
+    reads = random_codes(rng, 4, 10)
+    panel = random_codes(rng, 9, 14)
+    full = score_matrix(reads, panel, default_params)
+    # max_pairs tiny -> panel streams in 1-ref chunks; result identical.
+    chunked = score_matrix(reads, panel, default_params, max_pairs=4)
+    np.testing.assert_array_equal(full, chunked)
+
+
+def test_score_matrix_affine(rng):
+    p = AlignmentParameters(score_match=2, score_mismatch=-1,
+                            score_gap_read=-1, score_gap_ref=-1,
+                            gap_open_read=-4, gap_open_ref=-4)
+    reads = random_codes(rng, 3, 10, padded=True)
+    panel = random_codes(rng, 5, 12, padded=True)
+    got = score_matrix(reads, panel, p, Algorithm.SMITH_WATERMAN)
+    want = _oracle_matrix(reads, panel, p, Algorithm.SMITH_WATERMAN)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_best_hits_argmax_and_alignments(rng, default_params):
+    reads = random_codes(rng, 6, 12, padded=True)
+    panel = random_codes(rng, 11, 15, padded=True)
+    mat = _oracle_matrix(reads, panel, default_params, Algorithm.SMITH_WATERMAN)
+    arg, best, alns = best_hits(reads, panel, default_params,
+                                Algorithm.SMITH_WATERMAN, backend="oracle",
+                                max_pairs=16)  # force multi-chunk fold
+    np.testing.assert_array_equal(best, mat.max(axis=1))
+    np.testing.assert_array_equal(arg, mat.argmax(axis=1))  # first-win ties
+    want = oracle.compute_alignments(
+        Algorithm.SMITH_WATERMAN, reads, panel[arg], default_params,
+        TieBreak.DIAG_UP_LEFT)
+    for g, w in zip(alns, want):
+        assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+    assert all(int(b) == a.score for b, a in zip(best, alns))
+
+
+def test_best_hits_tie_prefers_lowest_index(rng, default_params):
+    read = random_codes(rng, 1, 10)
+    ref = random_codes(rng, 1, 12)
+    panel = np.concatenate([ref, ref, ref])  # identical refs: tie everywhere
+    arg, best, alns = best_hits(read, panel, default_params,
+                                Algorithm.SMITH_WATERMAN, backend="oracle",
+                                max_pairs=1)  # one ref per chunk
+    assert arg[0] == 0
+    assert alns[0].score == int(best[0])
+
+
+def test_best_hits_align_false_and_empty(rng, default_params):
+    reads = random_codes(rng, 3, 8)
+    panel = random_codes(rng, 4, 8)
+    arg, best, alns = best_hits(reads, panel, default_params, align=False)
+    assert alns is None and arg.shape == (3,)
+    arg, best, alns = best_hits(np.zeros((0, 8), np.uint8), panel,
+                                default_params)
+    assert arg.size == 0 and best.size == 0 and alns == []
+
+
+def test_search_accepts_strings(default_params):
+    arg, best, alns = best_hits(
+        ["ACGTACGT"], ["TTTTTTTT", "CCACGTACGTCC"], default_params,
+        backend="oracle")
+    assert arg[0] == 1
+    assert alns[0].cigar == "8M"
+    assert int(best[0]) == 16

@@ -27,6 +27,7 @@ from versalignlib_tpu.dispatch import (
     get_backend,
     register_backend,
 )
+from versalignlib_tpu.search import best_hits, score_matrix
 
 __version__ = "0.1.0"
 
@@ -43,5 +44,7 @@ __all__ = [
     "encode",
     "decode",
     "pad_and_encode",
+    "score_matrix",
+    "best_hits",
     "__version__",
 ]

@@ -1,0 +1,147 @@
+"""Database search: score every read against a reference panel, align hits.
+
+ADDITIVE over the reference, whose API is strictly pairwise 1:1 — both
+``score_alignments`` and ``compute_alignments`` take equal-count read/ref
+arrays (/root/reference/include/AlignmentKernel.h:34-44) and the driver
+errors on a count mismatch (/root/reference/src/impl/main.cpp:93-102). The
+classic production use of a pairwise aligner is one-vs-many: map each read
+against a panel of references, keep the best hit(s), and only traceback the
+winners (filter-then-align).
+
+TPU-first shape: the cross product is materialized ON DEVICE inside jit
+(``jnp.repeat``/``jnp.tile`` over the already-transferred (B, m) and
+(R, n) arrays), so the host→device link carries B + R sequences, not B×R.
+The panel streams through in chunks bounded by ``max_pairs`` (device batch
+footprint), each chunk one dispatch of the production score kernel; the
+running best/argmax folds on host between chunks. Alignment happens once
+per read, on the winning pair only, through the normal backend dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from versalignlib_tpu.alphabet import pad_and_encode
+from versalignlib_tpu.params import AlignmentParameters, DEFAULT_PARAMETERS
+from versalignlib_tpu.types import Algorithm, Alignment, TieBreak
+
+
+def _encode(seqs) -> np.ndarray:
+    if isinstance(seqs, np.ndarray) and seqs.dtype == np.uint8 and seqs.ndim == 2:
+        return seqs
+    return pad_and_encode(seqs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "algorithm", "impl", "interpret")
+)
+def _score_cross_chunk(reads, panel, params: AlignmentParameters,
+                       algorithm: Algorithm, impl: str, interpret: bool):
+    """(B, m) x (Rc, n) -> (B, Rc) scores; pairs tiled on device."""
+    b = reads.shape[0]
+    rc = panel.shape[0]
+    r = jnp.repeat(reads, rc, axis=0)   # (B*Rc, m): read i vs every ref
+    f = jnp.tile(panel, (b, 1))         # (B*Rc, n)
+    if impl == "pallas":
+        from versalignlib_tpu.ops.pallas_score import score_batch_device
+
+        s = score_batch_device(r, f, params, algorithm, interpret)
+    else:
+        from versalignlib_tpu.ops.xla import score_batch
+
+        s = score_batch(r, f, params, algorithm)
+    return s.reshape(b, rc)
+
+
+def _pick_impl(impl: str) -> tuple[str, bool]:
+    if impl != "auto":
+        return impl, (impl == "pallas" and
+                      jax.devices()[0].platform != "tpu")
+    on_tpu = jax.devices()[0].platform == "tpu"
+    return ("pallas" if on_tpu else "xla"), False
+
+
+def score_matrix(
+    reads,
+    panel,
+    params: AlignmentParameters = DEFAULT_PARAMETERS,
+    algorithm: Algorithm = Algorithm.SMITH_WATERMAN,
+    impl: str = "auto",
+    max_pairs: int = 1 << 20,
+) -> np.ndarray:
+    """All-vs-all scores: (B,) reads x (R,) panel -> (B, R) int32.
+
+    ``max_pairs`` bounds the device batch per dispatch (the panel streams
+    through in ``ceil(B*R / max_pairs)`` chunks). ``impl``: auto = pallas
+    on TPU, xla elsewhere.
+    """
+    reads_enc = _encode(reads)
+    panel_enc = _encode(panel)
+    b = reads_enc.shape[0]
+    r = panel_enc.shape[0]
+    if b == 0 or r == 0:
+        return np.zeros((b, r), dtype=np.int32)
+    impl, interpret = _pick_impl(impl)
+    algorithm = Algorithm(algorithm)
+    chunk = max(1, min(r, max_pairs // max(b, 1)))
+    reads_dev = jnp.asarray(reads_enc)
+    out = np.empty((b, r), dtype=np.int32)
+    for lo in range(0, r, chunk):
+        panel_dev = jnp.asarray(panel_enc[lo : lo + chunk])
+        out[:, lo : lo + panel_dev.shape[0]] = np.asarray(
+            _score_cross_chunk(reads_dev, panel_dev, params, algorithm,
+                               impl, interpret))
+    return out
+
+
+def best_hits(
+    reads,
+    panel,
+    params: AlignmentParameters = DEFAULT_PARAMETERS,
+    algorithm: Algorithm = Algorithm.SMITH_WATERMAN,
+    impl: str = "auto",
+    max_pairs: int = 1 << 20,
+    align: bool = True,
+    backend: str = "auto",
+    tie: TieBreak = TieBreak.DIAG_UP_LEFT,
+) -> tuple[np.ndarray, np.ndarray, list[Alignment] | None]:
+    """Best panel hit per read: (hit_index (B,), score (B,), alignments).
+
+    Ties resolve to the lowest panel index (scan order, mirroring the
+    reference kernels' first-win argmax convention). ``align=True`` runs
+    the full traceback ONLY on each read's winning pair — B alignments
+    total instead of B×R — through the normal backend dispatch.
+    """
+    reads_enc = _encode(reads)
+    panel_enc = _encode(panel)
+    b = reads_enc.shape[0]
+    r = panel_enc.shape[0]
+    if b == 0 or r == 0:
+        return (np.zeros(b, np.int32), np.zeros(b, np.int32),
+                [] if align else None)
+    impl, interpret = _pick_impl(impl)
+    algorithm = Algorithm(algorithm)
+    chunk = max(1, min(r, max_pairs // max(b, 1)))
+    reads_dev = jnp.asarray(reads_enc)
+    best = np.full(b, np.iinfo(np.int32).min, dtype=np.int32)
+    arg = np.zeros(b, dtype=np.int32)
+    for lo in range(0, r, chunk):
+        panel_dev = jnp.asarray(panel_enc[lo : lo + chunk])
+        s = np.asarray(_score_cross_chunk(reads_dev, panel_dev, params,
+                                          algorithm, impl, interpret))
+        c_arg = np.argmax(s, axis=1)           # first-win within the chunk
+        c_best = s[np.arange(b), c_arg]
+        upd = c_best > best                    # strict >: earlier chunk wins ties
+        best = np.where(upd, c_best, best)
+        arg = np.where(upd, lo + c_arg, arg).astype(np.int32)
+    if not align:
+        return arg, best, None
+    from versalignlib_tpu.dispatch import get_backend
+
+    alns = get_backend(backend).compute_alignments(
+        algorithm, reads_enc, panel_enc[arg], params, tie)
+    return arg, best, alns
