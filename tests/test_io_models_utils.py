@@ -330,6 +330,17 @@ def test_capabilities_dense_gate():
     assert v5e.dense_fits(512, 512)
     assert v5e.dense_fits(1024, 1024)          # measured working (BENCHMARKS.md)
     assert not v5e.dense_fits(16384, 16384)    # long pairs -> banded path
+    # The gate mirrors the kernels' OWN plans: the align plan streams read
+    # rows (m-independent), the score plan holds the whole read block.
+    assert v5e.dense_fits(16000, 512, mode="align")
+    assert not v5e.dense_fits(16000, 512, mode="score")
+    from versalignlib_tpu.ops.pallas_align import align_vmem_plan
+    from versalignlib_tpu.ops.pallas_score import score_vmem_plan
+
+    assert v5e.dense_fits(512, 512, mode="score") == (
+        score_vmem_plan(512, 512) <= v5e.vmem_bytes)
+    assert v5e.dense_fits(512, 4000, affine=True, mode="align") == (
+        align_vmem_plan(4000, affine=True) <= v5e.vmem_bytes)
     cpu = DeviceCapabilities("cpu", "cpu", 8, False, 0)
     assert cpu.dense_fits(1 << 20, 1 << 20)    # interpret mode unconstrained
 
@@ -467,8 +478,34 @@ def test_sam_records_consistent_on_random_batch(rng):
             read_consumed = sum(int(n) for n, op in ops if op in "MIS")
             ref_consumed = sum(int(n) for n, op in ops if op in "MD")
             assert read_consumed == len(read), rec
-            assert int(rec[3]) - 1 + ref_consumed == aln.ref_end
-            assert int(rec[3]) - 1 == aln.ref_start
+            # Edge D/I are normalized away: POS may sit past ref_start
+            # (leading D advances it) and the span may end before ref_end
+            # (trailing D dropped), but stays within the aligned window.
+            pos0 = int(rec[3]) - 1
+            assert aln.ref_start <= pos0 and pos0 + ref_consumed <= aln.ref_end
+            body = [op for _, op in ops if op != "S"]
+            assert body and body[0] == "M" and body[-1] == "M", rec
+
+
+def test_sam_record_normalizes_edge_ops():
+    from versalignlib_tpu.io.sam import sam_record
+    from versalignlib_tpu.types import Alignment
+
+    # Leading deletion: POS advances past it, CIGAR starts with M.
+    aln = Alignment(read="--ACGT", ref="TTACGT", score=8, cigar="2D4M",
+                    read_start=0, read_end=4, ref_start=0, ref_end=6)
+    rec = sam_record(aln, "ACGTGG", "r", "c").split("\t")
+    assert rec[3] == "3" and rec[5] == "4M2S"
+    # Trailing insertion folds into the soft clip.
+    aln = Alignment(read="ACGTT", ref="ACGT-", score=6, cigar="4M1I",
+                    read_start=1, read_end=6, ref_start=0, ref_end=4)
+    rec = sam_record(aln, "GACGTT", "r", "c").split("\t")
+    assert rec[3] == "1" and rec[5] == "1S4M1S"
+    # Only-deletion alignment: nothing aligned -> unmapped.
+    aln = Alignment(read="--", ref="TT", score=0, cigar="2D",
+                    read_start=0, read_end=2, ref_start=0, ref_end=2)
+    rec = sam_record(aln, "AC", "r", "c").split("\t")
+    assert rec[1] == "4" and rec[5] == "*"
 
 
 def test_fastq_roundtrip_and_sniff(tmp_path, rng):
@@ -526,6 +563,27 @@ def test_fastq_rejects_malformed(tmp_path):
         parse_fastq(truncated)
     with _pytest.raises(ValueError, match="sniff"):
         sniff_format(bad_header)
+    # '@' followed by only whitespace: structured empty name, not a crash.
+    from versalignlib_tpu.io.fastq import parse_fastq_with_names
+
+    ws = tmp_path / "w.fastq"
+    ws.write_text("@ \nACGT\n+\nIIII\n")
+    assert parse_fastq_with_names(ws) == [("", "ACGT", "IIII")]
+
+
+def test_fasta_fastq_crlf_streams():
+    # CRLF data via caller-supplied streams (files translate newlines; raw
+    # streams must not leak '\r' into sequences/qualities).
+    import io as _io
+
+    from versalignlib_tpu.io.fasta import iter_fasta, parse_fasta
+    from versalignlib_tpu.io.fastq import parse_fastq_with_names
+
+    fa = ">a\r\nACGT\r\nTTTT\r\n\r\n>b\r\nGG\r\n"
+    assert list(iter_fasta(_io.StringIO(fa))) == ["ACGTTTTT", "GG"]
+    assert parse_fasta(_io.StringIO(fa)) == ["ACGTTTTT", "GG"]
+    fq = "@r0\r\nACGT\r\n+\r\nIIII\r\n"
+    assert parse_fastq_with_names(_io.StringIO(fq)) == [("r0", "ACGT", "IIII")]
 
 
 def test_cli_sse_flavor_on_additive_modes(tmp_path):

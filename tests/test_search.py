@@ -91,6 +91,10 @@ def test_best_hits_align_false_and_empty(rng, default_params):
     arg, best, alns = best_hits(np.zeros((0, 8), np.uint8), panel,
                                 default_params)
     assert arg.size == 0 and best.size == 0 and alns == []
+    # Empty panel: no fabricated hit 0 — index -1 and int32-min scores.
+    arg, best, alns = best_hits(reads, np.zeros((0, 8), np.uint8),
+                                default_params)
+    assert (arg == -1).all() and (best == np.iinfo(np.int32).min).all()
 
 
 def test_search_accepts_strings(default_params):

@@ -174,6 +174,12 @@ def main(argv=None) -> int:
     if args.band:
         from versalignlib_tpu.models.base import AlignmentModel
 
+        if args.backend != "auto":
+            # The banded path has exactly one kernel (ops/banded.py); there
+            # is no backend dispatch to honor — say so instead of silently
+            # dropping the flag.
+            _log.warning("--backend %s is ignored with --band: the banded "
+                         "path runs its own Pallas kernel", args.backend)
         _log.info("banded path (band=%d) over %d pairs", args.band, len(reads))
 
         def run(algorithm):
@@ -208,7 +214,10 @@ def main(argv=None) -> int:
         print(f"{algorithm.name}: wrote {len(reads)} scores + alignments")
 
     if args.bench:
-        run_benchmark_table(reads, refs, params)
+        # Pass the ALREADY-ENCODED inputs: with --alphabet/--matrix the raw
+        # strings must not be re-encoded through the DNA table (that would
+        # benchmark an all-padding workload).
+        run_benchmark_table(reads_in, refs_in, params)
     return 0
 
 
@@ -221,8 +230,13 @@ def run_benchmark_table(reads, refs, params, repeats: int = 3) -> None:
     from versalignlib_tpu.dispatch import get_backend
     from versalignlib_tpu.types import TieBreak
 
-    reads_enc = pad_and_encode(reads)
-    refs_enc = pad_and_encode(refs)
+    def _enc(x):
+        if isinstance(x, np.ndarray) and x.dtype == np.uint8 and x.ndim == 2:
+            return x  # already encoded (custom alphabets stay intact)
+        return pad_and_encode(x)
+
+    reads_enc = _enc(reads)
+    refs_enc = _enc(refs)
     cells = reads_enc.shape[0] * reads_enc.shape[1] * refs_enc.shape[1]
     print("backend\tmode\tseconds/call\tGCUPS")
     for name in available_backends():

@@ -91,7 +91,9 @@ def iter_fasta(path: str | pathlib.Path | io.TextIOBase):
         name = ""
         content: list[str] = []
         for line in f:
-            line = line.rstrip("\n")
+            # \r\n-tolerant like parse_fasta's splitlines() (matters for
+            # caller-supplied streams; file opens already translate CRLF).
+            line = line.rstrip("\r\n")
             if not line or line[0] == ">":
                 if name:
                     yield "".join(content)

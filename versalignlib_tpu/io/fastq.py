@@ -37,12 +37,12 @@ def iter_fastq_records(path) -> Iterator[tuple[str, str, str]]:
             header = f.readline()
             if not header:
                 return
-            header = header.rstrip("\n")
+            header = header.rstrip("\r\n")
             if not header:
                 continue  # tolerate stray blank lines between records
             if header[0] != "@":
                 raise ValueError(f"FASTQ record must start with '@': {header[:40]!r}")
-            seq = f.readline().rstrip("\n")
+            seq = f.readline().rstrip("\r\n")
             plus = f.readline()
             qual = f.readline()
             if not plus or not qual:
@@ -51,12 +51,12 @@ def iter_fastq_records(path) -> Iterator[tuple[str, str, str]]:
                 raise ValueError(
                     f"FASTQ separator must start with '+' (multi-line FASTQ "
                     f"is not supported): {plus.rstrip()[:40]!r}")
-            qual = qual.rstrip("\n")
+            qual = qual.rstrip("\r\n")
             if len(qual) != len(seq):
                 raise ValueError(
                     f"quality length {len(qual)} != sequence length "
                     f"{len(seq)} in {header[:40]!r}")
-            yield header[1:].split()[0] if header[1:] else "", seq, qual
+            yield (header[1:].split() or [""])[0], seq, qual
     finally:
         if owned:
             f.close()

@@ -12,7 +12,6 @@ consumes read only.
 
 from __future__ import annotations
 
-import io
 import pathlib
 import re
 from typing import Iterable, Sequence
@@ -22,39 +21,53 @@ from versalignlib_tpu.types import Alignment
 _CIG_RE = re.compile(r"(\d+)([MID])")
 
 
-def _consumed(cigar: str) -> tuple[int, int]:
-    """(read_bases, ref_bases) consumed by a CIGAR."""
-    r = f = 0
-    for n, op in _CIG_RE.findall(cigar):
-        n = int(n)
-        if op in ("M", "I"):
-            r += n
-        if op in ("M", "D"):
-            f += n
-    return r, f
-
-
 def sam_record(
     aln: Alignment,
     read_seq: str,
     read_name: str,
     ref_name: str,
 ) -> str:
-    """One SAM line (no trailing newline) for an alignment of ``read_seq``."""
+    """One SAM line (no trailing newline) for an alignment of ``read_seq``.
+
+    SAM validators reject CIGARs whose first/last non-clip op is a
+    deletion (and frown on edge insertions), which semi-global tracebacks
+    can legitimately produce (the walk may stop on a LEFT step). Edge ops
+    are normalized: a leading D advances POS, a trailing D is dropped,
+    and edge I runs fold into the soft clips — so the emitted CIGAR always
+    starts and ends with M between its clips.
+    """
     unmapped = not aln.cigar or aln.read_start < 0 or aln.read_end <= aln.read_start
+    if not unmapped:
+        lead = aln.read_start
+        tail = len(read_seq) - aln.read_end
+        pos = aln.ref_start
+        items = [(int(n), op) for n, op in _CIG_RE.findall(aln.cigar)]
+        while items and items[0][1] != "M":
+            n, op = items.pop(0)
+            if op == "D":
+                pos += n        # leading deletion: alignment starts later
+            else:
+                lead += n       # leading insertion: more soft-clipped read
+        while items and items[-1][1] != "M":
+            n, op = items.pop()
+            if op == "I":
+                tail += n
+        unmapped = not items    # no aligned (M) bases survive
     if unmapped:
         return "\t".join([
             read_name, "4", "*", "0", "0", "*", "*", "0", "0",
             read_seq or "*", "*", f"AS:i:{aln.score}",
         ])
-    lead = aln.read_start
-    tail = len(read_seq) - aln.read_end
-    cigar = (f"{lead}S" if lead else "") + aln.cigar + (f"{tail}S" if tail else "")
+    cigar = (
+        (f"{lead}S" if lead else "")
+        + "".join(f"{n}{op}" for n, op in items)
+        + (f"{tail}S" if tail else "")
+    )
     return "\t".join([
         read_name,
         "0",
         ref_name,
-        str(aln.ref_start + 1),  # SAM POS is 1-based
+        str(pos + 1),            # SAM POS is 1-based
         "255",                   # mapping quality unavailable
         cigar,
         "*", "0", "0",

@@ -58,6 +58,22 @@ def _pick_pack(n: int) -> int:
 ALIGN_WAVE_ROWS = 4
 
 
+def align_vmem_plan(n: int, affine: bool = False, local: bool = False) -> int:
+    """VMEM bytes the align kernels request (worst case over algorithms when
+    ``local=False``): double-buffered R-row read group, ref block, mrp,
+    packed pointer + aux rows, hsel (NW), plus H/hkeep (+F) scratch.
+    m-independent — read rows stream R at a time through the grid. Single
+    source of truth shared with ``capabilities.dense_fits``."""
+    R = ALIGN_WAVE_ROWS
+    pack = _pick_pack_affine(n) if affine else _pick_pack(n)
+    nc = n // max(pack, 1)
+    return 4 * BLOCK_PAIRS * 2 * (
+        R + n + 1 + R * (nc + 2) + (0 if local else (n + 1))
+    ) + 4 * BLOCK_PAIRS * (
+        ((2 if affine else 1)) * (n + 1) + (0 if local else (n + 1))
+    ) + 2 * 1024 * 1024
+
+
 def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
                   params: AlignmentParameters, local: bool, tie: TieBreak):
     """One (pair_block, row_group) grid step — R-row register wavefront.
@@ -264,12 +280,7 @@ def _align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
         scratch_shapes.append(
             pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
     # Account for Pallas double-buffering of every in/out block.
-    vmem_bytes = 4 * BLOCK_PAIRS * 2 * (
-        R + n + 1          # reads group, refs block, mrp
-        + R * (nc + 2)     # ptr rows, aux rows
-        + (0 if local else (n + 1))  # hsel
-    ) + 4 * BLOCK_PAIRS * ((n + 1) + (0 if local else (n + 1))) \
-        + 2 * 1024 * 1024
+    vmem_bytes = align_vmem_plan(n, affine=False, local=local)
     out = pl.pallas_call(
         kernel,
         grid=(g, m_pad // R),
@@ -706,10 +717,7 @@ def _affine_align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
             jax.ShapeDtypeStruct((g, n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
         scratch_shapes.append(
             pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
-    vmem_bytes = 4 * BLOCK_PAIRS * 2 * (
-        R + n + 1 + R * (nc + 2) + (0 if local else (n + 1))
-    ) + 4 * BLOCK_PAIRS * (2 * (n + 1) + (0 if local else (n + 1))) \
-        + 2 * 1024 * 1024
+    vmem_bytes = align_vmem_plan(n, affine=True, local=local)
     out = pl.pallas_call(
         kernel,
         grid=(g, m_pad // R),

@@ -33,12 +33,12 @@ class PallasBackend:
         # is orders of magnitude slower than the XLA backend on CPU.
         return probe().supports_pallas_compiled or not self._scorer.interpret
 
-    def _check_dense_fits(self, reads, refs, params) -> None:
+    def _check_dense_fits(self, reads, refs, params, mode: str) -> None:
         if self._scorer.interpret:
             return  # interpreter mode has no VMEM plan
         caps = probe()
         m, n = reads.shape[1], refs.shape[1]
-        if not caps.dense_fits(m, n, params.affine):
+        if not caps.dense_fits(m, n, params.affine, mode=mode):
             raise ValueError(
                 f"dense {m}x{n} pair exceeds the {caps.device_kind} VMEM "
                 f"budget ({caps.vmem_bytes >> 20}MB); use the banded path "
@@ -47,11 +47,11 @@ class PallasBackend:
             )
 
     def score_alignments(self, algorithm, reads, refs, params):
-        self._check_dense_fits(reads, refs, params)
+        self._check_dense_fits(reads, refs, params, "score")
         return self._scorer(reads, refs, params, Algorithm(algorithm))
 
     def compute_alignments(self, algorithm, reads, refs, params, tie):
-        self._check_dense_fits(reads, refs, params)
+        self._check_dense_fits(reads, refs, params, "align")
         if params.affine:
             from versalignlib_tpu.ops.pallas_align import pallas_align_affine_batch
 

@@ -308,6 +308,18 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
     out_ref[0] = best
 
 
+def score_vmem_plan(m: int, n: int, affine: bool = False) -> int:
+    """VMEM bytes the score kernel requests for one (m, n) pair block:
+    H (+F) scratch rows, double-buffered read/ref blocks, out, headroom.
+    Single source of truth shared with ``capabilities.dense_fits``."""
+    return 4 * BLOCK_PAIRS * (
+        (n + 1)                    # H scratch
+        + (n if affine else 1)     # F scratch
+        + 2 * (m + n)              # double-buffered read/ref blocks
+        + 2                        # out
+    ) + 1024 * 1024                # headroom
+
+
 @functools.partial(
     jax.jit, static_argnames=("params", "algorithm", "interpret")
 )
@@ -321,12 +333,7 @@ def _score_blocks(reads_b, refs_b, params: AlignmentParameters,
         _score_kernel, m=m, n=n, unroll=_pick_unroll(n),
         params=params, local=local,
     )
-    vmem_bytes = 4 * BLOCK_PAIRS * (
-        (n + 1)                    # H scratch
-        + (n if params.affine else 1)  # F scratch
-        + 2 * (m + n)              # double-buffered read/ref blocks
-        + 2                        # out
-    ) + 1024 * 1024                # headroom
+    vmem_bytes = score_vmem_plan(m, n, params.affine)
     return pl.pallas_call(
         kernel,
         grid=(g,),

@@ -114,14 +114,16 @@ def best_hits(
     Ties resolve to the lowest panel index (scan order, mirroring the
     reference kernels' first-win argmax convention). ``align=True`` runs
     the full traceback ONLY on each read's winning pair — B alignments
-    total instead of B×R — through the normal backend dispatch.
+    total instead of B×R — through the normal backend dispatch. An empty
+    panel yields hit index -1 and int32-min scores (no fabricated hit 0).
     """
     reads_enc = _encode(reads)
     panel_enc = _encode(panel)
     b = reads_enc.shape[0]
     r = panel_enc.shape[0]
     if b == 0 or r == 0:
-        return (np.zeros(b, np.int32), np.zeros(b, np.int32),
+        return (np.full(b, -1, np.int32),
+                np.full(b, np.iinfo(np.int32).min, np.int32),
                 [] if align else None)
     impl, interpret = _pick_impl(impl)
     algorithm = Algorithm(algorithm)

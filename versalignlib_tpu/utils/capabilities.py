@@ -25,25 +25,28 @@ class DeviceCapabilities:
     #: bytes of VMEM per core (TPU) — bounds dense kernel ref lengths
     vmem_bytes: int
 
-    @property
-    def max_dense_ref_len(self) -> int:
-        """Largest ref length whose H row + blocks fit VMEM (int32 cells)."""
-        # H row (n+1) + F row (n) + in blocks, ~4KB per row entry per block.
-        return max(0, self.vmem_bytes // (4 * 1024 * 4))
-
-    def dense_fits(self, m: int, n: int, affine: bool = False) -> bool:
+    def dense_fits(self, m: int, n: int, affine: bool = False,
+                   mode: str = "align") -> bool:
         """Whether the dense Pallas kernels' VMEM plan fits this device.
 
-        Mirrors the kernels' actual budget (ops/pallas_score.py /
-        ops/pallas_align.py ``vmem_limit_bytes``): rolling H (+F) rows plus
-        double-buffered read/ref blocks, 4KB per row entry per 1024-pair
-        block. Callers route oversize pairs to the banded path
-        (ops/banded.py) instead of hitting an opaque Mosaic OOM.
+        Delegates to the kernels' OWN plan formulas (the exact
+        ``vmem_limit_bytes`` they request — ``score_vmem_plan`` /
+        ``align_vmem_plan``), so the gate can neither reject workloads the
+        kernel compiles nor pass ones it OOMs on. ``mode``: "score" (plan
+        scales with m+n — the whole read block is VMEM-resident) or
+        "align" (m-independent — read rows stream through the grid; worst
+        case over SW/NW taken). Callers route oversize pairs to the banded
+        path (ops/banded.py) instead of hitting an opaque Mosaic OOM.
         """
         if self.vmem_bytes == 0:
             return True  # interpret / CPU: no VMEM constraint
-        rows = (n + 1) + (n if affine else 1) + 2 * (m + n) + 2
-        return rows * 4 * 1024 + (1 << 20) <= self.vmem_bytes
+        if mode == "score":
+            from versalignlib_tpu.ops.pallas_score import score_vmem_plan
+
+            return score_vmem_plan(m, n, affine) <= self.vmem_bytes
+        from versalignlib_tpu.ops.pallas_align import align_vmem_plan
+
+        return align_vmem_plan(n, affine, local=False) <= self.vmem_bytes
 
 
 @functools.lru_cache(maxsize=1)
