@@ -97,6 +97,50 @@ def test_best_hits_align_false_and_empty(rng, default_params):
     assert (arg == -1).all() and (best == np.iinfo(np.int32).min).all()
 
 
+def test_search_mesh_matches_single(rng, default_params):
+    from versalignlib_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    reads = random_codes(rng, 10, 12, padded=True)  # B % 8 != 0: pad path
+    panel = random_codes(rng, 6, 15, padded=True)
+    single = score_matrix(reads, panel, default_params)
+    sharded = score_matrix(reads, panel, default_params, mesh=mesh,
+                           max_pairs=32)
+    np.testing.assert_array_equal(sharded, single)
+    arg, best, alns = best_hits(reads, panel, default_params, mesh=mesh)
+    arg1, best1, alns1 = best_hits(reads, panel, default_params,
+                                   backend="oracle")
+    np.testing.assert_array_equal(arg, arg1)
+    np.testing.assert_array_equal(best, best1)
+    for g, w in zip(alns, alns1):
+        assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
+
+
+def test_cli_panel_mode(tmp_path, rng):
+    from versalignlib_tpu.cli import main
+    from versalignlib_tpu.io.fasta import write_fasta
+    from versalignlib_tpu.io.fastq import write_fastq
+
+    bases = np.array(list("ACGT"))
+    panel = ["".join(rng.choice(bases, size=40)) for _ in range(5)]
+    # Reads copied from panel entries (with a mutation) -> known best hits.
+    reads = [panel[3][:30], panel[1][5:35], "T" + panel[4][1:30]]
+    rq = tmp_path / "reads.fastq"
+    pf = tmp_path / "panel.fasta"
+    write_fastq(rq, reads)
+    write_fasta(pf, panel, names=[f"p{i}" for i in range(5)])
+    rc = main(["--reads", str(rq), "--panel", str(pf),
+               "--outdir", str(tmp_path), "--backend", "oracle", "--sam"])
+    assert rc == 0
+    hits = [l.split("\t") for l in
+            (tmp_path / "hits_smith_waterman.tsv").read_text().splitlines()[1:]]
+    assert [h[1] for h in hits] == ["p3", "p1", "p4"]
+    assert int(hits[0][3]) == 60  # 30 exact matches at +2
+    sam = (tmp_path / "alignments_smith_waterman.sam").read_text()
+    assert "@SQ\tSN:p3\tLN:40" in sam
+    assert len([l for l in sam.splitlines() if not l.startswith("@")]) == 3
+
+
 def test_search_accepts_strings(default_params):
     arg, best, alns = best_hits(
         ["ACGTACGT"], ["TTTTTTTT", "CCACGTACGTCC"], default_params,

@@ -74,6 +74,10 @@ def main(argv=None) -> int:
     ap.add_argument("--reads", help="FASTA or FASTQ file of reads "
                                     "(format sniffed from the first byte)")
     ap.add_argument("--refs", help="FASTA or FASTQ file of references")
+    ap.add_argument("--panel", help="FASTA/FASTQ reference panel: map each "
+                                    "read against EVERY panel entry and "
+                                    "report the best hit (one-vs-many "
+                                    "search; replaces --refs)")
     ap.add_argument("--outdir", default=".", help="output directory")
     ap.add_argument("--backend", default="auto",
                     help=f"kernel backend (auto|{'|'.join(sorted(available_backends()))})")
@@ -141,11 +145,28 @@ def main(argv=None) -> int:
     from versalignlib_tpu.types import TieBreak
     tie = TieBreak.DIAG_UP_LEFT if args.tie == "canonical" else TieBreak.DIAG_LEFT_UP
 
+    if args.panel and args.band:
+        ap.error("--panel and --band cannot be combined (the search path "
+                 "uses the dense kernels)")
+    panel_names = None
     if args.selftest:
         rng = np.random.default_rng(0)
         bases = np.array(list("ACGT"))
         reads = ["".join(rng.choice(bases, size=64)) for _ in range(128)]
-        refs = ["".join(rng.choice(bases, size=96)) for _ in range(128)]
+        if args.panel:
+            refs = ["".join(rng.choice(bases, size=96)) for _ in range(16)]
+            panel_names = [f"panel{i}" for i in range(len(refs))]
+        else:
+            refs = ["".join(rng.choice(bases, size=96)) for _ in range(128)]
+    elif args.panel:
+        from versalignlib_tpu.io.fastq import parse_sequences_with_names
+
+        if not args.reads:
+            ap.error("--panel requires --reads")
+        reads = parse_sequences(args.reads)
+        recs = parse_sequences_with_names(args.panel)
+        panel_names = [n for n, _ in recs]
+        refs = [s for _, s in recs]
     else:
         if not args.reads or not args.refs:
             ap.error("--reads and --refs are required (or use --selftest)")
@@ -170,6 +191,37 @@ def main(argv=None) -> int:
         refs_in = encode_custom(refs, alphabet)
     else:
         reads_in, refs_in = reads, refs
+
+    if args.panel:
+        from versalignlib_tpu.search import best_hits
+
+        _log.info("panel search: %d reads vs %d panel entries",
+                  len(reads), len(refs))
+        for algorithm in (Algorithm.SMITH_WATERMAN,
+                          Algorithm.NEEDLEMAN_WUNSCH):
+            hit_idx, best, alns = best_hits(
+                reads_in, refs_in, params, algorithm,
+                backend=args.backend, tie=tie)
+            algo = algorithm.name.lower()
+            with open(outdir / f"hits_{algo}.tsv", "w") as f:
+                f.write("read\thit\thit_index\tscore\n")
+                for i, (j, s) in enumerate(zip(hit_idx, best)):
+                    f.write(f"read{i}\t{panel_names[j]}\t{int(j)}\t{int(s)}\n")
+            _write_alignments(outdir / OUT_FILES[(algorithm, "align")], alns,
+                              compat=args.reference_compat)
+            if args.sam:
+                from versalignlib_tpu.io.sam import write_sam
+
+                base = OUT_FILES[(algorithm, "align")].removesuffix(".txt")
+                write_sam(outdir / f"{base}.sam", alns, reads,
+                          [refs[j] for j in hit_idx],
+                          ref_names=[panel_names[j] for j in hit_idx])
+            print(f"{algorithm.name}: wrote best hits for {len(reads)} "
+                  f"reads vs a {len(refs)}-entry panel")
+        if args.bench:
+            _log.warning("--bench is skipped in --panel mode (the table "
+                         "times the 1:1 pairwise virtuals)")
+        return 0
 
     if args.band:
         from versalignlib_tpu.models.base import AlignmentModel

@@ -144,3 +144,12 @@ def parse_sequences(path) -> list[str]:
     if sniff_format(path) == "fastq":
         return parse_fastq(path)
     return parse_fasta(path)
+
+
+def parse_sequences_with_names(path) -> list[tuple[str, str]]:
+    """Format-sniffed (name, sequence) records (qualities dropped)."""
+    from versalignlib_tpu.io.fasta import parse_fasta_with_names
+
+    if sniff_format(path) == "fastq":
+        return [(n, s) for n, s, _ in iter_fastq_records(path)]
+    return parse_fasta_with_names(path)

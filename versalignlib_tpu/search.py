@@ -36,11 +36,8 @@ def _encode(seqs) -> np.ndarray:
     return pad_and_encode(seqs)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("params", "algorithm", "impl", "interpret")
-)
-def _score_cross_chunk(reads, panel, params: AlignmentParameters,
-                       algorithm: Algorithm, impl: str, interpret: bool):
+def _cross_scores(reads, panel, params: AlignmentParameters,
+                  algorithm: Algorithm, impl: str, interpret: bool):
     """(B, m) x (Rc, n) -> (B, Rc) scores; pairs tiled on device."""
     b = reads.shape[0]
     rc = panel.shape[0]
@@ -57,12 +54,63 @@ def _score_cross_chunk(reads, panel, params: AlignmentParameters,
     return s.reshape(b, rc)
 
 
-def _pick_impl(impl: str) -> tuple[str, bool]:
+@functools.partial(
+    jax.jit, static_argnames=("params", "algorithm", "impl", "interpret")
+)
+def _score_cross_chunk(reads, panel, params: AlignmentParameters,
+                       algorithm: Algorithm, impl: str, interpret: bool):
+    return _cross_scores(reads, panel, params, algorithm, impl, interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "algorithm", "impl", "interpret", "mesh"),
+)
+def _score_cross_chunk_mesh(reads, panel, params: AlignmentParameters,
+                            algorithm: Algorithm, impl: str, interpret: bool,
+                            mesh):
+    """Mesh variant: reads shard over the data axis, the panel chunk is
+    replicated on every device (each shard scores its reads against the
+    whole chunk — zero inter-device communication; the result gather is
+    the only collective, as everywhere in parallel/)."""
+    from jax.sharding import PartitionSpec as P
+
+    from versalignlib_tpu.parallel.mesh import DATA_AXIS
+
+    mapped = jax.shard_map(
+        lambda r, f: _cross_scores(r, f, params, algorithm, impl, interpret),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(None, None)),
+        out_specs=P(DATA_AXIS, None),
+        check_vma=False,
+    )
+    return mapped(reads, panel)
+
+
+def _pick_impl(impl: str, mesh=None) -> tuple[str, bool]:
+    dev = mesh.devices.flat[0] if mesh is not None else jax.devices()[0]
     if impl != "auto":
-        return impl, (impl == "pallas" and
-                      jax.devices()[0].platform != "tpu")
-    on_tpu = jax.devices()[0].platform == "tpu"
-    return ("pallas" if on_tpu else "xla"), False
+        return impl, (impl == "pallas" and dev.platform != "tpu")
+    return ("pallas" if dev.platform == "tpu" else "xla"), False
+
+
+def _mesh_chunk_scores(reads_enc, panel_chunk, params, algorithm, impl,
+                       interpret, mesh):
+    """One panel chunk over the mesh: pad B to the axis size, shard, score."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from versalignlib_tpu.parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.devices.size
+    b = reads_enc.shape[0]
+    b_pad = -(-b // n_dev) * n_dev
+    reads_p = jnp.asarray(np.pad(reads_enc, ((0, b_pad - b), (0, 0))))
+    reads_p = jax.device_put(reads_p, NamedSharding(mesh, P(DATA_AXIS, None)))
+    panel_d = jax.device_put(jnp.asarray(panel_chunk),
+                             NamedSharding(mesh, P(None, None)))
+    out = _score_cross_chunk_mesh(reads_p, panel_d, params, algorithm,
+                                  impl, interpret, mesh)
+    return np.asarray(out)[:b]
 
 
 def score_matrix(
@@ -72,12 +120,15 @@ def score_matrix(
     algorithm: Algorithm = Algorithm.SMITH_WATERMAN,
     impl: str = "auto",
     max_pairs: int = 1 << 20,
+    mesh=None,
 ) -> np.ndarray:
     """All-vs-all scores: (B,) reads x (R,) panel -> (B, R) int32.
 
     ``max_pairs`` bounds the device batch per dispatch (the panel streams
     through in ``ceil(B*R / max_pairs)`` chunks). ``impl``: auto = pallas
-    on TPU, xla elsewhere.
+    on TPU, xla elsewhere. ``mesh``: optional ``jax.sharding.Mesh`` —
+    reads shard over its data axis with the panel chunk replicated
+    (zero inter-device communication; the gather is the only collective).
     """
     reads_enc = _encode(reads)
     panel_enc = _encode(panel)
@@ -85,16 +136,21 @@ def score_matrix(
     r = panel_enc.shape[0]
     if b == 0 or r == 0:
         return np.zeros((b, r), dtype=np.int32)
-    impl, interpret = _pick_impl(impl)
+    impl, interpret = _pick_impl(impl, mesh)
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(r, max_pairs // max(b, 1)))
-    reads_dev = jnp.asarray(reads_enc)
+    reads_dev = None if mesh is not None else jnp.asarray(reads_enc)
     out = np.empty((b, r), dtype=np.int32)
     for lo in range(0, r, chunk):
-        panel_dev = jnp.asarray(panel_enc[lo : lo + chunk])
-        out[:, lo : lo + panel_dev.shape[0]] = np.asarray(
-            _score_cross_chunk(reads_dev, panel_dev, params, algorithm,
-                               impl, interpret))
+        pc = panel_enc[lo : lo + chunk]
+        if mesh is not None:
+            s = _mesh_chunk_scores(reads_enc, pc, params, algorithm, impl,
+                                   interpret, mesh)
+        else:
+            s = np.asarray(_score_cross_chunk(
+                reads_dev, jnp.asarray(pc), params, algorithm, impl,
+                interpret))
+        out[:, lo : lo + pc.shape[0]] = s
     return out
 
 
@@ -108,6 +164,7 @@ def best_hits(
     align: bool = True,
     backend: str = "auto",
     tie: TieBreak = TieBreak.DIAG_UP_LEFT,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray, list[Alignment] | None]:
     """Best panel hit per read: (hit_index (B,), score (B,), alignments).
 
@@ -125,16 +182,21 @@ def best_hits(
         return (np.full(b, -1, np.int32),
                 np.full(b, np.iinfo(np.int32).min, np.int32),
                 [] if align else None)
-    impl, interpret = _pick_impl(impl)
+    impl, interpret = _pick_impl(impl, mesh)
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(r, max_pairs // max(b, 1)))
-    reads_dev = jnp.asarray(reads_enc)
+    reads_dev = None if mesh is not None else jnp.asarray(reads_enc)
     best = np.full(b, np.iinfo(np.int32).min, dtype=np.int32)
     arg = np.zeros(b, dtype=np.int32)
     for lo in range(0, r, chunk):
-        panel_dev = jnp.asarray(panel_enc[lo : lo + chunk])
-        s = np.asarray(_score_cross_chunk(reads_dev, panel_dev, params,
-                                          algorithm, impl, interpret))
+        pc = panel_enc[lo : lo + chunk]
+        if mesh is not None:
+            s = _mesh_chunk_scores(reads_enc, pc, params, algorithm, impl,
+                                   interpret, mesh)
+        else:
+            s = np.asarray(_score_cross_chunk(
+                reads_dev, jnp.asarray(pc), params, algorithm, impl,
+                interpret))
         c_arg = np.argmax(s, axis=1)           # first-win within the chunk
         c_best = s[np.arange(b), c_arg]
         upd = c_best > best                    # strict >: earlier chunk wins ties
@@ -142,8 +204,14 @@ def best_hits(
         arg = np.where(upd, lo + c_arg, arg).astype(np.int32)
     if not align:
         return arg, best, None
-    from versalignlib_tpu.dispatch import get_backend
+    if mesh is not None:
+        from versalignlib_tpu.parallel.distributed import distributed_align_batch
 
-    alns = get_backend(backend).compute_alignments(
-        algorithm, reads_enc, panel_enc[arg], params, tie)
+        alns = distributed_align_batch(reads_enc, panel_enc[arg], params,
+                                       algorithm, tie, mesh=mesh)
+    else:
+        from versalignlib_tpu.dispatch import get_backend
+
+        alns = get_backend(backend).compute_alignments(
+            algorithm, reads_enc, panel_enc[arg], params, tie)
     return arg, best, alns
