@@ -135,10 +135,89 @@ def test_cli_panel_mode(tmp_path, rng):
     hits = [l.split("\t") for l in
             (tmp_path / "hits_smith_waterman.tsv").read_text().splitlines()[1:]]
     assert [h[1] for h in hits] == ["p3", "p1", "p4"]
-    assert int(hits[0][3]) == 60  # 30 exact matches at +2
+    assert int(hits[0][4]) == 60  # 30 exact matches at +2
+    assert all(h[3] == "+" for h in hits)
     sam = (tmp_path / "alignments_smith_waterman.sam").read_text()
     assert "@SQ\tSN:p3\tLN:40" in sam
     assert len([l for l in sam.splitlines() if not l.startswith("@")]) == 3
+
+
+def test_reverse_complement_codes_padding_aware(rng):
+    from versalignlib_tpu.alphabet import (encode, reverse_complement,
+                                           reverse_complement_codes)
+
+    codes = encode("ACGTN")
+    np.testing.assert_array_equal(reverse_complement_codes(codes),
+                                  encode("NACGT"))
+    # Padding stays trailing.
+    batch = np.array([[1, 2, 3, 0, 0], [4, 4, 4, 4, 1]], dtype=np.uint8)
+    rc = reverse_complement_codes(batch)
+    np.testing.assert_array_equal(rc[0], [4, 1, 2, 0, 0])  # rc(ATC)=GAT
+    np.testing.assert_array_equal(rc[1], [2, 3, 3, 3, 3])  # rc(GGGGA)=TCCCC
+    assert reverse_complement("AcGTn") == "nACgT"
+    with pytest.raises(ValueError, match="DNA"):
+        reverse_complement_codes(np.array([7], dtype=np.uint8))
+
+
+def test_map_reads_both_strands(rng, default_params):
+    from versalignlib_tpu import map_reads
+    from versalignlib_tpu.alphabet import encode, pad_and_encode, reverse_complement
+
+    panel = ["ACGTACGTACGTACGTACGT", "TTTTTTTTTTGGGGGGGGGG"]
+    fwd_read = panel[0][2:14]                      # maps forward to p0
+    rev_read = reverse_complement(panel[1][4:16])  # maps reverse to p1
+    hits = map_reads([fwd_read, rev_read], panel, default_params,
+                     backend="oracle")
+    np.testing.assert_array_equal(hits.index, [0, 1])
+    np.testing.assert_array_equal(hits.strand, [0, 1])
+    assert int(hits.score[0]) == 2 * len(fwd_read)
+    assert int(hits.score[1]) == 2 * len(rev_read)
+    # Reverse-strand alignment is in revcomp read coordinates.
+    assert hits.alignments[1].read == reverse_complement(rev_read)
+    assert hits.alignments[1].score == int(hits.score[1])
+    # Forward-only mapping misses the reverse read.
+    fwd_only = map_reads([fwd_read, rev_read], panel, default_params,
+                         backend="oracle", both_strands=False)
+    assert int(fwd_only.score[1]) < int(hits.score[1])
+    assert fwd_only.strand[1] == 0
+
+    # Strict-> merge: forward wins exact ties (palindromic read).
+    pal = "ACGT" * 3  # revcomp(ACGTACGTACGT) == itself
+    h = map_reads([pal], [pal], default_params, backend="oracle")
+    assert h.strand[0] == 0
+
+    # matrix mode + both_strands is rejected (no DNA complement).
+    mat = AlignmentParameters(score_gap_read=-3, score_gap_ref=-3,
+                              matrix=((0, 0), (0, 3)))
+    with pytest.raises(ValueError, match="DNA-only"):
+        map_reads(pad_and_encode([fwd_read]), np.array([encode("A")]),
+                  mat)
+
+
+def test_cli_panel_both_strands(tmp_path, rng):
+    from versalignlib_tpu.alphabet import reverse_complement
+    from versalignlib_tpu.cli import main
+    from versalignlib_tpu.io.fasta import write_fasta
+
+    bases = np.array(list("ACGT"))
+    panel = ["".join(rng.choice(bases, size=40)) for _ in range(3)]
+    reads = [panel[0][:24], reverse_complement(panel[2][8:32])]
+    rf = tmp_path / "reads.fasta"
+    pf = tmp_path / "panel.fasta"
+    write_fasta(rf, reads)
+    write_fasta(pf, panel, names=["p0", "p1", "p2"])
+    rc = main(["--reads", str(rf), "--panel", str(pf), "--both-strands",
+               "--outdir", str(tmp_path), "--backend", "oracle", "--sam"])
+    assert rc == 0
+    hits = [l.split("\t") for l in
+            (tmp_path / "hits_smith_waterman.tsv").read_text().splitlines()[1:]]
+    assert [(h[1], h[3]) for h in hits] == [("p0", "+"), ("p2", "-")]
+    recs = [l.split("\t") for l in
+            (tmp_path / "alignments_smith_waterman.sam").read_text().splitlines()
+            if not l.startswith("@")]
+    assert recs[0][1] == "0" and recs[1][1] == "16"
+    # Reverse record's SEQ is the revcomp'd read (alignment orientation).
+    assert recs[1][9] == reverse_complement(reads[1])
 
 
 def test_search_accepts_strings(default_params):

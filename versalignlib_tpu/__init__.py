@@ -27,7 +27,7 @@ from versalignlib_tpu.dispatch import (
     get_backend,
     register_backend,
 )
-from versalignlib_tpu.search import best_hits, score_matrix
+from versalignlib_tpu.search import SearchHits, best_hits, map_reads, score_matrix
 
 __version__ = "0.1.0"
 
@@ -46,5 +46,7 @@ __all__ = [
     "pad_and_encode",
     "score_matrix",
     "best_hits",
+    "map_reads",
+    "SearchHits",
     "__version__",
 ]

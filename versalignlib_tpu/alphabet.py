@@ -121,6 +121,50 @@ def is_valid_base(codes):
     return (codes >= 1) & (codes <= 4)
 
 
+#: Complement permutation over the DNA codes: A(1)<->T(2), C(3)<->G(4);
+#: padding (0) and N (5) map to themselves.
+_COMPLEMENT = np.array([0, 2, 1, 4, 3, 5], dtype=np.uint8)
+
+_COMPLEMENT_CHARS = np.arange(256, dtype=np.uint8)
+for _a, _b in (("A", "T"), ("C", "G")):
+    _COMPLEMENT_CHARS[ord(_a)] = ord(_b)
+    _COMPLEMENT_CHARS[ord(_b)] = ord(_a)
+    _COMPLEMENT_CHARS[ord(_a.lower())] = ord(_b.lower())
+    _COMPLEMENT_CHARS[ord(_b.lower())] = ord(_a.lower())
+
+
+def reverse_complement(seq: str) -> str:
+    """Reverse-complement of a DNA string (case preserved; N and unknown
+    characters map to themselves)."""
+    raw = np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
+    return _COMPLEMENT_CHARS[raw][::-1].tobytes().decode("latin-1")
+
+
+def reverse_complement_codes(codes: np.ndarray) -> np.ndarray:
+    """Reverse-complement encoded DNA, padding-aware.
+
+    ``codes`` is (L,) or (B, L) uint8 with trailing 0-padding; each row's
+    VALID prefix is complemented and reversed in place so padding stays
+    trailing (a plain ``[::-1]`` would move it to the front and corrupt
+    the kernels' tail-fill semantics). Codes > 5 (custom alphabets) are
+    rejected — complementation is a DNA notion.
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    if codes.max(initial=0) > 5:
+        raise ValueError("reverse_complement_codes is defined for the DNA "
+                         "code table (codes 0..5) only")
+    single = codes.ndim == 1
+    arr = codes[None, :] if single else codes
+    out = np.zeros_like(arr)
+    comp = _COMPLEMENT[arr]
+    lengths = np.where((arr != 0).any(axis=1),
+                       arr.shape[1] - np.argmax((arr != 0)[:, ::-1], axis=1),
+                       0)
+    for i, L in enumerate(lengths):
+        out[i, :L] = comp[i, :L][::-1]
+    return out[0] if single else out
+
+
 def valid_code_mask(matrix=None) -> np.ndarray:
     """(S,) bool: code can contribute a nonzero substitution score.
 

@@ -78,6 +78,10 @@ def main(argv=None) -> int:
                                     "read against EVERY panel entry and "
                                     "report the best hit (one-vs-many "
                                     "search; replaces --refs)")
+    ap.add_argument("--both-strands", action="store_true",
+                    help="with --panel: also score each read's reverse "
+                         "complement and report the better orientation "
+                         "(SAM FLAG 16, strand column in the hits TSV)")
     ap.add_argument("--outdir", default=".", help="output directory")
     ap.add_argument("--backend", default="auto",
                     help=f"kernel backend (auto|{'|'.join(sorted(available_backends()))})")
@@ -193,29 +197,37 @@ def main(argv=None) -> int:
         reads_in, refs_in = reads, refs
 
     if args.panel:
-        from versalignlib_tpu.search import best_hits
+        from versalignlib_tpu.search import map_reads
 
-        _log.info("panel search: %d reads vs %d panel entries",
-                  len(reads), len(refs))
+        _log.info("panel search: %d reads vs %d panel entries%s",
+                  len(reads), len(refs),
+                  " (both strands)" if args.both_strands else "")
         for algorithm in (Algorithm.SMITH_WATERMAN,
                           Algorithm.NEEDLEMAN_WUNSCH):
-            hit_idx, best, alns = best_hits(
-                reads_in, refs_in, params, algorithm,
-                backend=args.backend, tie=tie)
+            hits = map_reads(reads_in, refs_in, params, algorithm,
+                             backend=args.backend, tie=tie,
+                             both_strands=args.both_strands)
             algo = algorithm.name.lower()
             with open(outdir / f"hits_{algo}.tsv", "w") as f:
-                f.write("read\thit\thit_index\tscore\n")
-                for i, (j, s) in enumerate(zip(hit_idx, best)):
-                    f.write(f"read{i}\t{panel_names[j]}\t{int(j)}\t{int(s)}\n")
-            _write_alignments(outdir / OUT_FILES[(algorithm, "align")], alns,
-                              compat=args.reference_compat)
+                f.write("read\thit\thit_index\tstrand\tscore\n")
+                for i in range(len(hits)):
+                    f.write(f"read{i}\t{panel_names[hits.index[i]]}\t"
+                            f"{int(hits.index[i])}\t"
+                            f"{'-' if hits.strand[i] else '+'}\t"
+                            f"{int(hits.score[i])}\n")
+            _write_alignments(outdir / OUT_FILES[(algorithm, "align")],
+                              hits.alignments, compat=args.reference_compat)
             if args.sam:
+                from versalignlib_tpu.alphabet import reverse_complement
                 from versalignlib_tpu.io.sam import write_sam
 
                 base = OUT_FILES[(algorithm, "align")].removesuffix(".txt")
-                write_sam(outdir / f"{base}.sam", alns, reads,
-                          [refs[j] for j in hit_idx],
-                          ref_names=[panel_names[j] for j in hit_idx])
+                oriented = [reverse_complement(r) if s else r
+                            for r, s in zip(reads, hits.strand)]
+                write_sam(outdir / f"{base}.sam", hits.alignments, oriented,
+                          [refs[j] for j in hits.index],
+                          ref_names=[panel_names[j] for j in hits.index],
+                          strands=hits.strand)
             print(f"{algorithm.name}: wrote best hits for {len(reads)} "
                   f"reads vs a {len(refs)}-entry panel")
         if args.bench:

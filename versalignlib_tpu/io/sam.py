@@ -26,8 +26,13 @@ def sam_record(
     read_seq: str,
     read_name: str,
     ref_name: str,
+    reverse: bool = False,
 ) -> str:
     """One SAM line (no trailing newline) for an alignment of ``read_seq``.
+
+    ``reverse``: the alignment is of the reverse-complemented read — sets
+    FLAG 16; pass ``read_seq`` already in alignment (reverse-complement)
+    orientation, per the SAM convention.
 
     SAM validators reject CIGARs whose first/last non-clip op is a
     deletion (and frown on edge insertions), which semi-global tracebacks
@@ -65,7 +70,7 @@ def sam_record(
     )
     return "\t".join([
         read_name,
-        "0",
+        "16" if reverse else "0",
         ref_name,
         str(pos + 1),            # SAM POS is 1-based
         "255",                   # mapping quality unavailable
@@ -84,20 +89,25 @@ def write_sam(
     refs: Sequence[str],
     read_names: Iterable[str] | None = None,
     ref_names: Iterable[str] | None = None,
+    strands=None,
 ) -> None:
     """Write single-end SAM: one record per (read, ref) pair.
 
     ``reads``/``refs`` are the ORIGINAL (ungapped) sequences the batch was
-    aligned from; names default to ``read<i>`` / ``ref<i>``. Each pair's
-    ref becomes its own @SQ entry (deduplicated by name).
+    aligned from — for reverse-strand records (``strands[i]`` truthy) pass
+    the read already reverse-complemented, the orientation it was aligned
+    in. Names default to ``read<i>`` / ``ref<i>``. Each pair's ref becomes
+    its own @SQ entry (deduplicated by name).
     """
     read_names = list(read_names) if read_names is not None else [
         f"read{i}" for i in range(len(reads))]
     ref_names = list(ref_names) if ref_names is not None else [
         f"ref{i}" for i in range(len(refs))]
+    strands = ([0] * len(reads) if strands is None else
+               [int(s) for s in strands])
     if not (len(alignments) == len(reads) == len(refs)
-            == len(read_names) == len(ref_names)):
-        raise ValueError("alignments/reads/refs/names length mismatch")
+            == len(read_names) == len(ref_names) == len(strands)):
+        raise ValueError("alignments/reads/refs/names/strands length mismatch")
 
     def emit(f):
         f.write("@HD\tVN:1.6\tSO:unknown\n")
@@ -107,8 +117,9 @@ def write_sam(
                 seen.add(name)
                 f.write(f"@SQ\tSN:{name}\tLN:{len(seq)}\n")
         f.write("@PG\tID:versalignlib_tpu\tPN:versalignlib_tpu\n")
-        for aln, seq, rn, fn in zip(alignments, reads, read_names, ref_names):
-            f.write(sam_record(aln, seq, rn, fn) + "\n")
+        for aln, seq, rn, fn, st in zip(alignments, reads, read_names,
+                                        ref_names, strands):
+            f.write(sam_record(aln, seq, rn, fn, reverse=bool(st)) + "\n")
 
     if isinstance(path, (str, pathlib.Path)):
         with open(path, "w") as f:

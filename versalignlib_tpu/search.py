@@ -19,6 +19,7 @@ per read, on the winning pair only, through the normal backend dispatch.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -113,6 +114,31 @@ def _mesh_chunk_scores(reads_enc, panel_chunk, params, algorithm, impl,
     return np.asarray(out)[:b]
 
 
+def _stream_best(reads_enc, panel_enc, params, algorithm, impl, interpret,
+                 chunk, mesh):
+    """Running best/argmax fold over panel chunks -> (arg (B,), best (B,))."""
+    b = reads_enc.shape[0]
+    r = panel_enc.shape[0]
+    reads_dev = None if mesh is not None else jnp.asarray(reads_enc)
+    best = np.full(b, np.iinfo(np.int32).min, dtype=np.int32)
+    arg = np.zeros(b, dtype=np.int32)
+    for lo in range(0, r, chunk):
+        pc = panel_enc[lo : lo + chunk]
+        if mesh is not None:
+            s = _mesh_chunk_scores(reads_enc, pc, params, algorithm, impl,
+                                   interpret, mesh)
+        else:
+            s = np.asarray(_score_cross_chunk(
+                reads_dev, jnp.asarray(pc), params, algorithm, impl,
+                interpret))
+        c_arg = np.argmax(s, axis=1)           # first-win within the chunk
+        c_best = s[np.arange(b), c_arg]
+        upd = c_best > best                    # strict >: earlier chunk wins ties
+        best = np.where(upd, c_best, best)
+        arg = np.where(upd, lo + c_arg, arg).astype(np.int32)
+    return arg, best
+
+
 def score_matrix(
     reads,
     panel,
@@ -185,33 +211,94 @@ def best_hits(
     impl, interpret = _pick_impl(impl, mesh)
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(r, max_pairs // max(b, 1)))
-    reads_dev = None if mesh is not None else jnp.asarray(reads_enc)
-    best = np.full(b, np.iinfo(np.int32).min, dtype=np.int32)
-    arg = np.zeros(b, dtype=np.int32)
-    for lo in range(0, r, chunk):
-        pc = panel_enc[lo : lo + chunk]
-        if mesh is not None:
-            s = _mesh_chunk_scores(reads_enc, pc, params, algorithm, impl,
-                                   interpret, mesh)
-        else:
-            s = np.asarray(_score_cross_chunk(
-                reads_dev, jnp.asarray(pc), params, algorithm, impl,
-                interpret))
-        c_arg = np.argmax(s, axis=1)           # first-win within the chunk
-        c_best = s[np.arange(b), c_arg]
-        upd = c_best > best                    # strict >: earlier chunk wins ties
-        best = np.where(upd, c_best, best)
-        arg = np.where(upd, lo + c_arg, arg).astype(np.int32)
+    arg, best = _stream_best(reads_enc, panel_enc, params, algorithm, impl,
+                             interpret, chunk, mesh)
     if not align:
         return arg, best, None
+    alns = _align_pairs(reads_enc, panel_enc[arg], params, algorithm, tie,
+                        backend, mesh)
+    return arg, best, alns
+
+
+def _align_pairs(reads_enc, refs_enc, params, algorithm, tie, backend, mesh):
     if mesh is not None:
         from versalignlib_tpu.parallel.distributed import distributed_align_batch
 
-        alns = distributed_align_batch(reads_enc, panel_enc[arg], params,
+        return distributed_align_batch(reads_enc, refs_enc, params,
                                        algorithm, tie, mesh=mesh)
-    else:
-        from versalignlib_tpu.dispatch import get_backend
+    from versalignlib_tpu.dispatch import get_backend
 
-        alns = get_backend(backend).compute_alignments(
-            algorithm, reads_enc, panel_enc[arg], params, tie)
-    return arg, best, alns
+    return get_backend(backend).compute_alignments(
+        algorithm, reads_enc, refs_enc, params, tie)
+
+
+@dataclasses.dataclass
+class SearchHits:
+    """Per-read best-hit results from :func:`map_reads`."""
+
+    index: np.ndarray       # (B,) best panel entry (-1 when the panel is empty)
+    score: np.ndarray       # (B,) int32 DP score of the best hit
+    strand: np.ndarray      # (B,) 0 = forward, 1 = reverse-complement
+    alignments: list[Alignment] | None  # best-pair tracebacks (align=True)
+
+    def __len__(self) -> int:
+        return self.index.shape[0]
+
+
+def map_reads(
+    reads,
+    panel,
+    params: AlignmentParameters = DEFAULT_PARAMETERS,
+    algorithm: Algorithm = Algorithm.SMITH_WATERMAN,
+    impl: str = "auto",
+    max_pairs: int = 1 << 20,
+    align: bool = True,
+    backend: str = "auto",
+    tie: TieBreak = TieBreak.DIAG_UP_LEFT,
+    mesh=None,
+    both_strands: bool = True,
+) -> SearchHits:
+    """Strand-aware read mapping: best panel hit over both orientations.
+
+    Real mappers score the read AND its reverse complement (DNA only; the
+    code-level revcomp is padding-aware, ``alphabet.reverse_complement_codes``).
+    The forward strand wins score ties. ``align=True`` tracebacks each
+    read's winning (orientation, panel entry) pair only; reverse-strand
+    alignments are reported in reverse-complement read coordinates (the
+    SAM convention — ``io.sam.write_sam`` sets flag 16 from ``strand``).
+    """
+    if params.matrix is not None and both_strands:
+        raise ValueError("both_strands mapping is DNA-only (custom "
+                         "substitution matrices have no complement)")
+    reads_enc = _encode(reads)
+    panel_enc = _encode(panel)
+    b = reads_enc.shape[0]
+    r = panel_enc.shape[0]
+    if b == 0 or r == 0:
+        return SearchHits(np.full(b, -1, np.int32),
+                          np.full(b, np.iinfo(np.int32).min, np.int32),
+                          np.zeros(b, np.int8), [] if align else None)
+    impl, interpret = _pick_impl(impl, mesh)
+    algorithm = Algorithm(algorithm)
+    chunk = max(1, min(r, max_pairs // max(b, 1)))
+    arg, best = _stream_best(reads_enc, panel_enc, params, algorithm, impl,
+                             interpret, chunk, mesh)
+    strand = np.zeros(b, dtype=np.int8)
+    if both_strands:
+        from versalignlib_tpu.alphabet import reverse_complement_codes
+
+        rc_enc = reverse_complement_codes(reads_enc)
+        rc_arg, rc_best = _stream_best(rc_enc, panel_enc, params, algorithm,
+                                       impl, interpret, chunk, mesh)
+        rev = rc_best > best            # strict >: forward wins ties
+        arg = np.where(rev, rc_arg, arg).astype(np.int32)
+        best = np.where(rev, rc_best, best)
+        strand = rev.astype(np.int8)
+        oriented = np.where(rev[:, None], rc_enc, reads_enc)
+    else:
+        oriented = reads_enc
+    alns = None
+    if align:
+        alns = _align_pairs(oriented, panel_enc[arg], params, algorithm,
+                            tie, backend, mesh)
+    return SearchHits(arg, best, strand, alns)
