@@ -185,13 +185,39 @@ def test_map_reads_both_strands(rng, default_params):
     pal = "ACGT" * 3  # revcomp(ACGTACGTACGT) == itself
     h = map_reads([pal], [pal], default_params, backend="oracle")
     assert h.strand[0] == 0
+    # Palindrome: reverse orientation ties the winner -> ambiguous, MAPQ 0.
+    assert int(h.mapq[0]) == 0
+
+
+def test_map_reads_mapq(rng, default_params):
+    from versalignlib_tpu import map_reads
+
+    panel = ["ACGTACGTACGTACGTACGT", "TTTTCCCCAAAAGGGGTTCC"]
+    read = panel[0][:12]
+    # Duplicate best entries -> exact tie -> MAPQ 0.
+    h = map_reads([read], [panel[0], panel[0]], default_params,
+                  backend="oracle", both_strands=False)
+    assert int(h.mapq[0]) == 0
+    # Distinct entries: gap-scaled MAPQ, min(60, 6*gap/match).
+    h = map_reads([read], panel, default_params, backend="oracle",
+                  both_strands=False, max_pairs=1)  # cross-chunk top-2 merge
+    gap = 2 * 12 - int(
+        map_reads([read], [panel[1]], default_params, backend="oracle",
+                  both_strands=False).score[0])
+    assert int(h.mapq[0]) == min(60, 6 * gap // 2)
+    # Single-entry panel: no second candidate -> 60.
+    h = map_reads([read], [panel[0]], default_params, backend="oracle",
+                  both_strands=False)
+    assert int(h.mapq[0]) == 60
 
     # matrix mode + both_strands is rejected (no DNA complement).
+    from versalignlib_tpu import map_reads as _mr
+    from versalignlib_tpu.alphabet import encode, pad_and_encode
+
     mat = AlignmentParameters(score_gap_read=-3, score_gap_ref=-3,
                               matrix=((0, 0), (0, 3)))
     with pytest.raises(ValueError, match="DNA-only"):
-        map_reads(pad_and_encode([fwd_read]), np.array([encode("A")]),
-                  mat)
+        _mr(pad_and_encode(["ACGT"]), np.array([encode("A")]), mat)
 
 
 def test_cli_panel_both_strands(tmp_path, rng):

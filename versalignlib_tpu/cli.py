@@ -209,12 +209,12 @@ def main(argv=None) -> int:
                              both_strands=args.both_strands)
             algo = algorithm.name.lower()
             with open(outdir / f"hits_{algo}.tsv", "w") as f:
-                f.write("read\thit\thit_index\tstrand\tscore\n")
+                f.write("read\thit\thit_index\tstrand\tscore\tmapq\n")
                 for i in range(len(hits)):
                     f.write(f"read{i}\t{panel_names[hits.index[i]]}\t"
                             f"{int(hits.index[i])}\t"
                             f"{'-' if hits.strand[i] else '+'}\t"
-                            f"{int(hits.score[i])}\n")
+                            f"{int(hits.score[i])}\t{int(hits.mapq[i])}\n")
             _write_alignments(outdir / OUT_FILES[(algorithm, "align")],
                               hits.alignments, compat=args.reference_compat)
             if args.sam:
@@ -227,7 +227,7 @@ def main(argv=None) -> int:
                 write_sam(outdir / f"{base}.sam", hits.alignments, oriented,
                           [refs[j] for j in hits.index],
                           ref_names=[panel_names[j] for j in hits.index],
-                          strands=hits.strand)
+                          strands=hits.strand, mapqs=hits.mapq)
             print(f"{algorithm.name}: wrote best hits for {len(reads)} "
                   f"reads vs a {len(refs)}-entry panel")
         if args.bench:

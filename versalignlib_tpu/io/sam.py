@@ -27,6 +27,7 @@ def sam_record(
     read_name: str,
     ref_name: str,
     reverse: bool = False,
+    mapq: int = 255,
 ) -> str:
     """One SAM line (no trailing newline) for an alignment of ``read_seq``.
 
@@ -73,7 +74,7 @@ def sam_record(
         "16" if reverse else "0",
         ref_name,
         str(pos + 1),            # SAM POS is 1-based
-        "255",                   # mapping quality unavailable
+        str(int(mapq)),          # 255 = unavailable (pairwise mode)
         cigar,
         "*", "0", "0",
         read_seq,
@@ -90,6 +91,7 @@ def write_sam(
     read_names: Iterable[str] | None = None,
     ref_names: Iterable[str] | None = None,
     strands=None,
+    mapqs=None,
 ) -> None:
     """Write single-end SAM: one record per (read, ref) pair.
 
@@ -105,9 +107,13 @@ def write_sam(
         f"ref{i}" for i in range(len(refs))]
     strands = ([0] * len(reads) if strands is None else
                [int(s) for s in strands])
+    mapqs = ([255] * len(reads) if mapqs is None else
+             [int(q) for q in mapqs])
     if not (len(alignments) == len(reads) == len(refs)
-            == len(read_names) == len(ref_names) == len(strands)):
-        raise ValueError("alignments/reads/refs/names/strands length mismatch")
+            == len(read_names) == len(ref_names) == len(strands)
+            == len(mapqs)):
+        raise ValueError("alignments/reads/refs/names/strands/mapqs "
+                         "length mismatch")
 
     def emit(f):
         f.write("@HD\tVN:1.6\tSO:unknown\n")
@@ -117,9 +123,10 @@ def write_sam(
                 seen.add(name)
                 f.write(f"@SQ\tSN:{name}\tLN:{len(seq)}\n")
         f.write("@PG\tID:versalignlib_tpu\tPN:versalignlib_tpu\n")
-        for aln, seq, rn, fn, st in zip(alignments, reads, read_names,
-                                        ref_names, strands):
-            f.write(sam_record(aln, seq, rn, fn, reverse=bool(st)) + "\n")
+        for aln, seq, rn, fn, st, mq in zip(alignments, reads, read_names,
+                                            ref_names, strands, mapqs):
+            f.write(sam_record(aln, seq, rn, fn, reverse=bool(st), mapq=mq)
+                    + "\n")
 
     if isinstance(path, (str, pathlib.Path)):
         with open(path, "w") as f:

@@ -114,14 +114,24 @@ def _mesh_chunk_scores(reads_enc, panel_chunk, params, algorithm, impl,
     return np.asarray(out)[:b]
 
 
+NEG32 = np.iinfo(np.int32).min
+
+
 def _stream_best(reads_enc, panel_enc, params, algorithm, impl, interpret,
                  chunk, mesh):
-    """Running best/argmax fold over panel chunks -> (arg (B,), best (B,))."""
+    """Running top-2 fold over panel chunks.
+
+    Returns (arg (B,), best (B,), second (B,)): the best entry's index and
+    score plus the second-best score over DIFFERENT panel entries (int32
+    min when the panel has a single entry) — the input to the MAPQ gap.
+    """
     b = reads_enc.shape[0]
     r = panel_enc.shape[0]
     reads_dev = None if mesh is not None else jnp.asarray(reads_enc)
-    best = np.full(b, np.iinfo(np.int32).min, dtype=np.int32)
+    best = np.full(b, NEG32, dtype=np.int32)
+    second = np.full(b, NEG32, dtype=np.int32)
     arg = np.zeros(b, dtype=np.int32)
+    rows = np.arange(b)
     for lo in range(0, r, chunk):
         pc = panel_enc[lo : lo + chunk]
         if mesh is not None:
@@ -132,11 +142,17 @@ def _stream_best(reads_enc, panel_enc, params, algorithm, impl, interpret,
                 reads_dev, jnp.asarray(pc), params, algorithm, impl,
                 interpret))
         c_arg = np.argmax(s, axis=1)           # first-win within the chunk
-        c_best = s[np.arange(b), c_arg]
+        c_best = s[rows, c_arg]
+        c_second = (np.partition(s, -2, axis=1)[:, -2].astype(np.int64)
+                    if s.shape[1] >= 2 else np.full(b, NEG32, np.int64))
         upd = c_best > best                    # strict >: earlier chunk wins ties
+        # Top-2 merge of two disjoint candidate pools (exact).
+        second = np.maximum(np.minimum(best.astype(np.int64), c_best),
+                            np.maximum(second.astype(np.int64), c_second)
+                            ).astype(np.int32)
         best = np.where(upd, c_best, best)
         arg = np.where(upd, lo + c_arg, arg).astype(np.int32)
-    return arg, best
+    return arg, best, second
 
 
 def score_matrix(
@@ -211,8 +227,8 @@ def best_hits(
     impl, interpret = _pick_impl(impl, mesh)
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(r, max_pairs // max(b, 1)))
-    arg, best = _stream_best(reads_enc, panel_enc, params, algorithm, impl,
-                             interpret, chunk, mesh)
+    arg, best, _ = _stream_best(reads_enc, panel_enc, params, algorithm,
+                                impl, interpret, chunk, mesh)
     if not align:
         return arg, best, None
     alns = _align_pairs(reads_enc, panel_enc[arg], params, algorithm, tie,
@@ -240,9 +256,23 @@ class SearchHits:
     score: np.ndarray       # (B,) int32 DP score of the best hit
     strand: np.ndarray      # (B,) 0 = forward, 1 = reverse-complement
     alignments: list[Alignment] | None  # best-pair tracebacks (align=True)
+    #: (B,) uint8 mapping-quality heuristic from the best-vs-second-best
+    #: score gap: min(60, 6*gap/match_unit); 0 on exact ties, 60 when the
+    #: panel offers no second candidate. A monotone confidence signal in
+    #: the BWA tradition, not a calibrated error probability.
+    mapq: np.ndarray = None
 
     def __len__(self) -> int:
         return self.index.shape[0]
+
+
+def _mapq_from_gap(best, second, params) -> np.ndarray:
+    unit = (params.score_match if params.matrix is None
+            else max(max(r) for r in params.matrix))
+    unit = max(int(unit), 1)
+    gap = np.maximum(best.astype(np.int64) - second.astype(np.int64), 0)
+    q = np.minimum(60, (6 * gap) // unit)
+    return np.where(second == NEG32, 60, q).astype(np.uint8)
 
 
 def map_reads(
@@ -276,21 +306,28 @@ def map_reads(
     r = panel_enc.shape[0]
     if b == 0 or r == 0:
         return SearchHits(np.full(b, -1, np.int32),
-                          np.full(b, np.iinfo(np.int32).min, np.int32),
-                          np.zeros(b, np.int8), [] if align else None)
+                          np.full(b, NEG32, np.int32),
+                          np.zeros(b, np.int8), [] if align else None,
+                          np.zeros(b, np.uint8))
     impl, interpret = _pick_impl(impl, mesh)
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(r, max_pairs // max(b, 1)))
-    arg, best = _stream_best(reads_enc, panel_enc, params, algorithm, impl,
-                             interpret, chunk, mesh)
+    arg, best, second = _stream_best(reads_enc, panel_enc, params, algorithm,
+                                     impl, interpret, chunk, mesh)
     strand = np.zeros(b, dtype=np.int8)
     if both_strands:
         from versalignlib_tpu.alphabet import reverse_complement_codes
 
         rc_enc = reverse_complement_codes(reads_enc)
-        rc_arg, rc_best = _stream_best(rc_enc, panel_enc, params, algorithm,
-                                       impl, interpret, chunk, mesh)
+        rc_arg, rc_best, rc_second = _stream_best(
+            rc_enc, panel_enc, params, algorithm, impl, interpret, chunk,
+            mesh)
         rev = rc_best > best            # strict >: forward wins ties
+        # Top-2 merge across the two orientations' candidate pools.
+        second = np.maximum(
+            np.minimum(best.astype(np.int64), rc_best),
+            np.maximum(second.astype(np.int64), rc_second),
+        ).astype(np.int32)
         arg = np.where(rev, rc_arg, arg).astype(np.int32)
         best = np.where(rev, rc_best, best)
         strand = rev.astype(np.int8)
@@ -301,4 +338,5 @@ def map_reads(
     if align:
         alns = _align_pairs(oriented, panel_enc[arg], params, algorithm,
                             tie, backend, mesh)
-    return SearchHits(arg, best, strand, alns)
+    return SearchHits(arg, best, strand, alns,
+                      _mapq_from_gap(best, second, params))
