@@ -444,7 +444,9 @@ def test_sam_output_known_case():
     # Full read matches ref at 0-based pos 2: POS=3, no soft clips.
     assert rec[1] == "0" and rec[2] == "chr0" and rec[3] == "3"
     assert rec[5] == "8M" and rec[9] == "ACGTACGT"
-    assert rec[-1] == f"AS:i:{alns[0].score}"
+    assert f"AS:i:{alns[0].score}" in rec
+    # Perfect 8M match: zero edits, MD is the plain match count.
+    assert "NM:i:0" in rec and "MD:Z:8" in rec
     # All-mismatch pair: SW empty alignment -> unmapped record.
     rec1 = [l for l in lines if l.startswith("r1\t")][0].split("\t")
     assert rec1[1] == "4" and rec1[5] == "*"
@@ -506,6 +508,51 @@ def test_sam_record_normalizes_edge_ops():
                     read_start=0, read_end=2, ref_start=0, ref_end=2)
     rec = sam_record(aln, "AC", "r", "c").split("\t")
     assert rec[1] == "4" and rec[5] == "*"
+
+
+def test_sam_record_nm_md_and_qual():
+    from versalignlib_tpu.io.sam import sam_record
+    from versalignlib_tpu.types import Alignment
+
+    # Mixed window: 2 match, 1 mismatch (ref C), 1M, insertion of 2,
+    # deletion of ref GA, then 2 match.
+    aln = Alignment(read="ACTTGG--CT", ref="ACCT--GACT", score=5,
+                    cigar="4M2I2D2M", read_start=1, read_end=9,
+                    ref_start=0, ref_end=8)
+    rec = sam_record(aln, "AACTTGGCTA", "r", "c", qual="IIIIIIIIII").split("\t")
+    assert rec[5] == "1S4M2I2D2M1S"
+    assert rec[10] == "IIIIIIIIII"
+    # NM = 1 mismatch + 2 inserted + 2 deleted = 5.
+    assert "NM:i:5" in rec
+    # MD = 2 match, mismatch C, 1 match, ^GA deletion, 2 match.
+    assert "MD:Z:2C1^GA2" in rec
+    # Edge trimming keeps NM/MD consistent with the emitted window: the
+    # leading 2D is folded into POS, so its ref bases leave NM and MD.
+    aln = Alignment(read="--ACGT", ref="TTACGT", score=8, cigar="2D4M",
+                    read_start=0, read_end=4, ref_start=0, ref_end=6)
+    rec = sam_record(aln, "ACGTGG", "r", "c").split("\t")
+    assert rec[5] == "4M2S" and "NM:i:0" in rec and "MD:Z:4" in rec
+    assert rec[10] == "*"
+    # Adjacent mismatches produce the canonical 0-separated MD runs.
+    aln = Alignment(read="AAAA", ref="ACCA", score=2, cigar="4M",
+                    read_start=0, read_end=4, ref_start=0, ref_end=4)
+    rec = sam_record(aln, "AAAA", "r", "c").split("\t")
+    assert "NM:i:2" in rec and "MD:Z:1C0C1" in rec
+    # Quality length must match the read.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quality length"):
+        sam_record(aln, "AAAA", "r", "c", qual="II")
+
+
+def test_parse_records_format_sniffed(tmp_path):
+    from versalignlib_tpu.io.fastq import parse_records
+
+    fa = tmp_path / "x.fa"
+    fa.write_text(">a desc\nACGT\n>b\nGGTT\n")
+    assert parse_records(fa) == [("a", "ACGT", None), ("b", "GGTT", None)]
+    fq = tmp_path / "x.fq"
+    fq.write_text("@a\nACGT\n+\nII!I\n@b\nGG\n+\n#J\n")
+    assert parse_records(fq) == [("a", "ACGT", "II!I"), ("b", "GG", "#J")]
 
 
 def test_fastq_roundtrip_and_sniff(tmp_path, rng):

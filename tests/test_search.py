@@ -246,6 +246,39 @@ def test_cli_panel_both_strands(tmp_path, rng):
     assert recs[1][9] == reverse_complement(reads[1])
 
 
+def test_cli_panel_fastq_names_and_quals(tmp_path, rng):
+    from versalignlib_tpu.alphabet import reverse_complement
+    from versalignlib_tpu.cli import main
+    from versalignlib_tpu.io.fasta import write_fasta
+    from versalignlib_tpu.io.fastq import write_fastq
+
+    bases = np.array(list("ACGT"))
+    panel = ["".join(rng.choice(bases, size=40)) for _ in range(2)]
+    reads = [panel[0][:24], reverse_complement(panel[1][8:32])]
+    quals = ["".join(chr(33 + int(q)) for q in rng.integers(2, 41, size=24))
+             for _ in reads]
+    rf = tmp_path / "reads.fastq"
+    pf = tmp_path / "panel.fasta"
+    write_fastq(rf, reads, names=["readA", "readB"], qualities=quals)
+    write_fasta(pf, panel, names=["p0", "p1"])
+    rc = main(["--reads", str(rf), "--panel", str(pf), "--both-strands",
+               "--outdir", str(tmp_path), "--backend", "oracle", "--sam"])
+    assert rc == 0
+    hits = [l.split("\t") for l in
+            (tmp_path / "hits_smith_waterman.tsv").read_text().splitlines()[1:]]
+    # FASTQ names flow into the hits TSV.
+    assert [h[0] for h in hits] == ["readA", "readB"]
+    recs = {l.split("\t")[0]: l.split("\t") for l in
+            (tmp_path / "alignments_smith_waterman.sam").read_text().splitlines()
+            if not l.startswith("@")}
+    assert set(recs) == {"readA", "readB"}
+    # Forward record: QUAL verbatim; reverse record: QUAL reversed.
+    assert recs["readA"][10] == quals[0]
+    assert recs["readB"][1] == "16" and recs["readB"][10] == quals[1][::-1]
+    # Perfect matches: NM 0 and a pure-match MD.
+    assert "NM:i:0" in recs["readA"] and "MD:Z:24" in recs["readA"]
+
+
 def test_search_accepts_strings(default_params):
     arg, best, alns = best_hits(
         ["ACGTACGT"], ["TTTTTTTT", "CCACGTACGTCC"], default_params,

@@ -153,6 +153,9 @@ def main(argv=None) -> int:
         ap.error("--panel and --band cannot be combined (the search path "
                  "uses the dense kernels)")
     panel_names = None
+    read_names: list[str] | None = None
+    read_quals: list[str | None] | None = None
+    ref_names: list[str] | None = None
     if args.selftest:
         rng = np.random.default_rng(0)
         bases = np.array(list("ACGT"))
@@ -163,11 +166,15 @@ def main(argv=None) -> int:
         else:
             refs = ["".join(rng.choice(bases, size=96)) for _ in range(128)]
     elif args.panel:
-        from versalignlib_tpu.io.fastq import parse_sequences_with_names
+        from versalignlib_tpu.io.fastq import (parse_records,
+                                               parse_sequences_with_names)
 
         if not args.reads:
             ap.error("--panel requires --reads")
-        reads = parse_sequences(args.reads)
+        rrecs = parse_records(args.reads)
+        read_names = [n or f"read{i}" for i, (n, _, _) in enumerate(rrecs)]
+        read_quals = [q for _, _, q in rrecs]
+        reads = [s for _, s, _ in rrecs]
         recs = parse_sequences_with_names(args.panel)
         panel_names = [n for n, _ in recs]
         refs = [s for _, s in recs]
@@ -175,8 +182,15 @@ def main(argv=None) -> int:
         if not args.reads or not args.refs:
             ap.error("--reads and --refs are required (or use --selftest)")
         # Format-sniffed: FASTA ('>') or FASTQ ('@') both accepted.
-        reads = parse_sequences(args.reads)
-        refs = parse_sequences(args.refs)
+        from versalignlib_tpu.io.fastq import parse_records
+
+        rrecs = parse_records(args.reads)
+        read_names = [n or f"read{i}" for i, (n, _, _) in enumerate(rrecs)]
+        read_quals = [q for _, _, q in rrecs]
+        reads = [s for _, s, _ in rrecs]
+        frecs = parse_records(args.refs)
+        ref_names = [n or f"ref{i}" for i, (n, _, _) in enumerate(frecs)]
+        refs = [s for _, s, _ in frecs]
         if len(reads) != len(refs):
             # main.cpp:93-102 semantics.
             print(
@@ -208,10 +222,11 @@ def main(argv=None) -> int:
                              backend=args.backend, tie=tie,
                              both_strands=args.both_strands)
             algo = algorithm.name.lower()
+            rnames = read_names or [f"read{i}" for i in range(len(reads))]
             with open(outdir / f"hits_{algo}.tsv", "w") as f:
                 f.write("read\thit\thit_index\tstrand\tscore\tmapq\n")
                 for i in range(len(hits)):
-                    f.write(f"read{i}\t{panel_names[hits.index[i]]}\t"
+                    f.write(f"{rnames[i]}\t{panel_names[hits.index[i]]}\t"
                             f"{int(hits.index[i])}\t"
                             f"{'-' if hits.strand[i] else '+'}\t"
                             f"{int(hits.score[i])}\t{int(hits.mapq[i])}\n")
@@ -224,10 +239,17 @@ def main(argv=None) -> int:
                 base = OUT_FILES[(algorithm, "align")].removesuffix(".txt")
                 oriented = [reverse_complement(r) if s else r
                             for r, s in zip(reads, hits.strand)]
+                quals = None
+                if read_quals is not None and any(
+                        q is not None for q in read_quals):
+                    # QUAL rides in alignment orientation: reversed on FLAG 16.
+                    quals = [q[::-1] if (s and q) else q
+                             for q, s in zip(read_quals, hits.strand)]
                 write_sam(outdir / f"{base}.sam", hits.alignments, oriented,
                           [refs[j] for j in hits.index],
+                          read_names=rnames,
                           ref_names=[panel_names[j] for j in hits.index],
-                          strands=hits.strand, mapqs=hits.mapq)
+                          strands=hits.strand, mapqs=hits.mapq, quals=quals)
             print(f"{algorithm.name}: wrote best hits for {len(reads)} "
                   f"reads vs a {len(refs)}-entry panel")
         if args.bench:
@@ -274,7 +296,9 @@ def main(argv=None) -> int:
             from versalignlib_tpu.io.sam import write_sam
 
             base = OUT_FILES[(algorithm, "align")].removesuffix(".txt")
-            write_sam(outdir / f"{base}.sam", alns, reads, refs)
+            write_sam(outdir / f"{base}.sam", alns, reads, refs,
+                      read_names=read_names, ref_names=ref_names,
+                      quals=read_quals)
         print(f"{algorithm.name}: wrote {len(reads)} scores + alignments")
 
     if args.bench:

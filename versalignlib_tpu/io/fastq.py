@@ -153,3 +153,21 @@ def parse_sequences_with_names(path) -> list[tuple[str, str]]:
     if sniff_format(path) == "fastq":
         return [(n, s) for n, s, _ in iter_fastq_records(path)]
     return parse_fasta_with_names(path)
+
+
+def parse_records(path) -> list[tuple[str, str, str | None]]:
+    """Format-sniffed FULL records: (name, sequence, quality-or-None).
+
+    FASTA records carry ``None`` quality; FASTQ records carry their
+    Phred+33 string. The one front door for pipelines that want to
+    propagate names and base qualities (e.g. into SAM QUAL) without
+    format-dispatching themselves. Names are normalized to the first
+    whitespace-separated header token (SAM QNAME forbids whitespace);
+    FASTA descriptions are dropped, matching the FASTQ parser.
+    """
+    from versalignlib_tpu.io.fasta import parse_fasta_with_names
+
+    if sniff_format(path) == "fastq":
+        return list(iter_fastq_records(path))
+    return [((n.split() or [""])[0], s, None)
+            for n, s in parse_fasta_with_names(path)]
