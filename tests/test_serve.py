@@ -1,0 +1,187 @@
+"""Serving layer: microbatching dispatcher + HTTP JSON front end.
+
+Runs entirely on the oracle backend (CPU) — the serving logic is
+device-agnostic; kernel correctness is gated elsewhere.
+"""
+
+import json
+import queue
+import threading
+
+import numpy as np
+import pytest
+
+from versalignlib_tpu import AlignmentEngine
+from versalignlib_tpu.serve import (AlignServer, BatchingAligner, _bucket,
+                                    parse_algorithm)
+from versalignlib_tpu.types import Algorithm
+
+
+@pytest.fixture
+def engine():
+    return AlignmentEngine(backend="oracle")
+
+
+def _random_pairs(rng, n, lo=8, hi=24):
+    bases = np.array(list("ACGT"))
+    reads = ["".join(rng.choice(bases, size=int(rng.integers(lo, hi))))
+             for _ in range(n)]
+    refs = ["".join(rng.choice(bases, size=int(rng.integers(lo, hi))))
+            for _ in range(n)]
+    return reads, refs
+
+
+def test_bucket_and_algorithm_parsing():
+    assert _bucket(1) == 32 and _bucket(32) == 32 and _bucket(33) == 64
+    assert _bucket(512) == 512 and _bucket(513) == 1024
+    assert parse_algorithm("sw") is Algorithm.SMITH_WATERMAN
+    assert parse_algorithm("NW") is Algorithm.NEEDLEMAN_WUNSCH
+    assert parse_algorithm(Algorithm.SMITH_WATERMAN) is Algorithm.SMITH_WATERMAN
+    assert parse_algorithm(1) is Algorithm.NEEDLEMAN_WUNSCH
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        parse_algorithm("bogus")
+
+
+def test_batching_coalesces_requests(engine, rng):
+    # Enqueue BEFORE starting the dispatcher: deterministic coalescing.
+    aligner = BatchingAligner(engine, max_wait_ms=50, start=False)
+    reqs = []
+    for _ in range(4):
+        reads, refs = _random_pairs(rng, 3)
+        reqs.append((reads, refs,
+                     aligner.submit(reads, refs, "sw", "score")))
+    nw_reads, nw_refs = _random_pairs(rng, 2)
+    nw_fut = aligner.submit(nw_reads, nw_refs, "nw", "score")
+    aligner.start()
+    for reads, refs, fut in reqs:
+        want = engine.score_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+        assert fut.result(timeout=30) == [int(v) for v in want]
+    want = engine.score_alignments(Algorithm.NEEDLEMAN_WUNSCH, nw_reads, nw_refs)
+    assert nw_fut.result(timeout=30) == [int(v) for v in want]
+    s = aligner.stats()
+    # 5 requests over 2 (algorithm, mode) groups -> exactly 2 device batches.
+    assert s["requests"] == 5 and s["batches"] == 2
+    assert s["batched_pairs"] == 14 and s["max_batch_pairs"] == 12
+    aligner.close()
+
+
+def test_align_mode_scatters_per_request(engine, rng):
+    with BatchingAligner(engine, max_wait_ms=50, start=False) as aligner:
+        r1, f1 = _random_pairs(rng, 2)
+        r2, f2 = _random_pairs(rng, 3)
+        fut1 = aligner.submit(r1, f1, "sw", "align")
+        fut2 = aligner.submit(r2, f2, "sw", "align")
+        aligner.start()
+        a1 = fut1.result(timeout=30)
+        a2 = fut2.result(timeout=30)
+    assert len(a1) == 2 and len(a2) == 3
+    # Bucketed padding must not change results: compare against the direct
+    # engine on the unpadded batch (padding is semantics-free by design).
+    want = engine.compute_alignments(Algorithm.SMITH_WATERMAN, r1 + r2,
+                                     f1 + f2)
+    for got, exp in zip(a1 + a2, want):
+        assert (got.read, got.ref, got.score, got.cigar) == (
+            exp.read, exp.ref, exp.score, exp.cigar)
+
+
+def test_submit_validation_and_backpressure(engine):
+    aligner = BatchingAligner(engine, max_queue=2, start=False)
+    with pytest.raises(ValueError, match="counts differ"):
+        aligner.submit(["AC"], [], "sw", "score")
+    with pytest.raises(ValueError, match="mode"):
+        aligner.submit(["AC"], ["AC"], "sw", "fancy")
+    assert aligner.submit([], [], "sw", "score").result() == []  # no device
+    aligner.submit(["AC"], ["AC"])
+    aligner.submit(["AC"], ["AC"])
+    with pytest.raises(queue.Full):
+        aligner.submit(["AC"], ["AC"])
+    # Drain: start, let both resolve, close; then submits are rejected.
+    aligner.start()
+    aligner.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        aligner.submit(["AC"], ["AC"])
+
+
+def test_concurrent_submitters_one_device_stream(engine, rng):
+    # 8 client threads flood; every result must be exact and the dispatcher
+    # must batch at least some of them together.
+    aligner = BatchingAligner(engine, max_wait_ms=20)
+    errors = []
+
+    def client(seed):
+        local = np.random.default_rng(seed)
+        for _ in range(5):
+            reads, refs = _random_pairs(local, 2)
+            got = aligner.score(reads, refs, "sw")
+            want = engine.score_alignments(
+                Algorithm.SMITH_WATERMAN, reads, refs)
+            if got != [int(v) for v in want]:
+                errors.append((reads, refs, got, list(want)))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    s = aligner.stats()
+    assert s["requests"] == 40 and s["errors"] == 0
+    assert s["batches"] <= s["requests"]
+    aligner.close()
+
+
+def _http(method, addr, path, body=None):
+    import http.client
+
+    conn = http.client.HTTPConnection(*addr, timeout=30)
+    try:
+        payload = json.dumps(body) if body is not None else None
+        conn.request(method, path, body=payload,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        return resp.status, json.loads(resp.read() or b"{}")
+    finally:
+        conn.close()
+
+
+def test_http_server_end_to_end(engine, rng):
+    aligner = BatchingAligner(engine, max_wait_ms=5)
+    with AlignServer(aligner, port=0, max_request_pairs=8) as server:
+        server.start()
+        addr = server.address
+
+        status, health = _http("GET", addr, "/healthz")
+        assert status == 200 and health["ok"] and health["backend"] == "oracle"
+
+        reads, refs = _random_pairs(rng, 4)
+        status, out = _http("POST", addr, "/v1/score",
+                            {"reads": reads, "refs": refs, "algorithm": "sw"})
+        want = engine.score_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+        assert status == 200 and out["scores"] == [int(v) for v in want]
+
+        status, out = _http("POST", addr, "/v1/align",
+                            {"reads": ["ACGTACGT"], "refs": ["TTACGTACGTTT"],
+                             "algorithm": "nw"})
+        assert status == 200
+        aln = out["alignments"][0]
+        exp = engine.compute_alignments(
+            Algorithm.NEEDLEMAN_WUNSCH, ["ACGTACGT"], ["TTACGTACGTTT"])[0]
+        assert aln["score"] == exp.score and aln["cigar"] == exp.cigar
+        assert aln["read"] == exp.read and aln["ref_start"] == exp.ref_start
+
+        # Error paths: 400 malformed, 404 unknown, 413 oversized.
+        status, err = _http("POST", addr, "/v1/score",
+                            {"reads": ["AC"], "refs": []})
+        assert status == 400 and "differ" in err["error"]
+        status, _ = _http("POST", addr, "/v1/score", {"reads": ["AC"]})
+        assert status == 400
+        status, _ = _http("GET", addr, "/nope")
+        assert status == 404
+        big_reads, big_refs = _random_pairs(rng, 9)
+        status, err = _http("POST", addr, "/v1/score",
+                            {"reads": big_reads, "refs": big_refs})
+        assert status == 413 and "split" in err["error"]
+
+        status, stats = _http("GET", addr, "/stats")
+        assert status == 200 and stats["requests"] >= 2
+        assert stats["errors"] == 0

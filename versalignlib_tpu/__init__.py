@@ -31,7 +31,20 @@ from versalignlib_tpu.search import SearchHits, best_hits, map_reads, score_matr
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    # Lazy serving-layer exports: keep `import versalignlib_tpu` free of
+    # HTTP/threading machinery until a server is actually wanted.
+    if name in ("BatchingAligner", "AlignServer"):
+        from versalignlib_tpu import serve
+
+        return getattr(serve, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
 __all__ = [
+    "BatchingAligner",
+    "AlignServer",
     "AlignmentParameters",
     "DEFAULT_PARAMETERS",
     "Algorithm",
