@@ -279,6 +279,156 @@ def test_cli_panel_fastq_names_and_quals(tmp_path, rng):
     assert "NM:i:0" in recs["readA"] and "MD:Z:24" in recs["readA"]
 
 
+def test_map_read_pairs_layouts(rng, default_params):
+    from versalignlib_tpu import map_read_pairs, map_reads
+    from versalignlib_tpu.alphabet import reverse_complement
+
+    bases = np.array(list("ACGT"))
+    panel = ["".join(rng.choice(bases, size=60)) for _ in range(3)]
+    frag1 = panel[1][5:45]
+    frag2 = panel[2][10:50]
+    # Pair 0: FR layout onto entry 1; pair 1: RF layout onto entry 2.
+    reads1 = [frag1[:18], reverse_complement(frag2[:18])]
+    reads2 = [reverse_complement(frag1[22:]), frag2[22:]]
+    h = map_read_pairs(reads1, reads2, panel, default_params,
+                       backend="oracle")
+    assert list(h.index) == [1, 2]
+    assert list(h.orient) == [0, 1]
+    assert list(h.strand1) == [0, 1] and list(h.strand2) == [1, 0]
+    # Combined score == sum of the two mates' own best-vs-that-entry scores.
+    s1 = map_reads(reads1[:1], [panel[1]], default_params, backend="oracle",
+                   align=False).score[0]
+    s2 = map_reads(reads2[:1], [panel[1]], default_params, backend="oracle",
+                   align=False).score[0]
+    assert int(h.score[0]) == int(s1) + int(s2)
+    assert h.mapq[0] > 0
+    # Tracebacks are of the ORIENTED mates vs the winning entry.
+    assert h.alignments1[0].cigar == "18M"
+    assert h.alignments2[0].cigar == "18M"
+    assert h.alignments2[0].ref_start == 27  # frag1[22:] sits at 5+22
+    assert h.alignments1[1].cigar == "18M"   # RF mate1 aligns as revcomp
+
+
+def test_map_read_pairs_joint_entry_choice(rng, default_params):
+    """The pair maps where the COMBINED score wins, even when mate 1
+    alone prefers a different entry."""
+    from versalignlib_tpu import map_read_pairs, map_reads
+    from versalignlib_tpu.alphabet import reverse_complement
+
+    bases = np.array(list("ACGT"))
+    r1 = "".join(rng.choice(bases, size=20))
+    r2rc = "".join(rng.choice(bases, size=20))
+    filler = lambda n: "".join(rng.choice(bases, size=n))
+    # Entry A: exact R1, no R2. Entry B: R1 with 2 mismatches, exact R2.
+    r1_mm = list(r1)
+    r1_mm[5] = {"A": "C", "C": "A", "G": "T", "T": "G"}[r1_mm[5]]
+    r1_mm[12] = {"A": "C", "C": "A", "G": "T", "T": "G"}[r1_mm[12]]
+    entry_a = filler(10) + r1 + filler(30)
+    entry_b = filler(10) + "".join(r1_mm) + filler(5) + r2rc + filler(5)
+    panel = [entry_a, entry_b]
+    h = map_read_pairs([r1], [reverse_complement(r2rc)], panel,
+                       default_params, backend="oracle", align=False)
+    # Mate 1 alone prefers A...
+    solo = map_reads([r1], panel, default_params, backend="oracle",
+                     align=False, both_strands=False)
+    assert solo.index[0] == 0
+    # ...but the pair lands on B (34 + 40 beats 40 + noise).
+    assert h.index[0] == 1 and h.orient[0] == 0
+
+
+def test_map_read_pairs_validation(default_params):
+    from versalignlib_tpu import map_read_pairs
+    from versalignlib_tpu.params import AlignmentParameters
+
+    with pytest.raises(ValueError, match="mate counts"):
+        map_read_pairs(["AC"], [], ["ACGT"], default_params)
+    mat = AlignmentParameters(score_gap_read=-3, score_gap_ref=-3,
+                              matrix=((0, 0), (0, 3)))
+    with pytest.raises(ValueError, match="DNA-only"):
+        map_read_pairs(["AC"], ["GT"], ["ACGT"], mat)
+    h = map_read_pairs(["AC"], ["GT"], [], default_params)
+    assert len(h) == 1 and h.index[0] == -1 and h.alignments1 == []
+
+
+def test_write_sam_paired_flags_and_tlen(rng, default_params):
+    import io as _io
+
+    from versalignlib_tpu import map_read_pairs
+    from versalignlib_tpu.alphabet import reverse_complement
+    from versalignlib_tpu.io.sam import write_sam_paired
+
+    bases = np.array(list("ACGT"))
+    panel = ["".join(rng.choice(bases, size=60))]
+    frag = panel[0][5:45]                      # fragment spans ref [5, 45)
+    reads1 = [frag[:18]]
+    reads2 = [reverse_complement(frag[22:])]
+    h = map_read_pairs(reads1, reads2, panel, default_params,
+                       backend="oracle")
+    o1 = [reverse_complement(r) if s else r
+          for r, s in zip(reads1, h.strand1)]
+    o2 = [reverse_complement(r) if s else r
+          for r, s in zip(reads2, h.strand2)]
+    buf = _io.StringIO()
+    write_sam_paired(buf, h.alignments1, h.alignments2, o1, o2,
+                     [panel[j] for j in h.index], read_names=["frag0"],
+                     ref_names=["chr1"], strands1=h.strand1,
+                     strands2=h.strand2, mapqs=h.mapq)
+    recs = [l.split("\t") for l in buf.getvalue().splitlines()
+            if not l.startswith("@")]
+    assert len(recs) == 2
+    r1, r2 = recs
+    # Canonical proper FR pair: 99 (paired+proper+mate-rev+first) and
+    # 147 (paired+proper+rev+second).
+    assert int(r1[1]) == 0x1 | 0x2 | 0x20 | 0x40 == 99
+    assert int(r2[1]) == 0x1 | 0x2 | 0x10 | 0x80 == 147
+    assert r1[0] == r2[0] == "frag0"
+    # POS/PNEXT cross-link; TLEN is the signed outer fragment span.
+    assert r1[3] == "6" and r2[3] == "28"      # 1-based 5 and 27
+    assert r1[6] == "=" and r2[6] == "="
+    assert r1[7] == r2[3] and r2[7] == r1[3]
+    assert int(r1[8]) == 40 and int(r2[8]) == -40
+    assert r1[5] == "18M" and r2[5] == "18M"
+
+
+def test_cli_paired_panel(tmp_path, rng):
+    from versalignlib_tpu.alphabet import reverse_complement
+    from versalignlib_tpu.cli import main
+    from versalignlib_tpu.io.fasta import write_fasta
+    from versalignlib_tpu.io.fastq import write_fastq
+
+    bases = np.array(list("ACGT"))
+    panel = ["".join(rng.choice(bases, size=60)) for _ in range(2)]
+    frag = panel[1][5:45]
+    reads1 = [frag[:18]]
+    reads2 = [reverse_complement(frag[22:])]
+    q1 = ["".join(chr(33 + int(q)) for q in rng.integers(2, 41, size=18))]
+    q2 = ["".join(chr(33 + int(q)) for q in rng.integers(2, 41, size=18))]
+    r1f = tmp_path / "r1.fastq"
+    r2f = tmp_path / "r2.fastq"
+    pf = tmp_path / "panel.fasta"
+    write_fastq(r1f, reads1, names=["frag0"], qualities=q1)
+    write_fastq(r2f, reads2, names=["frag0"], qualities=q2)
+    write_fasta(pf, panel, names=["p0", "p1"])
+    rc = main(["--reads", str(r1f), "--reads2", str(r2f), "--panel",
+               str(pf), "--outdir", str(tmp_path), "--backend", "oracle",
+               "--sam"])
+    assert rc == 0
+    hits = [l.split("\t") for l in
+            (tmp_path / "hits_smith_waterman.tsv").read_text().splitlines()]
+    assert hits[0][:4] == ["fragment", "hit", "hit_index", "orient"]
+    assert hits[1][:4] == ["frag0", "p1", "1", "FR"]
+    recs = [l.split("\t") for l in
+            (tmp_path / "alignments_smith_waterman.sam").read_text().splitlines()
+            if not l.startswith("@")]
+    assert [int(r[1]) for r in recs] == [99, 147]
+    # Mate 2 is reverse: SEQ revcomp'd, QUAL reversed.
+    assert recs[1][9] == reverse_complement(reads2[0])
+    assert recs[0][10] == q1[0] and recs[1][10] == q2[0][::-1]
+    # Validation: --reads2 without --panel is an argparse error.
+    with pytest.raises(SystemExit):
+        main(["--reads", str(r1f), "--reads2", str(r2f), "--refs", str(pf)])
+
+
 def test_search_accepts_strings(default_params):
     arg, best, alns = best_hits(
         ["ACGTACGT"], ["TTTTTTTT", "CCACGTACGTCC"], default_params,

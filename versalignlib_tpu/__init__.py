@@ -27,7 +27,14 @@ from versalignlib_tpu.dispatch import (
     get_backend,
     register_backend,
 )
-from versalignlib_tpu.search import SearchHits, best_hits, map_reads, score_matrix
+from versalignlib_tpu.search import (
+    PairedHits,
+    SearchHits,
+    best_hits,
+    map_read_pairs,
+    map_reads,
+    score_matrix,
+)
 
 __version__ = "0.1.0"
 
@@ -60,6 +67,8 @@ __all__ = [
     "score_matrix",
     "best_hits",
     "map_reads",
+    "map_read_pairs",
     "SearchHits",
+    "PairedHits",
     "__version__",
 ]

@@ -78,6 +78,9 @@ def main(argv=None) -> int:
                                     "read against EVERY panel entry and "
                                     "report the best hit (one-vs-many "
                                     "search; replaces --refs)")
+    ap.add_argument("--reads2", help="with --panel: mate-2 FASTA/FASTQ — "
+                                     "paired-end mapping (FR/RF layouts "
+                                     "scored jointly, mate-linked SAM)")
     ap.add_argument("--both-strands", action="store_true",
                     help="with --panel: also score each read's reverse "
                          "complement and report the better orientation "
@@ -152,6 +155,15 @@ def main(argv=None) -> int:
     if args.panel and args.band:
         ap.error("--panel and --band cannot be combined (the search path "
                  "uses the dense kernels)")
+    if args.reads2 and not args.panel:
+        ap.error("--reads2 requires --panel (paired-end mapping is a "
+                 "search-mode feature)")
+    if args.reads2 and (args.matrix or args.alphabet):
+        ap.error("--reads2 is DNA-only (custom matrices/alphabets have "
+                 "no complement)")
+    if args.reads2 and args.selftest:
+        ap.error("--reads2 reads mate files; combine it with --reads/"
+                 "--panel, not --selftest")
     panel_names = None
     read_names: list[str] | None = None
     read_quals: list[str | None] | None = None
@@ -175,6 +187,14 @@ def main(argv=None) -> int:
         read_names = [n or f"read{i}" for i, (n, _, _) in enumerate(rrecs)]
         read_quals = [q for _, _, q in rrecs]
         reads = [s for _, s, _ in rrecs]
+        if args.reads2:
+            rrecs2 = parse_records(args.reads2)
+            reads2 = [s for _, s, _ in rrecs2]
+            read_quals2 = [q for _, _, q in rrecs2]
+            if len(reads2) != len(reads):
+                print(f"Mate counts differ ({len(reads)} vs {len(reads2)}) "
+                      "- exiting.", file=sys.stderr)
+                return 1
         recs = parse_sequences_with_names(args.panel)
         panel_names = [n for n, _ in recs]
         refs = [s for _, s in recs]
@@ -209,6 +229,52 @@ def main(argv=None) -> int:
         refs_in = encode_custom(refs, alphabet)
     else:
         reads_in, refs_in = reads, refs
+
+    if args.panel and args.reads2:
+        from versalignlib_tpu.alphabet import reverse_complement
+        from versalignlib_tpu.io.sam import write_sam_paired
+        from versalignlib_tpu.search import map_read_pairs
+
+        _log.info("paired panel search: %d fragments vs %d panel entries",
+                  len(reads), len(refs))
+        rnames = read_names or [f"pair{i}" for i in range(len(reads))]
+        for algorithm in (Algorithm.SMITH_WATERMAN,
+                          Algorithm.NEEDLEMAN_WUNSCH):
+            hits = map_read_pairs(reads, reads2, refs_in, params, algorithm,
+                                  backend=args.backend, tie=tie,
+                                  align=args.sam)
+            algo = algorithm.name.lower()
+            with open(outdir / f"hits_{algo}.tsv", "w") as f:
+                f.write("fragment\thit\thit_index\torient\tscore\tmapq\n")
+                for i in range(len(hits)):
+                    f.write(f"{rnames[i]}\t{panel_names[hits.index[i]]}\t"
+                            f"{int(hits.index[i])}\t"
+                            f"{'RF' if hits.orient[i] else 'FR'}\t"
+                            f"{int(hits.score[i])}\t{int(hits.mapq[i])}\n")
+            if args.sam:
+                base = OUT_FILES[(algorithm, "align")].removesuffix(".txt")
+                o1 = [reverse_complement(r) if s else r
+                      for r, s in zip(reads, hits.strand1)]
+                o2 = [reverse_complement(r) if s else r
+                      for r, s in zip(reads2, hits.strand2)]
+
+                def _oq(quals, strands):
+                    if quals is None or all(q is None for q in quals):
+                        return None
+                    return [q[::-1] if (s and q) else q
+                            for q, s in zip(quals, strands)]
+
+                write_sam_paired(
+                    outdir / f"{base}.sam", hits.alignments1,
+                    hits.alignments2, o1, o2,
+                    [refs[j] for j in hits.index], read_names=rnames,
+                    ref_names=[panel_names[j] for j in hits.index],
+                    strands1=hits.strand1, strands2=hits.strand2,
+                    mapqs=hits.mapq, quals1=_oq(read_quals, hits.strand1),
+                    quals2=_oq(read_quals2, hits.strand2))
+            print(f"{algorithm.name}: mapped {len(reads)} read pairs vs a "
+                  f"{len(refs)}-entry panel")
+        return 0
 
     if args.panel:
         from versalignlib_tpu.search import map_reads

@@ -275,6 +275,141 @@ def _mapq_from_gap(best, second, params) -> np.ndarray:
     return np.where(second == NEG32, 60, q).astype(np.uint8)
 
 
+def _chunk_scores(reads_enc, reads_dev, pc, params, algorithm, impl,
+                  interpret, mesh) -> np.ndarray:
+    """One (reads x panel-chunk) score block, mesh-aware."""
+    if mesh is not None:
+        return _mesh_chunk_scores(reads_enc, pc, params, algorithm, impl,
+                                  interpret, mesh)
+    return np.asarray(_score_cross_chunk(
+        reads_dev, jnp.asarray(pc), params, algorithm, impl, interpret))
+
+
+@dataclasses.dataclass
+class PairedHits:
+    """Per-fragment best-hit results from :func:`map_read_pairs`."""
+
+    index: np.ndarray       # (B,) best panel entry (-1 when the panel is empty)
+    score: np.ndarray       # (B,) int64 combined pair score (mate1 + mate2)
+    #: (B,) fragment orientation: 0 = FR (mate1 forward, mate2 reverse-
+    #: complement — the standard Illumina layout), 1 = RF (the converse).
+    orient: np.ndarray
+    alignments1: list[Alignment] | None  # mate-1 tracebacks (align=True)
+    alignments2: list[Alignment] | None
+    mapq: np.ndarray = None  # (B,) pair-level MAPQ heuristic (see map_reads)
+
+    @property
+    def strand1(self) -> np.ndarray:
+        """(B,) mate-1 strand: reverse iff the fragment mapped RF."""
+        return (self.orient == 1).astype(np.int8)
+
+    @property
+    def strand2(self) -> np.ndarray:
+        """(B,) mate-2 strand: reverse iff the fragment mapped FR."""
+        return (self.orient == 0).astype(np.int8)
+
+    def __len__(self) -> int:
+        return self.index.shape[0]
+
+
+def map_read_pairs(
+    reads1,
+    reads2,
+    panel,
+    params: AlignmentParameters = DEFAULT_PARAMETERS,
+    algorithm: Algorithm = Algorithm.SMITH_WATERMAN,
+    impl: str = "auto",
+    max_pairs: int = 1 << 20,
+    align: bool = True,
+    backend: str = "auto",
+    tie: TieBreak = TieBreak.DIAG_UP_LEFT,
+    mesh=None,
+) -> PairedHits:
+    """Paired-end mapping: best panel entry for each (mate1, mate2) pair.
+
+    A fragment maps to ONE panel entry with its mates in opposite
+    orientations; both layouts are scored — FR (mate1 forward + mate2
+    reverse-complement) and RF — and per panel entry the better layout's
+    COMBINED score (sum of mate scores) competes in the argmax, so a mate
+    that matches one entry well never drags the pair onto different
+    entries. FR wins layout ties; earlier panel entries win score ties
+    (scan order). MAPQ comes from the combined-score gap to the
+    second-best panel entry. ``align=True`` tracebacks both mates of the
+    winning (entry, layout) only; DNA-only (needs the complement), like
+    ``map_reads(both_strands=True)``.
+    """
+    if params.matrix is not None:
+        raise ValueError("paired-end mapping is DNA-only (custom "
+                         "substitution matrices have no complement)")
+    from versalignlib_tpu.alphabet import reverse_complement_codes
+
+    f1_enc = _encode(reads1)
+    f2_enc = _encode(reads2)
+    if f1_enc.shape[0] != f2_enc.shape[0]:
+        raise ValueError(f"mate counts differ: {f1_enc.shape[0]} vs "
+                         f"{f2_enc.shape[0]}")
+    panel_enc = _encode(panel)
+    b = f1_enc.shape[0]
+    r = panel_enc.shape[0]
+    if b == 0 or r == 0:
+        return PairedHits(np.full(b, -1, np.int32),
+                          np.full(b, np.iinfo(np.int64).min, np.int64),
+                          np.zeros(b, np.int8),
+                          [] if align else None, [] if align else None,
+                          np.zeros(b, np.uint8))
+    impl, interpret = _pick_impl(impl, mesh)
+    algorithm = Algorithm(algorithm)
+    r1_enc = reverse_complement_codes(f1_enc)
+    r2_enc = reverse_complement_codes(f2_enc)
+    # Four oriented mate batches stream the panel together; each chunk
+    # costs 4 score dispatches. Halve the chunk so the device batch stays
+    # within max_pairs across the two mates.
+    chunk = max(1, min(r, max_pairs // (2 * max(b, 1))))
+    devs = (None,) * 4 if mesh is not None else tuple(
+        jnp.asarray(x) for x in (f1_enc, r1_enc, f2_enc, r2_enc))
+    NEG = np.int64(np.iinfo(np.int64).min // 4)  # safe against adds
+    best = np.full(b, NEG, dtype=np.int64)
+    second = np.full(b, NEG, dtype=np.int64)
+    arg = np.zeros(b, dtype=np.int32)
+    orient = np.zeros(b, dtype=np.int8)
+    rows = np.arange(b)
+    for lo in range(0, r, chunk):
+        pc = panel_enc[lo : lo + chunk]
+        s_f1, s_r1, s_f2, s_r2 = (
+            _chunk_scores(enc, dev, pc, params, algorithm, impl, interpret,
+                          mesh).astype(np.int64)
+            for enc, dev in zip((f1_enc, r1_enc, f2_enc, r2_enc), devs))
+        fr = s_f1 + s_r2
+        rf = s_r1 + s_f2
+        c_comb = np.maximum(fr, rf)
+        c_orient = (rf > fr)                   # FR wins layout ties
+        c_arg = np.argmax(c_comb, axis=1)      # first-win within the chunk
+        c_best = c_comb[rows, c_arg]
+        c_second = (np.partition(c_comb, -2, axis=1)[:, -2]
+                    if c_comb.shape[1] >= 2 else np.full(b, NEG))
+        upd = c_best > best                    # strict >: earlier chunk wins ties
+        second = np.maximum(np.minimum(best, c_best),
+                            np.maximum(second, c_second))
+        best = np.where(upd, c_best, best)
+        arg = np.where(upd, lo + c_arg, arg).astype(np.int32)
+        orient = np.where(upd, c_orient[rows, c_arg], orient).astype(np.int8)
+    mapq = np.where(second == NEG, 60,
+                    np.minimum(60, (6 * np.maximum(best - second, 0))
+                               // max(int(params.score_match), 1))
+                    ).astype(np.uint8)
+    alns1 = alns2 = None
+    if align:
+        rev = orient.astype(bool)
+        oriented1 = np.where(rev[:, None], r1_enc, f1_enc)
+        oriented2 = np.where(rev[:, None], f2_enc, r2_enc)
+        refs_sel = panel_enc[arg]
+        alns1 = _align_pairs(oriented1, refs_sel, params, algorithm, tie,
+                             backend, mesh)
+        alns2 = _align_pairs(oriented2, refs_sel, params, algorithm, tie,
+                             backend, mesh)
+    return PairedHits(arg, best, orient, alns1, alns2, mapq)
+
+
 def map_reads(
     reads,
     panel,
