@@ -35,6 +35,12 @@ from versalignlib_tpu.search import (
     map_reads,
     score_matrix,
 )
+from versalignlib_tpu.refmap import (
+    ReferenceHits,
+    WindowIndex,
+    map_to_reference,
+    tile_references,
+)
 
 __version__ = "0.1.0"
 
@@ -70,5 +76,9 @@ __all__ = [
     "map_read_pairs",
     "SearchHits",
     "PairedHits",
+    "map_to_reference",
+    "ReferenceHits",
+    "tile_references",
+    "WindowIndex",
     "__version__",
 ]

@@ -81,6 +81,18 @@ def main(argv=None) -> int:
     ap.add_argument("--reads2", help="with --panel: mate-2 FASTA/FASTQ — "
                                      "paired-end mapping (FR/RF layouts "
                                      "scored jointly, mate-linked SAM)")
+    ap.add_argument("--reference", help="FASTA of LONG references (contigs/"
+                                        "chromosomes): map each read by "
+                                        "exhaustive window tiling, report "
+                                        "global coordinates (replaces "
+                                        "--refs/--panel)")
+    ap.add_argument("--window", type=int, default=None,
+                    help="with --reference: tiling window (default 4x the "
+                         "longest read, multiple of 128)")
+    ap.add_argument("--stride", type=int, default=None,
+                    help="with --reference: tiling stride (default "
+                         "window/2; overlap must cover the longest "
+                         "alignment span)")
     ap.add_argument("--both-strands", action="store_true",
                     help="with --panel: also score each read's reverse "
                          "complement and report the better orientation "
@@ -164,6 +176,15 @@ def main(argv=None) -> int:
     if args.reads2 and args.selftest:
         ap.error("--reads2 reads mate files; combine it with --reads/"
                  "--panel, not --selftest")
+    if args.reference and (args.panel or args.refs or args.reads2
+                           or args.band or args.selftest):
+        ap.error("--reference is its own mode: combine it with --reads "
+                 "only (not --panel/--refs/--reads2/--band/--selftest)")
+    if args.reference and (args.matrix or args.alphabet):
+        ap.error("--reference mapping is DNA-only (custom matrices/"
+                 "alphabets have no complement)")
+    if (args.window or args.stride) and not args.reference:
+        ap.error("--window/--stride only apply to --reference mode")
     panel_names = None
     read_names: list[str] | None = None
     read_quals: list[str | None] | None = None
@@ -198,6 +219,20 @@ def main(argv=None) -> int:
         recs = parse_sequences_with_names(args.panel)
         panel_names = [n for n, _ in recs]
         refs = [s for _, s in recs]
+    elif args.reference:
+        from versalignlib_tpu.io.fastq import (parse_records,
+                                               parse_sequences_with_names)
+
+        if not args.reads:
+            ap.error("--reference requires --reads")
+        rrecs = parse_records(args.reads)
+        read_names = [n or f"read{i}" for i, (n, _, _) in enumerate(rrecs)]
+        read_quals = [q for _, _, q in rrecs]
+        reads = [s for _, s, _ in rrecs]
+        recs = parse_sequences_with_names(args.reference)
+        panel_names = [(n.split() or [""])[0] or f"ref{i}"
+                       for i, (n, _) in enumerate(recs)]
+        refs = [s for _, s in recs]
     else:
         if not args.reads or not args.refs:
             ap.error("--reads and --refs are required (or use --selftest)")
@@ -229,6 +264,53 @@ def main(argv=None) -> int:
         refs_in = encode_custom(refs, alphabet)
     else:
         reads_in, refs_in = reads, refs
+
+    if args.reference:
+        from versalignlib_tpu.alphabet import reverse_complement
+        from versalignlib_tpu.io.sam import write_sam
+        from versalignlib_tpu.refmap import map_to_reference, tile_references
+
+        _log.info("reference mapping: %d reads vs %d reference(s), "
+                  "%d total bp", len(reads), len(refs),
+                  sum(len(r) for r in refs))
+        rnames = read_names or [f"read{i}" for i in range(len(reads))]
+        m = max((len(r) for r in reads), default=0)
+        window = args.window or max(128, -(-4 * m // 128) * 128)
+        stride = args.stride or window // 2
+        index = tile_references(refs, window, stride)  # shared by both algos
+        _log.info("tiling: window=%d stride=%d -> %d windows",
+                  window, stride, len(index))
+        for algorithm in (Algorithm.SMITH_WATERMAN,
+                          Algorithm.NEEDLEMAN_WUNSCH):
+            hits = map_to_reference(reads, index, params, algorithm,
+                                    backend=args.backend, tie=tie)
+            algo = algorithm.name.lower()
+            with open(outdir / f"hits_{algo}.tsv", "w") as f:
+                f.write("read\tref\tref_id\tpos\tstrand\tscore\tmapq\n")
+                for i in range(len(hits)):
+                    f.write(f"{rnames[i]}\t{panel_names[hits.ref_id[i]]}\t"
+                            f"{int(hits.ref_id[i])}\t{int(hits.pos[i])}\t"
+                            f"{'-' if hits.strand[i] else '+'}\t"
+                            f"{int(hits.score[i])}\t{int(hits.mapq[i])}\n")
+            _write_alignments(outdir / OUT_FILES[(algorithm, "align")],
+                              hits.alignments, compat=args.reference_compat)
+            if args.sam:
+                oriented = [reverse_complement(r) if s else r
+                            for r, s in zip(reads, hits.strand)]
+                quals = None
+                if read_quals is not None and any(
+                        q is not None for q in read_quals):
+                    quals = [q[::-1] if (s and q) else q
+                             for q, s in zip(read_quals, hits.strand)]
+                base = OUT_FILES[(algorithm, "align")].removesuffix(".txt")
+                write_sam(outdir / f"{base}.sam", hits.alignments, oriented,
+                          [refs[j] for j in hits.ref_id],
+                          read_names=rnames,
+                          ref_names=[panel_names[j] for j in hits.ref_id],
+                          strands=hits.strand, mapqs=hits.mapq, quals=quals)
+            print(f"{algorithm.name}: mapped {len(reads)} reads vs "
+                  f"{len(refs)} reference(s) ({len(index)} windows)")
+        return 0
 
     if args.panel and args.reads2:
         from versalignlib_tpu.alphabet import reverse_complement
