@@ -137,6 +137,37 @@ def main() -> int:
             "" if tie == TieBreak.DIAG_UP_LEFT else "/DIAG_LEFT_UP")
         check(label, same_alignments(got, want))
 
+    print("== search kernel (compiled one-vs-many) ==")
+    from versalignlib_tpu.ops.pallas_search import cross_scores_device
+
+    def cross_oracle(alg, rr, ff, p):
+        r2 = np.repeat(rr, ff.shape[0], axis=0)
+        f2 = np.tile(ff, (rr.shape[0], 1))
+        fn = (gotoh.score_alignments_affine if p.affine
+              else oracle.score_alignments)
+        return fn(alg, r2, f2, p).reshape(rr.shape[0], ff.shape[0])
+
+    sr = rng.integers(0, 6, size=(37, 96)).astype(np.uint8)
+    sf = rng.integers(0, 6, size=(9, 120)).astype(np.uint8)
+    for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        # lanes=reads (B > R) and lanes=refs (R > B), linear + affine.
+        got = np.asarray(cross_scores_device(sr, sf, p_lin, alg))
+        check(f"search/lanes-reads/{alg.name}",
+              np.array_equal(got, cross_oracle(alg, sr, sf, p_lin)))
+        got = np.asarray(cross_scores_device(sf, sr, p_lin, alg))
+        check(f"search/lanes-refs/{alg.name}",
+              np.array_equal(got, cross_oracle(alg, sf, sr, p_lin)))
+    got = np.asarray(cross_scores_device(sr, sf, p_aff,
+                                         Algorithm.SMITH_WATERMAN))
+    check("search/affine",
+          np.array_equal(got, cross_oracle(Algorithm.SMITH_WATERMAN, sr, sf,
+                                           p_aff)))
+    got = np.asarray(cross_scores_device(sr[:8], sf, p_mat,
+                                         Algorithm.SMITH_WATERMAN))
+    check("search/matrix",
+          np.array_equal(got, cross_oracle(Algorithm.SMITH_WATERMAN, sr[:8],
+                                           sf, p_mat)))
+
     print("== banded kernels (compiled) ==")
     m, n, band, tile = 300, 340, 64, 32
     reads_b = rng.integers(0, 6, size=(16, m)).astype(np.uint8)
@@ -261,6 +292,24 @@ def main() -> int:
             lambda b_, tag: bruns_m[b_](tag), (4096, 16384), 512 * 512)
         print(f"  BLOSUM62 (S=25) score 512x512: "
               f"{perf['score_blosum62_gcups']:.1f} GCUPS")
+
+        # One-vs-many search kernel at the refmap shape: 64 reads resident,
+        # window pool in lanes (on-device reduction; tiny transfer).
+        sreads = jnp.asarray(rng.integers(1, 5, size=(64, 128)).astype(np.uint8))
+
+        def search_run(r_):
+            f = jnp.asarray(rng.integers(1, 5, size=(r_, 512)).astype(np.uint8))
+            def go(tag, f=f):
+                f = f.at[0, 0].set(tag % 4 + 1)
+                np.asarray(jnp.sum(cross_scores_device(
+                    sreads, f, p_lin, Algorithm.SMITH_WATERMAN, False)))
+            return go
+
+        sruns = {r_: search_run(r_) for r_ in (1024, 4096)}
+        perf["search_sw_gcups"] = marginal(
+            lambda r_, tag: sruns[r_](tag), (1024, 4096), 64 * 128 * 512)
+        print(f"  SW one-vs-many search 64x128 vs 512bp windows: "
+              f"{perf['search_sw_gcups']:.1f} GCUPS")
 
         from versalignlib_tpu.ops.pallas_align import (_align_blocks,
                                                        _last_valid_pos,

@@ -1,0 +1,265 @@
+"""Pallas one-vs-many search kernel: broadcast query, lane-resident pool.
+
+The database-search paths (``search.py``, ``refmap.py``) score a B x R
+cross product. Routing that through the pairwise kernel
+(ops/pallas_score.py) requires materializing both sides per pair —
+``jnp.repeat``/``jnp.tile`` writes B*R*(m+n) int32 of HBM that is pure
+duplication (every block of 1024 consecutive pairs shares one read; every
+R-th pair shares one ref).
+
+This kernel removes the duplication with a TPU-native asymmetry: the
+**query** sequence of each grid step lives in SMEM and is read as scalars
+(broadcast against the whole register tile for free), while the **pool**
+side keeps the pairwise kernel's lane layout — 1024 candidates per (8, 128)
+int32 tile. HBM traffic drops from O(B*R*(m+n)) to O((B+R)*len + B*R)
+and the search paths can stream arbitrarily large chunks without a
+cross-product intermediate.
+
+Which side is the query is chosen per call (``query_is_read``): panel
+search has many reads vs few panel entries (lanes = reads, query = panel
+entry); whole-reference mapping has few reads vs thousands of windows
+(lanes = windows, query = read). The DP itself is the exact pairwise
+recurrence of ops/pallas_score.py — same wavefront, same NW overlap
+bookkeeping, same substitution builders (``make_sub_fn`` accepts scalar or
+vector codes) — and is gated bit-exact against the oracle cross product.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from versalignlib_tpu.ops.pallas_score import (BLOCK_LANES, BLOCK_PAIRS,
+                                               BLOCK_SUBLANES, NEG_INF_I32,
+                                               WAVE_ROWS, _pick_unroll,
+                                               make_sub_fn)
+from versalignlib_tpu.params import AlignmentParameters
+from versalignlib_tpu.types import Algorithm
+
+
+def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, *, m, n,
+                   unroll, params: AlignmentParameters, local: bool,
+                   query_is_read: bool):
+    """Score 1024 lane sequences against one SMEM query sequence.
+
+    query_ref: (1, 1, m) int32 SMEM when ``query_is_read`` else (1, 1, n).
+    lanes_ref: (1, n, 8, 128) int32 VMEM (refs in lanes) when
+        ``query_is_read`` else (1, m, 8, 128) (reads in lanes).
+    out_ref: (1, 1, 8, 128) int32 best scores.
+    h_ref: (n+1, 8, 128) scratch; f_ref: Gotoh F row (affine) else (1,...).
+
+    DP rows are ALWAYS the read (m), columns the ref (n) — only the code
+    source switches between SMEM scalars and VMEM lane vectors, so the
+    recurrence (and the NW score bookkeeping) is identical to
+    ops/pallas_score.py:_score_kernel.
+    """
+    gap_read = jnp.int32(params.score_gap_read)
+    gap_ref = jnp.int32(params.score_gap_ref)
+    affine = params.affine
+    open_read = jnp.int32(params.gap_open_read)
+    open_ref = jnp.int32(params.gap_open_ref)
+    zero = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+    neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+    n_chunks = n // unroll
+
+    h_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+    if affine:
+        f_ref[...] = jnp.full((n, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32,
+                              jnp.int32)
+
+    row_prep, col_prep, sub_of = make_sub_fn(params)
+
+    def read_code(i):
+        """Row i's read code: SMEM scalar or per-lane vector."""
+        if query_is_read:
+            return query_ref[0, 0, i]
+        return lanes_ref[0, i]
+
+    def make_group_body(R, base=None):
+        def group_body(idx, best):
+            i0 = idx * R if base is None else base
+            rctxs = [row_prep(read_code(i0 + r)) for r in range(R)]
+            h0 = h_ref[0]
+
+            def chunk_body(c, carry):
+                lefts, diags, evals, best = carry
+                j0 = c * unroll
+                old = h_ref[pl.ds(j0 + 1, unroll)]
+                if not query_is_read:
+                    ref_chunk = None  # per-column SMEM scalars below
+                else:
+                    ref_chunk = lanes_ref[0, pl.ds(j0, unroll)]
+                if affine:
+                    f_old = f_ref[pl.ds(j0, unroll)]
+                    f_store = []
+                store_vals = []
+                for u in range(unroll):
+                    cctx = col_prep(ref_chunk[u] if query_is_read
+                                    else query_ref[0, 0, j0 + u])
+                    up = old[u]
+                    f_up = f_old[u] if affine else None
+                    new_lefts, new_diags, new_evals = [], [], []
+                    for r in range(R):
+                        s = sub_of(rctxs[r], cctx)
+                        if affine:
+                            f_val = jnp.maximum(up + open_ref, f_up) + gap_ref
+                            e_val = jnp.maximum(lefts[r] + open_read,
+                                                evals[r]) + gap_read
+                            e_in = jnp.maximum(e_val, 0) if local else e_val
+                            cur = jnp.maximum(
+                                jnp.maximum(diags[r] + s, f_val), e_in)
+                            new_evals.append(e_val)
+                            f_up = f_val
+                        else:
+                            l_in = lefts[r] + gap_read
+                            if local:
+                                l_in = jnp.maximum(l_in, 0)
+                            cur = jnp.maximum(jnp.maximum(diags[r] + s,
+                                                          up + gap_ref),
+                                              l_in)
+                        if local:
+                            best = jnp.maximum(best, cur)
+                        new_diags.append(up)
+                        new_lefts.append(cur)
+                        up = cur
+                    lefts, diags = new_lefts, new_diags
+                    if affine:
+                        evals = new_evals
+                        f_store.append(f_up)
+                    store_vals.append(up)
+                h_ref[pl.ds(j0 + 1, unroll)] = jnp.stack(store_vals)
+                if affine:
+                    f_ref[pl.ds(j0, unroll)] = jnp.stack(f_store)
+                return lefts, diags, evals, best
+
+            init = ([h0] * R, [h0] * R, [neg_inf] * R, best)
+            lefts, _, _, best = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                                  init)
+            if not local:
+                # NW overlap: best over the last column of every row
+                # (same bookkeeping as the pairwise kernel).
+                for r in range(R):
+                    best = jnp.maximum(best, lefts[r])
+            return best
+
+        return group_body
+
+    R = WAVE_ROWS
+    best = jax.lax.fori_loop(0, m // R, make_group_body(R), zero)
+    for tail_row in range((m // R) * R, m):
+        best = make_group_body(1, base=tail_row)(0, best)
+    if not local:
+        def final_fold(j, b):
+            return jnp.maximum(b, h_ref[j])
+        best = jax.lax.fori_loop(0, n + 1, final_fold, best)
+        best = jnp.maximum(best, 0)
+    out_ref[0, 0] = best
+
+
+def search_vmem_plan(m: int, n: int, affine: bool = False) -> int:
+    """VMEM bytes for one lane block: H (+F) scratch rows, double-buffered
+    lane block, out, headroom (the SMEM query costs no VMEM)."""
+    # Lanes hold the ref side when query_is_read, else the read side;
+    # plan for the larger so the budget is safe either way.
+    lane_len = max(m, n)
+    return 4 * BLOCK_PAIRS * (
+        (n + 1)
+        + (n if affine else 1)
+        + 2 * lane_len
+        + 2
+    ) + 1024 * 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "algorithm", "query_is_read", "interpret"),
+)
+def _search_blocks(query_b, lanes_b, params: AlignmentParameters,
+                   algorithm: Algorithm, query_is_read: bool,
+                   interpret: bool = False):
+    """query_b: (K, 1, Lq) int32 (the middle axis satisfies the TPU
+    block-shape rule for SMEM blocks); lanes_b: (G, Lv, 8, 128) int32 ->
+    (G, K, 8, 128) int32 scores."""
+    k, _, lq = query_b.shape
+    g, lv = lanes_b.shape[0], lanes_b.shape[1]
+    m, n = (lq, lv) if query_is_read else (lv, lq)
+    local = algorithm == Algorithm.SMITH_WATERMAN
+    kernel = functools.partial(
+        _search_kernel, m=m, n=n, unroll=_pick_unroll(n), params=params,
+        local=local, query_is_read=query_is_read,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(g, k),   # inner k varies fastest: the big lane block stays
+        in_specs=[     # resident while queries stream through SMEM
+            pl.BlockSpec((1, 1, lq), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, lv, BLOCK_SUBLANES, BLOCK_LANES),
+                         lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, BLOCK_SUBLANES, BLOCK_LANES),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, k, BLOCK_SUBLANES, BLOCK_LANES),
+                                       jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            pltpu.VMEM((n if params.affine else 1, BLOCK_SUBLANES,
+                        BLOCK_LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=search_vmem_plan(m, n, params.affine)),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * g * k * m * n * BLOCK_PAIRS,
+            bytes_accessed=4 * (g * lv * BLOCK_PAIRS + k * lq
+                                + g * k * BLOCK_PAIRS),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(query_b, lanes_b)
+
+
+def _pack_lanes(x, length):
+    """(P, L) int32 -> (G, L, 8, 128), zero-padding P up to full blocks."""
+    p = x.shape[0]
+    g = max(1, -(-p // BLOCK_PAIRS))
+    x = jnp.pad(x.astype(jnp.int32), ((0, g * BLOCK_PAIRS - p), (0, 0)))
+    x = x.reshape(g, BLOCK_SUBLANES, BLOCK_LANES, length)
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "algorithm", "interpret")
+)
+def cross_scores_device(reads, refs, params: AlignmentParameters,
+                        algorithm: Algorithm, interpret: bool = False):
+    """(B, m) x (R, n) uint8/int32 codes -> (B, R) int32 scores.
+
+    The larger side rides the lanes (fills the 1024-pair register tile);
+    the smaller side streams through SMEM as per-step queries. Exact same
+    scores as the pairwise kernel on the materialized cross product.
+    """
+    b, m = reads.shape
+    r, n = refs.shape
+    query_is_read = r >= b   # lanes hold the larger pool
+    if query_is_read:
+        query_b = reads.astype(jnp.int32)[:, None, :]
+        lanes_b = _pack_lanes(refs, n)
+    else:
+        query_b = refs.astype(jnp.int32)[:, None, :]
+        lanes_b = _pack_lanes(reads, m)
+    out = _search_blocks(query_b, lanes_b, params, algorithm,
+                         query_is_read, interpret)
+    g, k = out.shape[0], out.shape[1]
+    # (G, K, 8, 128) -> (G*1024, K): lane p of block i is pool sequence
+    # i*1024 + sublane*128 + lane.
+    pool = jnp.transpose(out, (0, 2, 3, 1)).reshape(g * BLOCK_PAIRS, k)
+    if query_is_read:
+        return jnp.transpose(pool[:r])       # (K=B, R)
+    return pool[:b]                          # (B, K=R)

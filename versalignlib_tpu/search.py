@@ -39,20 +39,25 @@ def _encode(seqs) -> np.ndarray:
 
 def _cross_scores(reads, panel, params: AlignmentParameters,
                   algorithm: Algorithm, impl: str, interpret: bool):
-    """(B, m) x (Rc, n) -> (B, Rc) scores; pairs tiled on device."""
+    """(B, m) x (Rc, n) -> (B, Rc) scores.
+
+    Pallas: the dedicated one-vs-many kernel (ops/pallas_search.py) — the
+    smaller side streams through SMEM as broadcast queries, no B×Rc
+    cross-product intermediate. XLA: materialized repeat/tile pairs
+    through the portable scan kernel.
+    """
+    if impl == "pallas":
+        from versalignlib_tpu.ops.pallas_search import cross_scores_device
+
+        return cross_scores_device(reads, panel, params, algorithm,
+                                   interpret)
+    from versalignlib_tpu.ops.xla import score_batch
+
     b = reads.shape[0]
     rc = panel.shape[0]
     r = jnp.repeat(reads, rc, axis=0)   # (B*Rc, m): read i vs every ref
     f = jnp.tile(panel, (b, 1))         # (B*Rc, n)
-    if impl == "pallas":
-        from versalignlib_tpu.ops.pallas_score import score_batch_device
-
-        s = score_batch_device(r, f, params, algorithm, interpret)
-    else:
-        from versalignlib_tpu.ops.xla import score_batch
-
-        s = score_batch(r, f, params, algorithm)
-    return s.reshape(b, rc)
+    return score_batch(r, f, params, algorithm).reshape(b, rc)
 
 
 @functools.partial(
