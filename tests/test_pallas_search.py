@@ -76,6 +76,26 @@ def test_search_path_uses_kernel(rng, default_params):
     assert np.array_equal(best, want.max(axis=1))
 
 
+def test_dense_budget_gate(default_params):
+    """Oversize compiled search shapes are rejected with guidance instead
+    of a Mosaic OOM; interpret/xla paths are never gated."""
+    from versalignlib_tpu.search import _check_dense_budget
+    from versalignlib_tpu.utils.capabilities import DeviceCapabilities
+
+    caps = DeviceCapabilities("tpu", "v5e", 1, True, vmem_bytes=128 << 20)
+    _check_dense_budget(128, 512, default_params, "pallas", False, caps)
+    with pytest.raises(ValueError, match="banded"):
+        _check_dense_budget(20_000, 80_000, default_params, "pallas",
+                            False, caps)
+    # interpret mode / xla / no-VMEM devices pass any shape
+    _check_dense_budget(20_000, 80_000, default_params, "pallas", True,
+                        caps)
+    _check_dense_budget(20_000, 80_000, default_params, "xla", False, caps)
+    _check_dense_budget(
+        20_000, 80_000, default_params, "pallas", False,
+        DeviceCapabilities("cpu", "cpu", 1, False, vmem_bytes=0))
+
+
 def test_search_kernel_under_mesh(rng, default_params):
     """shard_map + the one-vs-many kernel (interpret) on the CPU mesh."""
     from versalignlib_tpu.parallel import make_mesh

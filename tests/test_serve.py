@@ -144,6 +144,55 @@ def _http(method, addr, path, body=None):
         conn.close()
 
 
+def test_submit_call_runs_on_dispatcher(engine):
+    import threading as _t
+
+    with BatchingAligner(engine, max_wait_ms=5) as aligner:
+        names = []
+        fut = aligner.submit_call(
+            lambda: names.append(_t.current_thread().name) or 42)
+        assert fut.result(timeout=30) == 42
+        assert names == ["versalign-dispatch"]
+        boom = aligner.submit_call(lambda: 1 / 0)
+        with pytest.raises(ZeroDivisionError):
+            boom.result(timeout=30)
+        assert aligner.stats()["errors"] == 1
+
+
+def test_http_map_endpoint(engine, rng):
+    from versalignlib_tpu import map_reads
+    from versalignlib_tpu.alphabet import reverse_complement
+
+    aligner = BatchingAligner(engine, max_wait_ms=5)
+    with AlignServer(aligner, port=0, max_request_pairs=64) as server:
+        server.start()
+        addr = server.address
+        bases = np.array(list("ACGT"))
+        panel = ["".join(rng.choice(bases, size=40)) for _ in range(4)]
+        reads = [panel[2][5:25], reverse_complement(panel[1][10:30])]
+        status, out = _http("POST", addr, "/v1/map",
+                            {"reads": reads, "panel": panel, "align": True})
+        assert status == 200
+        want = map_reads(reads, panel, engine.params, backend="oracle")
+        for h, i in zip(out["hits"], range(len(reads))):
+            assert h["index"] == int(want.index[i])
+            assert h["score"] == int(want.score[i])
+            assert h["strand"] == int(want.strand[i])
+            assert h["mapq"] == int(want.mapq[i])
+            assert h["alignment"]["cigar"] == want.alignments[i].cigar
+        # align defaults off: no alignment key.
+        status, out = _http("POST", addr, "/v1/map",
+                            {"reads": reads, "panel": panel})
+        assert status == 200 and "alignment" not in out["hits"][0]
+        # Validation: bad body and per-request limit.
+        status, _ = _http("POST", addr, "/v1/map", {"reads": reads})
+        assert status == 400
+        big = ["ACGT"] * 65
+        status, err = _http("POST", addr, "/v1/map",
+                            {"reads": big, "panel": panel})
+        assert status == 413 and "split" in err["error"]
+
+
 def test_http_server_end_to_end(engine, rng):
     aligner = BatchingAligner(engine, max_wait_ms=5)
     with AlignServer(aligner, port=0, max_request_pairs=8) as server:

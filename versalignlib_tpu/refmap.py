@@ -36,7 +36,8 @@ import numpy as np
 
 from versalignlib_tpu.alphabet import pad_and_encode, reverse_complement_codes
 from versalignlib_tpu.params import AlignmentParameters, DEFAULT_PARAMETERS
-from versalignlib_tpu.search import (NEG32, _align_pairs, _chunk_scores,
+from versalignlib_tpu.search import (NEG32, _align_pairs,
+                                     _check_dense_budget, _chunk_scores,
                                      _encode, _mapq_from_gap, _pick_impl)
 from versalignlib_tpu.types import Algorithm, Alignment, TieBreak
 
@@ -225,6 +226,7 @@ def map_to_reference(
                              np.zeros(b, np.int8), np.zeros(b, np.uint8),
                              [] if align else None)
     impl, interpret = _pick_impl(impl, mesh)
+    _check_dense_budget(m, index.window, params, impl, interpret)
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(n_w, max_pairs // max(b, 1)))
     vals, args = _stream_topk(reads_enc, index.windows, params, algorithm,

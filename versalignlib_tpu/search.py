@@ -100,6 +100,29 @@ def _pick_impl(impl: str, mesh=None) -> tuple[str, bool]:
     return ("pallas" if dev.platform == "tpu" else "xla"), False
 
 
+def _check_dense_budget(m: int, n: int, params, impl: str, interpret: bool,
+                        caps=None) -> None:
+    """Reject (m, n) search shapes whose compiled VMEM plan cannot fit,
+    with guidance, instead of an opaque Mosaic OOM (the same role
+    ``capabilities.dense_fits`` plays for the pairwise backend)."""
+    if impl != "pallas" or interpret:
+        return
+    from versalignlib_tpu.ops.pallas_search import search_vmem_plan
+    from versalignlib_tpu.utils.capabilities import probe
+
+    caps = caps if caps is not None else probe()
+    if not caps.vmem_bytes:
+        return
+    need = search_vmem_plan(m, n, params.affine)
+    if need > caps.vmem_bytes:
+        raise ValueError(
+            f"dense search kernel needs {need / 2**20:.0f}MB VMEM for "
+            f"{m}x{n} sequence pairs; this device has "
+            f"{caps.vmem_bytes / 2**20:.0f}MB. Long pairs belong on the "
+            "banded path (models.banded_smith_waterman / --band); for "
+            "reference mapping use a smaller --window.")
+
+
 def _mesh_chunk_scores(reads_enc, panel_chunk, params, algorithm, impl,
                        interpret, mesh):
     """One panel chunk over the mesh: pad B to the axis size, shard, score."""
@@ -184,6 +207,8 @@ def score_matrix(
     if b == 0 or r == 0:
         return np.zeros((b, r), dtype=np.int32)
     impl, interpret = _pick_impl(impl, mesh)
+    _check_dense_budget(reads_enc.shape[1], panel_enc.shape[1], params,
+                        impl, interpret)
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(r, max_pairs // max(b, 1)))
     reads_dev = None if mesh is not None else jnp.asarray(reads_enc)
@@ -230,6 +255,8 @@ def best_hits(
                 np.full(b, np.iinfo(np.int32).min, np.int32),
                 [] if align else None)
     impl, interpret = _pick_impl(impl, mesh)
+    _check_dense_budget(reads_enc.shape[1], panel_enc.shape[1], params,
+                        impl, interpret)
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(r, max_pairs // max(b, 1)))
     arg, best, _ = _stream_best(reads_enc, panel_enc, params, algorithm,
@@ -363,6 +390,8 @@ def map_read_pairs(
                           [] if align else None, [] if align else None,
                           np.zeros(b, np.uint8))
     impl, interpret = _pick_impl(impl, mesh)
+    _check_dense_budget(max(f1_enc.shape[1], f2_enc.shape[1]),
+                        panel_enc.shape[1], params, impl, interpret)
     algorithm = Algorithm(algorithm)
     r1_enc = reverse_complement_codes(f1_enc)
     r2_enc = reverse_complement_codes(f2_enc)
@@ -450,6 +479,8 @@ def map_reads(
                           np.zeros(b, np.int8), [] if align else None,
                           np.zeros(b, np.uint8))
     impl, interpret = _pick_impl(impl, mesh)
+    _check_dense_budget(reads_enc.shape[1], panel_enc.shape[1], params,
+                        impl, interpret)
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(r, max_pairs // max(b, 1)))
     arg, best, second = _stream_best(reads_enc, panel_enc, params, algorithm,

@@ -89,6 +89,7 @@ class _Pending:
     mode: str
     future: Future
     enqueued_at: float
+    fn: object = None  # mode == "call": closure run on the dispatcher
 
 
 class BatchingAligner:
@@ -165,6 +166,23 @@ class BatchingAligner:
             self._stats["pairs"] += len(reads)
         return fut
 
+    def submit_call(self, fn) -> Future:
+        """Run an arbitrary device-using closure ON the dispatcher thread.
+
+        The dispatcher is the only thread that touches the device, so
+        non-batchable work (e.g. a panel-mapping request, which carries its
+        own panel and cannot coalesce with other requests) enqueues here
+        and executes serialized with the microbatches, in arrival order.
+        """
+        if self._closed:
+            raise RuntimeError("BatchingAligner is closed")
+        fut: Future = Future()
+        self._queue.put_nowait(_Pending([], [], Algorithm.SMITH_WATERMAN,
+                                        "call", fut, time.monotonic(), fn))
+        with self._stats_lock:
+            self._stats["requests"] += 1
+        return fut
+
     def score(self, reads, refs, algorithm="sw") -> list[int]:
         """Blocking convenience wrapper around ``submit(mode='score')``."""
         return self.submit(reads, refs, algorithm, "score").result()
@@ -233,6 +251,24 @@ class BatchingAligner:
     def _dispatch(self, batch: list[_Pending]) -> None:
         groups: dict[tuple[Algorithm, str], list[_Pending]] = {}
         for req in batch:
+            if req.mode == "call":
+                # Exclusive device closures run individually, in order.
+                t0 = time.monotonic()
+                try:
+                    result = req.fn()
+                except Exception as exc:
+                    with self._stats_lock:
+                        self._stats["errors"] += 1
+                    if not req.future.cancelled():
+                        req.future.set_exception(exc)
+                    continue
+                with self._stats_lock:
+                    s = self._stats
+                    s["batches"] += 1
+                    s["latency_sum_s"] += time.monotonic() - t0
+                if not req.future.cancelled():
+                    req.future.set_result(result)
+                continue
             groups.setdefault((req.algorithm, req.mode), []).append(req)
         for (algorithm, mode), reqs in groups.items():
             self._run_group(algorithm, mode, reqs)
@@ -302,6 +338,9 @@ class AlignServer:
             -> {"scores": [...]}
         POST /v1/align  (same body)
             -> {"alignments": [{read, ref, score, cigar, ...}, ...]}
+        POST /v1/map    {"reads": [...], "panel": [...], "algorithm": "sw",
+                         "both_strands": true, "align": false}
+            -> {"hits": [{index, score, strand, mapq[, alignment]}, ...]}
         GET  /healthz   -> {"ok": true, "backend": ..., "platform": ...}
         GET  /stats     -> batching counters
 
@@ -336,6 +375,88 @@ class AlignServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _read_json(self):
+                """Parse the request body; replies and returns None on
+                errors (bad length, oversized, malformed JSON)."""
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                except ValueError:
+                    self._reply(400, {"error": "bad Content-Length"})
+                    return None
+                if length > AlignServer.MAX_BODY_BYTES:
+                    self._reply(413, {"error": "request body too large"})
+                    return None
+                try:
+                    return json.loads(self.rfile.read(length))
+                except json.JSONDecodeError as exc:
+                    self._reply(400, {"error": str(exc)})
+                    return None
+
+            def _await(self, fut):
+                """Resolve a dispatcher future into (ok, result); replies
+                on timeout/error."""
+                try:
+                    return True, fut.result(timeout=outer.request_timeout_s)
+                except TimeoutError:
+                    fut.cancel()
+                    self._reply(503, {"error": "batch timed out"})
+                except Exception as exc:
+                    self._reply(500, {"error": str(exc)})
+                return False, None
+
+            def _do_map(self):
+                req = self._read_json()
+                if req is None:
+                    return
+                try:
+                    reads = req["reads"]
+                    panel = req["panel"]
+                    algorithm = parse_algorithm(req.get("algorithm", "sw"))
+                    both = bool(req.get("both_strands", True))
+                    want_align = bool(req.get("align", False))
+                    if not isinstance(reads, list) or not isinstance(
+                            panel, list):
+                        raise ValueError("reads/panel must be lists")
+                    if not all(isinstance(s, str) for s in reads + panel):
+                        raise ValueError("sequences must be strings")
+                except (KeyError, ValueError) as exc:
+                    self._reply(400, {"error": str(exc)})
+                    return
+                if max(len(reads), len(panel)) > outer.max_request_pairs:
+                    self._reply(413, {
+                        "error": f"{len(reads)} reads x {len(panel)} panel "
+                                 f"entries exceeds the per-request limit "
+                                 f"{outer.max_request_pairs} (split it)"})
+                    return
+                engine = outer.aligner.engine
+
+                def run():
+                    from versalignlib_tpu.search import map_reads
+
+                    return map_reads(
+                        reads, panel, engine.params, algorithm,
+                        backend=engine.backend.name, tie=engine.tie,
+                        both_strands=both, align=want_align)
+
+                try:
+                    fut = outer.aligner.submit_call(run)
+                except queue.Full:
+                    self._reply(503, {"error": "server overloaded; retry"})
+                    return
+                ok, hits = self._await(fut)
+                if not ok:
+                    return
+                out = []
+                for i in range(len(hits)):
+                    h = {"index": int(hits.index[i]),
+                         "score": int(hits.score[i]),
+                         "strand": int(hits.strand[i]),
+                         "mapq": int(hits.mapq[i])}
+                    if want_align:
+                        h["alignment"] = _alignment_json(hits.alignments[i])
+                    out.append(h)
+                self._reply(200, {"hits": out})
+
             def do_GET(self):
                 if self.path == "/healthz":
                     import jax
@@ -351,21 +472,18 @@ class AlignServer:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
+                if self.path == "/v1/map":
+                    self._do_map()
+                    return
                 mode = {"/v1/score": "score", "/v1/align": "align"}.get(
                     self.path)
                 if mode is None:
                     self._reply(404, {"error": "not found"})
                     return
-                try:
-                    length = int(self.headers.get("Content-Length", "0"))
-                except ValueError:
-                    self._reply(400, {"error": "bad Content-Length"})
-                    return
-                if length > AlignServer.MAX_BODY_BYTES:
-                    self._reply(413, {"error": "request body too large"})
+                req = self._read_json()
+                if req is None:
                     return
                 try:
-                    req = json.loads(self.rfile.read(length))
                     reads = req["reads"]
                     refs = req["refs"]
                     algorithm = parse_algorithm(req.get("algorithm", "sw"))
@@ -378,7 +496,7 @@ class AlignServer:
                             f"{len(refs)}")
                     if not all(isinstance(s, str) for s in reads + refs):
                         raise ValueError("sequences must be strings")
-                except (KeyError, ValueError, json.JSONDecodeError) as exc:
+                except (KeyError, ValueError) as exc:
                     self._reply(400, {"error": str(exc)})
                     return
                 if len(reads) > outer.max_request_pairs:
@@ -391,14 +509,8 @@ class AlignServer:
                 except queue.Full:
                     self._reply(503, {"error": "server overloaded; retry"})
                     return
-                try:
-                    result = fut.result(timeout=outer.request_timeout_s)
-                except TimeoutError:
-                    fut.cancel()
-                    self._reply(503, {"error": "batch timed out"})
-                    return
-                except Exception as exc:
-                    self._reply(500, {"error": str(exc)})
+                ok, result = self._await(fut)
+                if not ok:
                     return
                 if mode == "score":
                     self._reply(200, {"scores": result})
