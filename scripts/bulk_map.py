@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Bulk read-mapping pipeline: millions of reads vs a panel, restartable.
+
+The mapping twin of bulk_align.py: streams read chunks (FASTA/FASTQ,
+O(chunk) memory) through ``search.map_reads`` against a fixed panel,
+committing per-read results (hit index, score, strand, MAPQ) to a
+journaled memmap (utils/checkpoint.TableCheckpoint) so a crash resumes at
+the first unfinished chunk. The final ``hits.tsv`` is assembled from the
+completed table. Read names in bulk mode are positional (``read<i>``) —
+the table is indexed by input order, so joins back to names are trivial.
+
+Usage:
+  python scripts/bulk_map.py --reads big.fastq --panel panel.fa --ckpt /tmp/m1
+  python scripts/bulk_map.py --synthetic 1000000 --panel panel.fa --ckpt /tmp/m2
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+COLUMNS = ("hit_index", "score", "strand", "mapq")
+
+
+def synthetic_chunk(seed: int, chunk_index: int, n: int, panel_enc):
+    """Reads planted from random panel slices (half reverse-complemented) —
+    deterministic per (seed, chunk), so resumes regenerate identical data."""
+    from versalignlib_tpu.alphabet import reverse_complement_codes
+
+    rng = np.random.default_rng((seed, chunk_index))
+    r, L = panel_enc.shape
+    m = max(16, L // 2)
+    idx = rng.integers(0, r, size=n)
+    lo = rng.integers(0, L - m + 1, size=n)
+    reads = panel_enc[idx[:, None], lo[:, None] + np.arange(m)[None, :]]
+    flip = rng.random(n) < 0.5
+    reads[flip] = reverse_complement_codes(reads[flip])
+    return np.ascontiguousarray(reads)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", help="FASTA/FASTQ of reads (streamed)")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate this many panel-derived reads instead")
+    ap.add_argument("--panel", required=True, help="FASTA/FASTQ panel")
+    ap.add_argument("--ckpt", required=True, help="checkpoint directory")
+    ap.add_argument("--chunk", type=int, default=16384)
+    ap.add_argument("--algorithm", choices=["sw", "nw"], default="sw")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--single-strand", action="store_true",
+                    help="skip the reverse-complement sweep")
+    args = ap.parse_args()
+
+    from versalignlib_tpu.alphabet import pad_and_encode
+    from versalignlib_tpu.io.fastq import parse_sequences
+    from versalignlib_tpu.params import AlignmentParameters
+    from versalignlib_tpu.search import map_reads
+    from versalignlib_tpu.types import Algorithm
+    from versalignlib_tpu.utils.checkpoint import TableCheckpoint
+
+    p = AlignmentParameters()
+    algorithm = (Algorithm.SMITH_WATERMAN if args.algorithm == "sw"
+                 else Algorithm.NEEDLEMAN_WUNSCH)
+    panel_seqs = parse_sequences(args.panel)
+    panel_enc = pad_and_encode(panel_seqs)
+
+    if args.synthetic:
+        total = args.synthetic
+        get_chunk = lambda c, lo, hi: synthetic_chunk(
+            args.seed, c, hi - lo, panel_enc)
+    else:
+        if not args.reads:
+            ap.error("--reads or --synthetic required")
+        reads_all = pad_and_encode(parse_sequences(args.reads))
+        total = reads_all.shape[0]
+        get_chunk = lambda c, lo, hi: reads_all[lo:hi]
+
+    ckpt = TableCheckpoint(args.ckpt, total=total, chunk=args.chunk,
+                           width=len(COLUMNS), columns=COLUMNS)
+    pending = ckpt.pending_chunks()
+    n_chunks = -(-total // args.chunk)
+    print(f"{total} reads vs {panel_enc.shape[0]}-entry panel, chunk "
+          f"{args.chunk}: {n_chunks - len(pending)} done, {len(pending)} "
+          f"pending")
+
+    t0 = time.perf_counter()
+    mapped = 0
+    for c, lo, hi in pending:
+        reads = get_chunk(c, lo, hi)
+        hits = map_reads(reads, panel_enc, p, algorithm, align=False,
+                         both_strands=not args.single_strand)
+        rows = np.stack([hits.index.astype(np.int64),
+                         hits.score.astype(np.int64),
+                         hits.strand.astype(np.int64),
+                         hits.mapq.astype(np.int64)], axis=1)
+        ckpt.commit(c, lo, rows)
+        mapped += hi - lo
+        if (c % 8) == 0:
+            rate = mapped / max(time.perf_counter() - t0, 1e-9)
+            print(f"  chunk {c}: {rate:.0f} reads/s aggregate")
+
+    table = ckpt.table()
+    out = pathlib.Path(args.ckpt) / "hits.tsv"
+    with open(out, "w") as f:
+        f.write("read\t" + "\t".join(COLUMNS) + "\n")
+        for i in range(total):
+            f.write(f"read{i}\t" + "\t".join(str(int(v)) for v in table[i])
+                    + "\n")
+    wall = time.perf_counter() - t0
+    print(f"DONE: {total} reads mapped; wall {wall:.1f}s; wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -163,6 +163,77 @@ def test_checkpoint_shape_mismatch(tmp_path):
         ScoreCheckpoint(tmp_path / "c2", total=20, chunk=5)
 
 
+def test_table_checkpoint_resume(tmp_path):
+    from versalignlib_tpu.utils.checkpoint import TableCheckpoint
+
+    ck = TableCheckpoint(tmp_path / "t", total=11, chunk=4, width=3,
+                         columns=("a", "b", "c"))
+    assert [c for c, _, _ in ck.pending_chunks()] == [0, 1, 2]
+    for c, lo, hi in ck.pending_chunks():
+        ck.commit(c, lo, np.full((hi - lo, 3), c, dtype=np.int64))
+    assert ck.is_complete()
+    # Reopen: table persists, pending empty, meta guarded.
+    ck2 = TableCheckpoint(tmp_path / "t", total=11, chunk=4, width=3,
+                          columns=("a", "b", "c"))
+    assert ck2.pending_chunks() == []
+    assert list(ck2.table()[:, 0]) == [0] * 4 + [1] * 4 + [2] * 3
+    with pytest.raises(ValueError, match="refusing"):
+        TableCheckpoint(tmp_path / "t", total=11, chunk=4, width=2)
+    # Drop a journal line -> exactly that chunk re-runs.
+    journal = tmp_path / "t" / "done.jsonl"
+    lines = [json.loads(x) for x in journal.read_text().splitlines()]
+    journal.write_text("\n".join(
+        json.dumps(e) for e in lines if e["chunk"] != 1) + "\n")
+    ck3 = TableCheckpoint(tmp_path / "t", total=11, chunk=4, width=3,
+                          columns=("a", "b", "c"))
+    assert [c for c, _, _ in ck3.pending_chunks()] == [1]
+
+
+def test_bulk_map_pipeline_resumes(tmp_path, rng, monkeypatch):
+    import importlib.util
+    import pathlib
+
+    from versalignlib_tpu import map_reads
+    from versalignlib_tpu.io.fasta import write_fasta
+    from versalignlib_tpu.io.fastq import write_fastq
+    from versalignlib_tpu.alphabet import reverse_complement
+
+    spec = importlib.util.spec_from_file_location(
+        "bulk_map", pathlib.Path(__file__).parent.parent / "scripts" /
+        "bulk_map.py")
+    bulk_map = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bulk_map)
+
+    bases = np.array(list("ACGT"))
+    panel = ["".join(rng.choice(bases, size=40)) for _ in range(3)]
+    reads = [panel[i % 3][5:30] for i in range(10)]
+    reads[4] = reverse_complement(reads[4])
+    pf = tmp_path / "panel.fa"
+    rf = tmp_path / "reads.fastq"
+    write_fasta(pf, panel)
+    write_fastq(rf, reads)
+    ck = tmp_path / "ckpt"
+    argv = ["--reads", str(rf), "--panel", str(pf), "--ckpt", str(ck),
+            "--chunk", "4"]
+    monkeypatch.setattr("sys.argv", ["bulk_map.py"] + argv)
+    assert bulk_map.main() == 0
+    table1 = np.load(ck / "table.npy")
+    want = map_reads(reads, panel, backend="oracle", align=False)
+    assert np.array_equal(table1[:, 0], want.index)
+    assert np.array_equal(table1[:, 2], want.strand)
+    assert np.array_equal(table1[:, 3], want.mapq)
+    hits = (ck / "hits.tsv").read_text().splitlines()
+    assert hits[0] == "read\thit_index\tscore\tstrand\tmapq"
+    assert len(hits) == 11 and hits[5].startswith("read4\t")
+    # Kill/resume: drop one chunk from the journal, rerun, identical table.
+    journal = ck / "done.jsonl"
+    lines = [json.loads(x) for x in journal.read_text().splitlines()]
+    journal.write_text("\n".join(
+        json.dumps(e) for e in lines if e["chunk"] != 2) + "\n")
+    assert bulk_map.main() == 0
+    assert np.array_equal(np.load(ck / "table.npy"), table1)
+
+
 # --- profiling / capabilities ----------------------------------------------
 
 def test_gcups_meter():

@@ -115,6 +115,26 @@ def test_map_to_reference_window_index_reuse(rng, default_params):
     assert int(h5.ref_id[0]) == -1
 
 
+def test_map_to_reference_mesh_matches_single(rng, default_params):
+    from versalignlib_tpu.parallel import make_mesh
+
+    bases = np.array(list("ACGT"))
+    ref = "".join(rng.choice(bases, size=3000))
+    reads = [ref[p : p + 40] for p in (55, 700, 1500, 2900)]
+    reads[1] = reverse_complement(reads[1])
+    single = map_to_reference(reads, [ref], default_params,
+                              backend="oracle")
+    sharded = map_to_reference(reads, [ref], default_params,
+                               mesh=make_mesh(8))
+    assert np.array_equal(single.pos, sharded.pos)
+    assert np.array_equal(single.score, sharded.score)
+    assert np.array_equal(single.strand, sharded.strand)
+    assert np.array_equal(single.mapq, sharded.mapq)
+    for a, b in zip(single.alignments, sharded.alignments):
+        assert (a.ref_start, a.cigar, a.score) == (b.ref_start, b.cigar,
+                                                   b.score)
+
+
 def test_map_to_reference_overlap_warning(rng, default_params):
     bases = np.array(list("ACGT"))
     ref = "".join(rng.choice(bases, size=600))

@@ -390,6 +390,30 @@ def test_write_sam_paired_flags_and_tlen(rng, default_params):
     assert r1[5] == "18M" and r2[5] == "18M"
 
 
+def test_map_read_pairs_mesh_matches_single(rng, default_params):
+    from versalignlib_tpu import map_read_pairs
+    from versalignlib_tpu.alphabet import reverse_complement
+    from versalignlib_tpu.parallel import make_mesh
+
+    bases = np.array(list("ACGT"))
+    panel = ["".join(rng.choice(bases, size=48)) for _ in range(3)]
+    frags = [panel[i % 3][4:40] for i in range(9)]
+    reads1 = [f[:16] for f in frags]
+    reads2 = [reverse_complement(f[20:]) for f in frags]
+    single = map_read_pairs(reads1, reads2, panel, default_params,
+                            backend="oracle")
+    mesh = make_mesh(8)
+    sharded = map_read_pairs(reads1, reads2, panel, default_params,
+                             mesh=mesh)
+    assert np.array_equal(single.index, sharded.index)
+    assert np.array_equal(single.score, sharded.score)
+    assert np.array_equal(single.orient, sharded.orient)
+    assert np.array_equal(single.mapq, sharded.mapq)
+    for a, b in zip(single.alignments1, sharded.alignments1):
+        assert (a.read, a.ref, a.score, a.cigar) == (b.read, b.ref, b.score,
+                                                     b.cigar)
+
+
 def test_cli_paired_panel(tmp_path, rng):
     from versalignlib_tpu.alphabet import reverse_complement
     from versalignlib_tpu.cli import main

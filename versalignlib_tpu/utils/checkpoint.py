@@ -84,6 +84,57 @@ class ScoreCheckpoint:
         return not self.pending_chunks()
 
 
+@dataclasses.dataclass
+class TableCheckpoint:
+    """Journaled memmapped (total, width) int64 result table.
+
+    The mapping-pipeline generalization of :class:`ScoreCheckpoint`: each
+    input row produces ``width`` integer results (e.g. hit index, score,
+    strand, MAPQ), committed chunk-at-a-time with the same
+    flush-then-journal crash consistency.
+    """
+
+    directory: pathlib.Path
+    total: int
+    chunk: int
+    width: int
+    columns: tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        self.directory = pathlib.Path(self.directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        meta_path = self.directory / "meta.json"
+        meta = {"total": self.total, "chunk": self.chunk,
+                "width": self.width, "columns": list(self.columns)}
+        if meta_path.exists():
+            old = json.loads(meta_path.read_text())
+            if old != meta:
+                raise ValueError(
+                    f"checkpoint {self.directory} was created with {old}; "
+                    f"refusing to resume with {meta}")
+        else:
+            meta_path.write_text(json.dumps(meta))
+        path = self.directory / "table.npy"
+        self._table = np.lib.format.open_memmap(
+            path, mode="r+" if path.exists() else "w+",
+            dtype=np.int64, shape=(self.total, self.width))
+        self._journal = self.directory / "done.jsonl"
+
+    done_chunks = ScoreCheckpoint.done_chunks
+    pending_chunks = ScoreCheckpoint.pending_chunks
+    is_complete = ScoreCheckpoint.is_complete
+
+    def commit(self, chunk_index: int, lo: int, rows: np.ndarray) -> None:
+        self._table[lo : lo + rows.shape[0]] = rows
+        self._table.flush()
+        with open(self._journal, "a") as f:
+            f.write(json.dumps({"chunk": chunk_index, "lo": lo,
+                                "n": int(rows.shape[0])}) + "\n")
+
+    def table(self) -> np.ndarray:
+        return np.asarray(self._table)
+
+
 def run_scored_batch(
     checkpoint_dir,
     reads: np.ndarray,
