@@ -73,27 +73,37 @@ def main() -> int:
 
     if args.synthetic:
         total = args.synthetic
-        get_chunk = lambda c, lo, hi: synthetic_chunk(
-            args.seed, c, hi - lo, panel_enc)
+        chunks = (
+            synthetic_chunk(args.seed, c, min((c + 1) * args.chunk, total)
+                            - c * args.chunk, panel_enc)
+            for c in range(-(-total // args.chunk)))
     else:
         if not args.reads:
             ap.error("--reads or --synthetic required")
-        reads_all = pad_and_encode(parse_sequences(args.reads))
-        total = reads_all.shape[0]
-        get_chunk = lambda c, lo, hi: reads_all[lo:hi]
+        # Two streaming passes, O(chunk) memory each: count, then map —
+        # the checkpoint needs the total up front, and millions of reads
+        # must never be materialized at once.
+        from versalignlib_tpu.io.fastq import (count_sequences,
+                                               iter_sequence_chunks)
+
+        total = count_sequences(args.reads)
+        chunks = iter_sequence_chunks(args.reads, args.chunk)
 
     ckpt = TableCheckpoint(args.ckpt, total=total, chunk=args.chunk,
                            width=len(COLUMNS), columns=COLUMNS)
-    pending = ckpt.pending_chunks()
+    done = ckpt.done_chunks()
     n_chunks = -(-total // args.chunk)
     print(f"{total} reads vs {panel_enc.shape[0]}-entry panel, chunk "
-          f"{args.chunk}: {n_chunks - len(pending)} done, {len(pending)} "
-          f"pending")
+          f"{args.chunk}: {len(done)} done, {n_chunks - len(done)} pending")
 
     t0 = time.perf_counter()
     mapped = 0
-    for c, lo, hi in pending:
-        reads = get_chunk(c, lo, hi)
+    for c, reads in enumerate(chunks):
+        # The stream must advance through completed chunks (file order),
+        # but their mapping is skipped on resume.
+        if c in done:
+            continue
+        lo = c * args.chunk
         hits = map_reads(reads, panel_enc, p, algorithm, align=False,
                          both_strands=not args.single_strand)
         rows = np.stack([hits.index.astype(np.int64),
@@ -101,7 +111,7 @@ def main() -> int:
                          hits.strand.astype(np.int64),
                          hits.mapq.astype(np.int64)], axis=1)
         ckpt.commit(c, lo, rows)
-        mapped += hi - lo
+        mapped += rows.shape[0]
         if (c % 8) == 0:
             rate = mapped / max(time.perf_counter() - t0, 1e-9)
             print(f"  chunk {c}: {rate:.0f} reads/s aggregate")

@@ -93,6 +93,55 @@ def test_map_to_reference_multichrom_and_repeats(rng, default_params):
     assert int(hits.mapq[1]) == 0
 
 
+def test_mapq_distinct_locus_rules(rng, default_params):
+    bases = np.array(list("ACGT"))
+    refA = "".join(rng.choice(bases, size=120))
+    read = refA[40:80]
+    # Duplicate REFERENCE: the equal hit lives on another ref whose single
+    # window is globally adjacent — different ref = different locus, MAPQ 0.
+    h = map_to_reference([read], [refA, refA], default_params,
+                         backend="oracle", window=128, stride=64)
+    assert int(h.score[0]) == 80 and int(h.mapq[0]) == 0
+    # Same duplicate within ONE reference, far apart: also MAPQ 0.
+    refdup = refA + "".join(rng.choice(bases, size=400)) + refA[30:90]
+    h = map_to_reference([read], [refdup], default_params,
+                         backend="oracle", window=128, stride=64)
+    assert int(h.mapq[0]) == 0
+    # Unique read with an aggressive small stride: every nearby window
+    # sees the same locus; MAPQ must NOT collapse (distance threshold
+    # scales as ceil(window/stride)).
+    ref = "".join(rng.choice(bases, size=2000))
+    uread = ref[900:940]
+    h = map_to_reference([uread], [ref], default_params, backend="oracle",
+                         window=256, stride=32)
+    assert int(h.score[0]) == 80 and int(h.mapq[0]) > 0
+
+
+def test_topk_tie_prefers_lowest_window(rng, default_params):
+    """A motif repeated across many tied windows must map to the FIRST
+    full-score window (scan order), not an arbitrary tied one."""
+    bases = np.array(list("ACGT"))
+    prefix = "".join(rng.choice(bases, size=640))
+    motif = "".join(rng.choice(bases, size=64))
+    ref = prefix + motif * 40
+    read = motif[:40]
+    h = map_to_reference([read], [ref], default_params, backend="oracle",
+                         window=128, stride=64, both_strands=False)
+    # First window fully containing the motif start (pos 640) is window 10
+    # ([640, 768)); every later motif copy ties, and some earlier window
+    # may already contain a full copy — the reported window must be the
+    # MINIMUM index achieving the max score.
+    from versalignlib_tpu.search import score_matrix
+    from versalignlib_tpu.refmap import tile_references
+
+    idx = tile_references([ref], 128, 64)
+    mat = score_matrix([read], idx.windows, default_params,
+                       impl="xla")[0]
+    want = int(np.flatnonzero(mat == mat.max())[0])
+    assert int(h.pos[0]) == int(idx.start[want])
+    assert int(h.mapq[0]) == 0  # repeats: ambiguous
+
+
 def test_map_to_reference_window_index_reuse(rng, default_params):
     bases = np.array(list("ACGT"))
     ref = "".join(rng.choice(bases, size=1000))
@@ -181,3 +230,10 @@ def test_cli_reference_mode(tmp_path, rng):
               str(ff)])
     with pytest.raises(SystemExit):
         main(["--reads", str(rf), "--refs", str(ff), "--window", "64"])
+    # Empty reference/panel files exit cleanly (no IndexError on -1 hits).
+    empty = tmp_path / "empty.fa"
+    empty.write_text("")
+    assert main(["--reads", str(rf), "--reference", str(empty),
+                 "--outdir", str(tmp_path)]) == 1
+    assert main(["--reads", str(rf), "--panel", str(empty),
+                 "--outdir", str(tmp_path)]) == 1

@@ -164,7 +164,8 @@ def test_http_map_endpoint(engine, rng):
     from versalignlib_tpu.alphabet import reverse_complement
 
     aligner = BatchingAligner(engine, max_wait_ms=5)
-    with AlignServer(aligner, port=0, max_request_pairs=64) as server:
+    with AlignServer(aligner, port=0, max_request_pairs=64,
+                     max_map_cross=500) as server:
         server.start()
         addr = server.address
         bases = np.array(list("ACGT"))
@@ -184,13 +185,18 @@ def test_http_map_endpoint(engine, rng):
         status, out = _http("POST", addr, "/v1/map",
                             {"reads": reads, "panel": panel})
         assert status == 200 and "alignment" not in out["hits"][0]
-        # Validation: bad body and per-request limit.
+        # Validation: bad body and the reads x panel x strands work bound.
         status, _ = _http("POST", addr, "/v1/map", {"reads": reads})
         assert status == 400
-        big = ["ACGT"] * 65
+        big = ["ACGT"] * 65          # 65 * 4 panel * 2 strands = 520 > 500
         status, err = _http("POST", addr, "/v1/map",
                             {"reads": big, "panel": panel})
         assert status == 413 and "split" in err["error"]
+        # Single-strand halves the work: 260 pairs fits under the bound.
+        status, _ = _http("POST", addr, "/v1/map",
+                          {"reads": big, "panel": panel,
+                           "both_strands": False})
+        assert status == 200
 
 
 def test_http_server_end_to_end(engine, rng):

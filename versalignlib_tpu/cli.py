@@ -42,6 +42,14 @@ OUT_FILES = {
 }
 
 
+def _oriented_quals(quals, strands):
+    """FASTQ QUAL strings in alignment orientation: reversed on reverse-
+    strand records; None when the input had no qualities at all."""
+    if quals is None or all(q is None for q in quals):
+        return None
+    return [q[::-1] if (s and q) else q for q, s in zip(quals, strands)]
+
+
 def _write_scores(path, reads, refs, scores, compat: bool = False):
     """Score files. ``compat=True`` is byte-compatible with the reference
     (one ``<read>\\t<score>`` line per pair, main.cpp:135-139); the default
@@ -219,6 +227,10 @@ def main(argv=None) -> int:
         recs = parse_sequences_with_names(args.panel)
         panel_names = [n for n, _ in recs]
         refs = [s for _, s in recs]
+        if not refs:
+            print(f"Panel {args.panel!r} contains no sequences - exiting.",
+                  file=sys.stderr)
+            return 1
     elif args.reference:
         from versalignlib_tpu.io.fastq import (parse_records,
                                                parse_sequences_with_names)
@@ -233,6 +245,10 @@ def main(argv=None) -> int:
         panel_names = [(n.split() or [""])[0] or f"ref{i}"
                        for i, (n, _) in enumerate(recs)]
         refs = [s for _, s in recs]
+        if not refs:
+            print(f"Reference {args.reference!r} contains no sequences - "
+                  "exiting.", file=sys.stderr)
+            return 1
     else:
         if not args.reads or not args.refs:
             ap.error("--reads and --refs are required (or use --selftest)")
@@ -297,11 +313,7 @@ def main(argv=None) -> int:
             if args.sam:
                 oriented = [reverse_complement(r) if s else r
                             for r, s in zip(reads, hits.strand)]
-                quals = None
-                if read_quals is not None and any(
-                        q is not None for q in read_quals):
-                    quals = [q[::-1] if (s and q) else q
-                             for q, s in zip(read_quals, hits.strand)]
+                quals = _oriented_quals(read_quals, hits.strand)
                 base = OUT_FILES[(algorithm, "align")].removesuffix(".txt")
                 write_sam(outdir / f"{base}.sam", hits.alignments, oriented,
                           [refs[j] for j in hits.ref_id],
@@ -339,21 +351,15 @@ def main(argv=None) -> int:
                       for r, s in zip(reads, hits.strand1)]
                 o2 = [reverse_complement(r) if s else r
                       for r, s in zip(reads2, hits.strand2)]
-
-                def _oq(quals, strands):
-                    if quals is None or all(q is None for q in quals):
-                        return None
-                    return [q[::-1] if (s and q) else q
-                            for q, s in zip(quals, strands)]
-
                 write_sam_paired(
                     outdir / f"{base}.sam", hits.alignments1,
                     hits.alignments2, o1, o2,
                     [refs[j] for j in hits.index], read_names=rnames,
                     ref_names=[panel_names[j] for j in hits.index],
                     strands1=hits.strand1, strands2=hits.strand2,
-                    mapqs=hits.mapq, quals1=_oq(read_quals, hits.strand1),
-                    quals2=_oq(read_quals2, hits.strand2))
+                    mapqs=hits.mapq,
+                    quals1=_oriented_quals(read_quals, hits.strand1),
+                    quals2=_oriented_quals(read_quals2, hits.strand2))
             print(f"{algorithm.name}: mapped {len(reads)} read pairs vs a "
                   f"{len(refs)}-entry panel")
         return 0
@@ -387,12 +393,7 @@ def main(argv=None) -> int:
                 base = OUT_FILES[(algorithm, "align")].removesuffix(".txt")
                 oriented = [reverse_complement(r) if s else r
                             for r, s in zip(reads, hits.strand)]
-                quals = None
-                if read_quals is not None and any(
-                        q is not None for q in read_quals):
-                    # QUAL rides in alignment orientation: reversed on FLAG 16.
-                    quals = [q[::-1] if (s and q) else q
-                             for q, s in zip(read_quals, hits.strand)]
+                quals = _oriented_quals(read_quals, hits.strand)
                 write_sam(outdir / f"{base}.sam", hits.alignments, oriented,
                           [refs[j] for j in hits.index],
                           read_names=rnames,

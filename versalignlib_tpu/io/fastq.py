@@ -117,7 +117,12 @@ def write_fastq(path, sequences: Iterable[str],
 
 
 def sniff_format(path) -> str:
-    """'fasta' or 'fastq' from the first non-blank byte ('>' vs '@')."""
+    """'fasta' or 'fastq' from the first non-blank byte ('>' vs '@').
+
+    An empty (or all-whitespace) file sniffs as FASTA with zero records —
+    callers check for emptiness themselves; only unrecognized CONTENT is
+    an error.
+    """
     if isinstance(path, io.TextIOBase):
         pos = path.tell()
         head = path.read(4096)
@@ -132,9 +137,10 @@ def sniff_format(path) -> str:
             return "fasta"
         if ch == "@":
             return "fastq"
-        break
-    raise ValueError(
-        f"cannot sniff sequence format (expected '>' or '@'): {str(path)!r}")
+        raise ValueError(
+            f"cannot sniff sequence format (expected '>' or '@'): "
+            f"{str(path)!r}")
+    return "fasta"  # empty file: zero FASTA records
 
 
 def parse_sequences(path) -> list[str]:
@@ -153,6 +159,23 @@ def parse_sequences_with_names(path) -> list[tuple[str, str]]:
     if sniff_format(path) == "fastq":
         return [(n, s) for n, s, _ in iter_fastq_records(path)]
     return parse_fasta_with_names(path)
+
+
+def iter_sequence_chunks(path, chunk_records: int = 100_000):
+    """Format-sniffed streaming chunk iterator: yields lists of up to
+    ``chunk_records`` sequences, O(chunk) memory — the front door for bulk
+    pipelines over files too large to materialize (scripts/bulk_map.py)."""
+    from versalignlib_tpu.io.fasta import iter_fasta_chunks
+
+    if sniff_format(path) == "fastq":
+        yield from iter_fastq_chunks(path, chunk_records)
+    else:
+        yield from iter_fasta_chunks(path, chunk_records)
+
+
+def count_sequences(path) -> int:
+    """Number of records in a FASTA/FASTQ file, streamed (no storage)."""
+    return sum(len(c) for c in iter_sequence_chunks(path))
 
 
 def parse_records(path) -> list[tuple[str, str, str | None]]:

@@ -21,11 +21,11 @@ lies ENTIRELY inside at least one window, so the best window score equals
 the best full-reference score (local alignment is position-independent).
 Window coordinates shift back to global reference coordinates on output.
 
-MAPQ needs the best score gap over DISTINCT loci, and adjacent windows see
+MAPQ needs the best score gap over DISTINCT loci, and nearby windows see
 the same locus through their overlap — so the fold keeps the top-k
 (value, window) pairs per read and the "second best" is the best candidate
-at least 2 windows away from the winner (window index distance >= 2 means
-the loci cannot be the same overlap region).
+on a DIFFERENT reference or at least ceil(window/stride) windows away
+(closer same-reference windows can share the winner's overlap region).
 """
 
 from __future__ import annotations
@@ -41,8 +41,10 @@ from versalignlib_tpu.search import (NEG32, _align_pairs,
                                      _encode, _mapq_from_gap, _pick_impl)
 from versalignlib_tpu.types import Algorithm, Alignment, TieBreak
 
-#: top-k pool per read: winner + up to 2 overlap neighbours + 1 distinct
-#: locus is the worst case, so k=4 always retains a valid "second best".
+#: minimum top-k pool per read; map_to_reference widens it to 2x the
+#: same-locus window distance so the pool always retains a distinct-locus
+#: candidate when one exists (winner + up to 2*(dist-1) overlap
+#: neighbours + 1).
 TOPK = 4
 
 
@@ -128,7 +130,11 @@ def _stream_topk(reads_enc, windows, params, algorithm, impl, interpret,
         s = _chunk_scores(reads_enc, reads_dev, pc, params, algorithm,
                           impl, interpret, mesh).astype(np.int64)
         kk = min(k, s.shape[1])
-        top = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+        # Composite key: high score first, LOW window index on ties —
+        # argpartition alone picks an arbitrary member of a tied set,
+        # which would violate the scan-order convention.
+        key = s * np.int64(s.shape[1] + 1) - np.arange(s.shape[1])
+        top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
         # Merge pools; sort by (-score, window) so equal scores keep the
         # earliest window, matching the streaming argmax convention.
         cand_v = np.concatenate([vals, s[rows, top]], axis=1)
@@ -139,10 +145,20 @@ def _stream_topk(reads_enc, windows, params, algorithm, impl, interpret,
     return vals.astype(np.int32), args.astype(np.int32)
 
 
-def _second_distinct(vals, args, k=TOPK):
-    """Best score among candidates >= 2 windows from the winner (NEG32 if
-    the pool has none — e.g. a single-window reference)."""
-    distinct = np.abs(args - args[:, :1]) >= 2
+def _second_distinct(vals, args, win_arg, ref_id, min_dist):
+    """Best score among pool candidates at a DISTINCT locus from each
+    read's winning window ``win_arg`` (NEG32 if the pool has none — e.g. a
+    single-window reference).
+
+    Distinct = a different reference sequence, OR the same reference at
+    window distance >= ``min_dist`` (= ceil(window/stride): closer windows
+    can contain the winner's locus through their overlap; windows of
+    different references are always different loci, whatever their global
+    indices).
+    """
+    win = win_arg[:, None]
+    distinct = (ref_id[args] != ref_id[win]) | (
+        np.abs(args - win) >= min_dist)
     distinct &= vals > NEG32
     masked = np.where(distinct, vals, NEG32)
     return masked.max(axis=1).astype(np.int32)
@@ -229,14 +245,19 @@ def map_to_reference(
     _check_dense_budget(m, index.window, params, impl, interpret)
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(n_w, max_pairs // max(b, 1)))
+    # Same-locus window distance: windows closer than this (same ref)
+    # overlap the winner's locus. The pool must be wide enough to retain a
+    # distinct candidate past up to 2*(min_dist-1) overlap neighbours.
+    min_dist = -(-index.window // index.stride)
+    k = max(TOPK, 2 * min_dist)
     vals, args = _stream_topk(reads_enc, index.windows, params, algorithm,
-                              impl, interpret, chunk, mesh)
+                              impl, interpret, chunk, mesh, k=k)
     strand = np.zeros(b, dtype=np.int8)
     if both_strands:
         rc_enc = reverse_complement_codes(reads_enc)
         rc_vals, rc_args = _stream_topk(rc_enc, index.windows, params,
                                         algorithm, impl, interpret, chunk,
-                                        mesh)
+                                        mesh, k=k)
         rev = rc_vals[:, 0] > vals[:, 0]     # strict >: forward wins ties
         # The distinct-locus second-best needs candidates from BOTH
         # orientations relative to the WINNING orientation's locus; merge
@@ -244,10 +265,8 @@ def map_to_reference(
         all_vals = np.concatenate([vals, rc_vals], axis=1)
         all_args = np.concatenate([args, rc_args], axis=1)
         win_arg = np.where(rev, rc_args[:, 0], args[:, 0])
-        distinct = (np.abs(all_args - win_arg[:, None]) >= 2) & (
-            all_vals > NEG32)
-        second = np.where(distinct, all_vals, NEG32).max(axis=1).astype(
-            np.int32)
+        second = _second_distinct(all_vals, all_args, win_arg,
+                                  index.ref_id, min_dist)
         best = np.where(rev, rc_vals[:, 0], vals[:, 0])
         arg = win_arg
         strand = rev.astype(np.int8)
@@ -255,7 +274,8 @@ def map_to_reference(
     else:
         best = vals[:, 0]
         arg = args[:, 0]
-        second = _second_distinct(vals, args)
+        second = _second_distinct(vals, args, args[:, 0], index.ref_id,
+                                  min_dist)
         oriented = reads_enc
     mapq = _mapq_from_gap(best, second, params)
     alns = None

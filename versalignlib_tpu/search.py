@@ -427,10 +427,10 @@ def map_read_pairs(
         best = np.where(upd, c_best, best)
         arg = np.where(upd, lo + c_arg, arg).astype(np.int32)
         orient = np.where(upd, c_orient[rows, c_arg], orient).astype(np.int8)
-    mapq = np.where(second == NEG, 60,
-                    np.minimum(60, (6 * np.maximum(best - second, 0))
-                               // max(int(params.score_match), 1))
-                    ).astype(np.uint8)
+    # Same heuristic as single-end hits: translate the paired sentinel to
+    # the shared one and reuse the one formula (_mapq_from_gap).
+    mapq = _mapq_from_gap(best, np.where(second == NEG, NEG32, second),
+                          params)
     alns1 = alns2 = None
     if align:
         rev = orient.astype(bool)

@@ -38,6 +38,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeout
 from typing import Sequence
 
 import numpy as np
@@ -229,6 +230,7 @@ class BatchingAligner:
             except Exception:  # interpreter shutdown
                 return
             if first is None:
+                self._drain_after_close()
                 return
             batch = [first]
             pairs = len(first.reads)
@@ -243,10 +245,24 @@ class BatchingAligner:
                     break
                 if nxt is None:
                     self._dispatch(batch)
+                    self._drain_after_close()
                     return
                 batch.append(nxt)
                 pairs += len(nxt.reads)
             self._dispatch(batch)
+
+    def _drain_after_close(self) -> None:
+        """Fail any request that raced past the ``_closed`` check and
+        landed behind the shutdown sentinel — its submitter would
+        otherwise block until its own timeout."""
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if req is not None and not req.future.cancelled():
+                req.future.set_exception(
+                    RuntimeError("BatchingAligner closed during submit"))
 
     def _dispatch(self, batch: list[_Pending]) -> None:
         groups: dict[tuple[Algorithm, str], list[_Pending]] = {}
@@ -353,11 +369,16 @@ class AlignServer:
 
     def __init__(self, aligner: BatchingAligner, host: str = "127.0.0.1",
                  port: int = 0, max_request_pairs: int = 100_000,
+                 max_map_cross: int = 10_000_000,
                  request_timeout_s: float = 300.0) -> None:
         import http.server
 
         self.aligner = aligner
         self.max_request_pairs = max_request_pairs
+        #: /v1/map work bound: reads x panel x strands per request — a map
+        #: request runs exclusively on the dispatcher, so this is the
+        #: head-of-line blocking budget, not a memory bound.
+        self.max_map_cross = max_map_cross
         self.request_timeout_s = request_timeout_s
         outer = self
 
@@ -397,7 +418,9 @@ class AlignServer:
                 on timeout/error."""
                 try:
                     return True, fut.result(timeout=outer.request_timeout_s)
-                except TimeoutError:
+                except (TimeoutError, FutureTimeout):
+                    # both names: futures.TimeoutError only aliases the
+                    # builtin from 3.11
                     fut.cancel()
                     self._reply(503, {"error": "batch timed out"})
                 except Exception as exc:
@@ -422,11 +445,13 @@ class AlignServer:
                 except (KeyError, ValueError) as exc:
                     self._reply(400, {"error": str(exc)})
                     return
-                if max(len(reads), len(panel)) > outer.max_request_pairs:
+                cross = len(reads) * len(panel) * (2 if both else 1)
+                if cross > outer.max_map_cross:
                     self._reply(413, {
                         "error": f"{len(reads)} reads x {len(panel)} panel "
-                                 f"entries exceeds the per-request limit "
-                                 f"{outer.max_request_pairs} (split it)"})
+                                 f"entries x {2 if both else 1} strand(s) "
+                                 f"= {cross} pairs exceeds the per-request "
+                                 f"limit {outer.max_map_cross} (split it)"})
                     return
                 engine = outer.aligner.engine
 
