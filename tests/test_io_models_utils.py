@@ -626,6 +626,73 @@ def test_parse_records_format_sniffed(tmp_path):
     assert parse_records(fq) == [("a", "ACGT", "II!I"), ("b", "GG", "#J")]
 
 
+def test_sam_md_reconstructs_reference(rng, default_params):
+    """The samtools contract: SEQ + CIGAR + MD alone must reconstruct the
+    aligned reference segment. Randomized over SW and NW alignments with
+    indels; validates CIGAR/POS/NM/MD mutual consistency end to end."""
+    import re
+
+    from versalignlib_tpu import AlignmentEngine
+    from versalignlib_tpu.io.sam import sam_record
+
+    engine = AlignmentEngine(backend="oracle")
+    bases = np.array(list("ACGT"))
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        reads, refs = [], []
+        for _ in range(24):
+            ref = "".join(rng.choice(bases, size=int(rng.integers(30, 60))))
+            lo = int(rng.integers(0, 10))
+            frag = list(ref[lo : lo + 25])
+            for _ in range(int(rng.integers(0, 4))):  # mutate: snp/ins/del
+                k = int(rng.integers(0, len(frag)))
+                op = int(rng.integers(0, 3))
+                if op == 0:
+                    frag[k] = str(rng.choice(bases))
+                elif op == 1:
+                    frag.insert(k, str(rng.choice(bases)))
+                elif len(frag) > 5:
+                    del frag[k]
+            reads.append("".join(frag))
+            refs.append(ref)
+        alns = engine.compute_alignments(algorithm, reads, refs)
+        for aln, read, ref in zip(alns, reads, refs):
+            rec = sam_record(aln, read, "r", "c").split("\t")
+            if rec[1] == "4":
+                continue
+            pos = int(rec[3]) - 1
+            cigar = re.findall(r"(\d+)([MIDS])", rec[5])
+            md = rec[-1].removeprefix("MD:Z:")
+            nm = int(rec[-2].removeprefix("NM:i:"))
+            # Walk CIGAR to collect the read bases consumed by M columns.
+            seq_i, m_bases, n_ins, n_del = 0, [], 0, 0
+            for n, op in cigar:
+                n = int(n)
+                if op in "SI":
+                    seq_i += n
+                    n_ins += n if op == "I" else 0
+                elif op == "M":
+                    m_bases.extend(rec[9][seq_i : seq_i + n])
+                    seq_i += n
+                else:
+                    n_del += n
+            # Replay MD over the M/D columns to rebuild the ref segment.
+            rebuilt, mi, mismatches = [], 0, 0
+            for tok in re.findall(r"(\d+|\^[A-Z]+|[A-Z])", md):
+                if tok.isdigit():
+                    take = int(tok)
+                    rebuilt.extend(m_bases[mi : mi + take])
+                    mi += take
+                elif tok.startswith("^"):
+                    rebuilt.extend(tok[1:])
+                else:
+                    rebuilt.append(tok)   # mismatch: MD names the REF base
+                    mi += 1
+                    mismatches += 1
+            want = ref[pos : pos + len(rebuilt)]
+            assert "".join(rebuilt) == want, (read, ref, rec)
+            assert nm == mismatches + n_ins + n_del, rec
+
+
 def test_fastq_roundtrip_and_sniff(tmp_path, rng):
     from versalignlib_tpu.io.fastq import (iter_fastq_chunks, parse_fastq,
                                            parse_fastq_with_names,
