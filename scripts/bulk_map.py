@@ -35,7 +35,7 @@ def synthetic_chunk(seed: int, chunk_index: int, n: int, panel_enc):
 
     rng = np.random.default_rng((seed, chunk_index))
     r, L = panel_enc.shape
-    m = max(16, L // 2)
+    m = min(L, max(16, L // 2))  # clamp: panels shorter than 16bp
     idx = rng.integers(0, r, size=n)
     lo = rng.integers(0, L - m + 1, size=n)
     reads = panel_enc[idx[:, None], lo[:, None] + np.arange(m)[None, :]]
@@ -89,8 +89,15 @@ def main() -> int:
         total = count_sequences(args.reads)
         chunks = iter_sequence_chunks(args.reads, args.chunk)
 
+    if args.synthetic:
+        fingerprint = f"synthetic:{args.synthetic}:{args.seed}"
+    else:
+        st = pathlib.Path(args.reads).stat()
+        fingerprint = f"{args.reads}:{st.st_size}:{st.st_mtime_ns}"
+    fingerprint += f"|algo={args.algorithm}|panel={panel_enc.shape}"
     ckpt = TableCheckpoint(args.ckpt, total=total, chunk=args.chunk,
-                           width=len(COLUMNS), columns=COLUMNS)
+                           width=len(COLUMNS), columns=COLUMNS,
+                           fingerprint=fingerprint)
     done = ckpt.done_chunks()
     n_chunks = -(-total // args.chunk)
     print(f"{total} reads vs {panel_enc.shape[0]}-entry panel, chunk "

@@ -347,7 +347,14 @@ def test_map_read_pairs_validation(default_params):
     with pytest.raises(ValueError, match="DNA-only"):
         map_read_pairs(["AC"], ["GT"], ["ACGT"], mat)
     h = map_read_pairs(["AC"], ["GT"], [], default_params)
-    assert len(h) == 1 and h.index[0] == -1 and h.alignments1 == []
+    assert len(h) == 1 and h.index[0] == -1
+    # Empty panel still yields index-aligned placeholder alignments that
+    # SAM-serialize as unmapped records.
+    from versalignlib_tpu.io.sam import sam_record
+
+    assert len(h.alignments1) == len(h.alignments2) == 1
+    rec = sam_record(h.alignments1[0], "AC", "r", "c").split("\t")
+    assert rec[1] == "4" and rec[5] == "*"
 
 
 def test_write_sam_paired_flags_and_tlen(rng, default_params):

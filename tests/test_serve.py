@@ -197,6 +197,13 @@ def test_http_map_endpoint(engine, rng):
                           {"reads": big, "panel": panel,
                            "both_strands": False})
         assert status == 200
+        # Degenerate: empty panel -> every read an unmapped placeholder
+        # (not a handler crash), index -1.
+        status, out = _http("POST", addr, "/v1/map",
+                            {"reads": reads, "panel": [], "align": True})
+        assert status == 200
+        assert [h["index"] for h in out["hits"]] == [-1, -1]
+        assert all(h["alignment"]["cigar"] == "" for h in out["hits"])
 
 
 def test_http_server_end_to_end(engine, rng):

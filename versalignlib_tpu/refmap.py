@@ -236,11 +236,14 @@ def map_to_reference(
             "straddle every window and score low", stacklevel=2)
     n_w = len(index)
     if b == 0 or n_w == 0:
+        from versalignlib_tpu.search import unmapped_alignment
+
         return ReferenceHits(np.full(b, -1, np.int32),
                              np.zeros(b, np.int64),
                              np.full(b, NEG32, np.int32),
                              np.zeros(b, np.int8), np.zeros(b, np.uint8),
-                             [] if align else None)
+                             [unmapped_alignment() for _ in range(b)]
+                             if align else None)
     impl, interpret = _pick_impl(impl, mesh)
     _check_dense_budget(m, index.window, params, impl, interpret)
     algorithm = Algorithm(algorithm)

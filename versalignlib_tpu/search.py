@@ -31,6 +31,15 @@ from versalignlib_tpu.params import AlignmentParameters, DEFAULT_PARAMETERS
 from versalignlib_tpu.types import Algorithm, Alignment, TieBreak
 
 
+def unmapped_alignment() -> Alignment:
+    """Placeholder for a read with no candidate (empty panel): empty
+    gapped strings + sentinel coords; ``io.sam.sam_record`` emits it as an
+    unmapped record. Keeps ``align=True`` results index-aligned with the
+    per-read hit arrays whatever the panel size."""
+    return Alignment(read="", ref="", score=0, cigar="",
+                     read_start=-1, read_end=-1, ref_start=-1, ref_end=-1)
+
+
 def _encode(seqs) -> np.ndarray:
     if isinstance(seqs, np.ndarray) and seqs.dtype == np.uint8 and seqs.ndim == 2:
         return seqs
@@ -162,13 +171,8 @@ def _stream_best(reads_enc, panel_enc, params, algorithm, impl, interpret,
     rows = np.arange(b)
     for lo in range(0, r, chunk):
         pc = panel_enc[lo : lo + chunk]
-        if mesh is not None:
-            s = _mesh_chunk_scores(reads_enc, pc, params, algorithm, impl,
-                                   interpret, mesh)
-        else:
-            s = np.asarray(_score_cross_chunk(
-                reads_dev, jnp.asarray(pc), params, algorithm, impl,
-                interpret))
+        s = _chunk_scores(reads_enc, reads_dev, pc, params, algorithm,
+                          impl, interpret, mesh)
         c_arg = np.argmax(s, axis=1)           # first-win within the chunk
         c_best = s[rows, c_arg]
         c_second = (np.partition(s, -2, axis=1)[:, -2].astype(np.int64)
@@ -215,14 +219,9 @@ def score_matrix(
     out = np.empty((b, r), dtype=np.int32)
     for lo in range(0, r, chunk):
         pc = panel_enc[lo : lo + chunk]
-        if mesh is not None:
-            s = _mesh_chunk_scores(reads_enc, pc, params, algorithm, impl,
-                                   interpret, mesh)
-        else:
-            s = np.asarray(_score_cross_chunk(
-                reads_dev, jnp.asarray(pc), params, algorithm, impl,
-                interpret))
-        out[:, lo : lo + pc.shape[0]] = s
+        out[:, lo : lo + pc.shape[0]] = _chunk_scores(
+            reads_enc, reads_dev, pc, params, algorithm, impl, interpret,
+            mesh)
     return out
 
 
@@ -253,7 +252,7 @@ def best_hits(
     if b == 0 or r == 0:
         return (np.full(b, -1, np.int32),
                 np.full(b, np.iinfo(np.int32).min, np.int32),
-                [] if align else None)
+                [unmapped_alignment() for _ in range(b)] if align else None)
     impl, interpret = _pick_impl(impl, mesh)
     _check_dense_budget(reads_enc.shape[1], panel_enc.shape[1], params,
                         impl, interpret)
@@ -384,10 +383,11 @@ def map_read_pairs(
     b = f1_enc.shape[0]
     r = panel_enc.shape[0]
     if b == 0 or r == 0:
+        empty = lambda: ([unmapped_alignment() for _ in range(b)]
+                         if align else None)
         return PairedHits(np.full(b, -1, np.int32),
                           np.full(b, np.iinfo(np.int64).min, np.int64),
-                          np.zeros(b, np.int8),
-                          [] if align else None, [] if align else None,
+                          np.zeros(b, np.int8), empty(), empty(),
                           np.zeros(b, np.uint8))
     impl, interpret = _pick_impl(impl, mesh)
     _check_dense_budget(max(f1_enc.shape[1], f2_enc.shape[1]),
@@ -476,7 +476,9 @@ def map_reads(
     if b == 0 or r == 0:
         return SearchHits(np.full(b, -1, np.int32),
                           np.full(b, NEG32, np.int32),
-                          np.zeros(b, np.int8), [] if align else None,
+                          np.zeros(b, np.int8),
+                          [unmapped_alignment() for _ in range(b)]
+                          if align else None,
                           np.zeros(b, np.uint8))
     impl, interpret = _pick_impl(impl, mesh)
     _check_dense_budget(reads_enc.shape[1], panel_enc.shape[1], params,

@@ -74,6 +74,19 @@ def parse_algorithm(name) -> Algorithm:
     return Algorithm(name)
 
 
+def _resolve(fut: Future, value=None, exc=None) -> None:
+    """set_result/set_exception tolerant of a concurrent fut.cancel():
+    cancelled() can flip between a check and the set (the HTTP side cancels
+    on timeout), and an InvalidStateError would kill the dispatcher."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(value)
+    except Exception:  # cancelled/already-resolved: result is abandoned
+        pass
+
+
 def _bucket(n: int, floor: int = 32) -> int:
     """Next power of two >= max(n, floor) — the shape-bucketing rule."""
     b = floor
@@ -260,9 +273,9 @@ class BatchingAligner:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 return
-            if req is not None and not req.future.cancelled():
-                req.future.set_exception(
-                    RuntimeError("BatchingAligner closed during submit"))
+            if req is not None:
+                _resolve(req.future, exc=RuntimeError(
+                    "BatchingAligner closed during submit"))
 
     def _dispatch(self, batch: list[_Pending]) -> None:
         groups: dict[tuple[Algorithm, str], list[_Pending]] = {}
@@ -275,15 +288,13 @@ class BatchingAligner:
                 except Exception as exc:
                     with self._stats_lock:
                         self._stats["errors"] += 1
-                    if not req.future.cancelled():
-                        req.future.set_exception(exc)
+                    _resolve(req.future, exc=exc)
                     continue
                 with self._stats_lock:
                     s = self._stats
                     s["batches"] += 1
                     s["latency_sum_s"] += time.monotonic() - t0
-                if not req.future.cancelled():
-                    req.future.set_result(result)
+                _resolve(req.future, result)
                 continue
             groups.setdefault((req.algorithm, req.mode), []).append(req)
         for (algorithm, mode), reqs in groups.items():
@@ -313,8 +324,7 @@ class BatchingAligner:
             with self._stats_lock:
                 self._stats["errors"] += len(reqs)
             for r in reqs:
-                if not r.future.cancelled():
-                    r.future.set_exception(exc)
+                _resolve(r.future, exc=exc)
             return
         n_pairs = len(all_reads)
         dt = time.monotonic() - t0
@@ -328,8 +338,7 @@ class BatchingAligner:
         lo = 0
         for r in reqs:
             hi = lo + len(r.reads)
-            if not r.future.cancelled():
-                r.future.set_result(results[lo:hi])
+            _resolve(r.future, results[lo:hi])
             lo = hi
 
 
@@ -388,11 +397,17 @@ class AlignServer:
             def log_message(self, fmt, *args):  # route through our logger
                 _log.info("%s %s", self.address_string(), fmt % args)
 
-            def _reply(self, code: int, payload: dict) -> None:
+            def _reply(self, code: int, payload: dict,
+                       close: bool = False) -> None:
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                if close:
+                    # Replying without consuming the request body desyncs a
+                    # kept-alive HTTP/1.1 connection; close it instead.
+                    self.send_header("Connection", "close")
+                    self.close_connection = True
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -402,10 +417,12 @@ class AlignServer:
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                 except ValueError:
-                    self._reply(400, {"error": "bad Content-Length"})
+                    self._reply(400, {"error": "bad Content-Length"},
+                                close=True)
                     return None
                 if length > AlignServer.MAX_BODY_BYTES:
-                    self._reply(413, {"error": "request body too large"})
+                    self._reply(413, {"error": "request body too large"},
+                                close=True)
                     return None
                 try:
                     return json.loads(self.rfile.read(length))
@@ -456,12 +473,44 @@ class AlignServer:
                 engine = outer.aligner.engine
 
                 def run():
+                    import dataclasses as _dc
+
+                    from versalignlib_tpu.alphabet import pad_and_encode
                     from versalignlib_tpu.search import map_reads
 
-                    return map_reads(
-                        reads, panel, engine.params, algorithm,
+                    # Shape bucketing, like the score/align paths: pad read
+                    # count and both length axes to power-of-two buckets so
+                    # novel request shapes don't each compile fresh XLA
+                    # programs while holding the dispatcher. Padding reads
+                    # are all-0 codes (score 0, per-read independent) and
+                    # are sliced off. Panel COUNT stays exact — a panel is
+                    # usually a fixed database, and padded entries would
+                    # perturb MAPQ's second-best.
+                    if not reads or not panel:
+                        # Degenerate request: the search layer's empty-
+                        # input path handles it without touching the device.
+                        return map_reads(
+                            reads, panel, engine.params, algorithm,
+                            backend=engine.backend.name, tie=engine.tie,
+                            both_strands=both, align=want_align)
+                    n_r = len(reads)
+                    b_pad = _bucket(n_r, floor=8)
+                    reads_enc = pad_and_encode(
+                        reads + [""] * (b_pad - n_r),
+                        _bucket(max(len(s) for s in reads)))
+                    panel_enc = pad_and_encode(
+                        panel, _bucket(max(len(s) for s in panel)))
+                    hits = map_reads(
+                        reads_enc, panel_enc, engine.params, algorithm,
                         backend=engine.backend.name, tie=engine.tie,
                         both_strands=both, align=want_align)
+                    return _dc.replace(
+                        hits, index=hits.index[:n_r],
+                        score=hits.score[:n_r], strand=hits.strand[:n_r],
+                        mapq=hits.mapq[:n_r],
+                        alignments=(hits.alignments[:n_r]
+                                    if hits.alignments is not None
+                                    else None))
 
                 try:
                     fut = outer.aligner.submit_call(run)
@@ -546,6 +595,7 @@ class AlignServer:
         self._httpd = http.server.ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True
         self._thread: threading.Thread | None = None
+        self._serving = False
 
     @property
     def address(self) -> tuple[str, int]:
@@ -553,6 +603,7 @@ class AlignServer:
 
     def start(self) -> None:
         """Serve in a background thread (tests / embedding)."""
+        self._serving = True
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, name="versalign-http",
             daemon=True)
@@ -560,10 +611,14 @@ class AlignServer:
 
     def serve_forever(self) -> None:
         _log.info("serving on %s:%d", *self.address)
+        self._serving = True
         self._httpd.serve_forever()
 
     def close(self) -> None:
-        self._httpd.shutdown()
+        if self._serving:
+            # shutdown() waits on an event only serve_forever() sets on
+            # exit — calling it on a never-started server deadlocks.
+            self._httpd.shutdown()
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=10)

@@ -99,15 +99,22 @@ class TableCheckpoint:
     chunk: int
     width: int
     columns: tuple[str, ...] = ()
+    #: identity of the INPUT data (path+size+mtime hash, seed, ...): a
+    #: resume against different inputs silently mixes stale and fresh rows
+    #: — record it so the mismatch is a loud refusal instead. Empty
+    #: disables the check.
+    fingerprint: str = ""
 
     def __post_init__(self) -> None:
         self.directory = pathlib.Path(self.directory)
         self.directory.mkdir(parents=True, exist_ok=True)
         meta_path = self.directory / "meta.json"
         meta = {"total": self.total, "chunk": self.chunk,
-                "width": self.width, "columns": list(self.columns)}
+                "width": self.width, "columns": list(self.columns),
+                "fingerprint": self.fingerprint}
         if meta_path.exists():
             old = json.loads(meta_path.read_text())
+            old.setdefault("fingerprint", "")
             if old != meta:
                 raise ValueError(
                     f"checkpoint {self.directory} was created with {old}; "
