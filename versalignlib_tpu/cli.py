@@ -42,6 +42,15 @@ OUT_FILES = {
 }
 
 
+def _maybe_bam(sam_path, want: bool) -> None:
+    """Write the BAM twin of a just-written SAM file (CLI --bam)."""
+    if want:
+        from versalignlib_tpu.io.bam import write_bam
+
+        sam_path = pathlib.Path(sam_path)
+        write_bam(sam_path.with_suffix(".bam"), sam_path.read_text())
+
+
 def _oriented_quals(quals, strands):
     """FASTQ QUAL strings in alignment orientation: reversed on reverse-
     strand records; None when the input had no qualities at all."""
@@ -140,6 +149,9 @@ def main(argv=None) -> int:
     ap.add_argument("--sam", action="store_true",
                     help="additionally write SAM files (soft-clipped flanks, "
                          "AS score tag) next to the text alignments")
+    ap.add_argument("--bam", action="store_true",
+                    help="with --sam: also write BGZF-compressed BAM "
+                         "twins of every SAM file (io/bam.py)")
     ap.add_argument("--selftest", action="store_true",
                     help="run on synthetic sequences instead of files")
     args = ap.parse_args(argv)
@@ -193,6 +205,9 @@ def main(argv=None) -> int:
                  "alphabets have no complement)")
     if (args.window or args.stride) and not args.reference:
         ap.error("--window/--stride only apply to --reference mode")
+    if args.bam and not args.sam:
+        ap.error("--bam requires --sam (BAM files are twins of the SAM "
+                 "output)")
     panel_names = None
     read_names: list[str] | None = None
     read_quals: list[str | None] | None = None
@@ -320,6 +335,7 @@ def main(argv=None) -> int:
                           read_names=rnames,
                           ref_names=[panel_names[j] for j in hits.ref_id],
                           strands=hits.strand, mapqs=hits.mapq, quals=quals)
+                _maybe_bam(outdir / f"{base}.sam", args.bam)
             print(f"{algorithm.name}: mapped {len(reads)} reads vs "
                   f"{len(refs)} reference(s) ({len(index)} windows)")
         return 0
@@ -360,6 +376,7 @@ def main(argv=None) -> int:
                     mapqs=hits.mapq,
                     quals1=_oriented_quals(read_quals, hits.strand1),
                     quals2=_oriented_quals(read_quals2, hits.strand2))
+                _maybe_bam(outdir / f"{base}.sam", args.bam)
             print(f"{algorithm.name}: mapped {len(reads)} read pairs vs a "
                   f"{len(refs)}-entry panel")
         return 0
@@ -399,6 +416,7 @@ def main(argv=None) -> int:
                           read_names=rnames,
                           ref_names=[panel_names[j] for j in hits.index],
                           strands=hits.strand, mapqs=hits.mapq, quals=quals)
+                _maybe_bam(outdir / f"{base}.sam", args.bam)
             print(f"{algorithm.name}: wrote best hits for {len(reads)} "
                   f"reads vs a {len(refs)}-entry panel")
         if args.bench:
@@ -448,6 +466,7 @@ def main(argv=None) -> int:
             write_sam(outdir / f"{base}.sam", alns, reads, refs,
                       read_names=read_names, ref_names=ref_names,
                       quals=read_quals)
+            _maybe_bam(outdir / f"{base}.sam", args.bam)
         print(f"{algorithm.name}: wrote {len(reads)} scores + alignments")
 
     if args.bench:
