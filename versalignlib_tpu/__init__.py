@@ -41,6 +41,7 @@ from versalignlib_tpu.refmap import (
     map_to_reference,
     tile_references,
 )
+from versalignlib_tpu.stats import GumbelCalibration, calibrate, karlin_lambda
 
 __version__ = "0.1.0"
 
@@ -80,5 +81,8 @@ __all__ = [
     "ReferenceHits",
     "tile_references",
     "WindowIndex",
+    "GumbelCalibration",
+    "calibrate",
+    "karlin_lambda",
     "__version__",
 ]

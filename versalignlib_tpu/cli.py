@@ -152,6 +152,14 @@ def main(argv=None) -> int:
     ap.add_argument("--bam", action="store_true",
                     help="with --sam: also write BGZF-compressed BAM "
                          "twins of every SAM file (io/bam.py)")
+    ap.add_argument("--stats", action="store_true",
+                    help="with --panel: append Karlin-Altschul bitscore and "
+                         "E-value columns to the Smith-Waterman hits TSV "
+                         "(Gumbel law calibrated on random pairs at "
+                         "startup; NW is semi-global, no local-alignment "
+                         "statistics apply)")
+    ap.add_argument("--stats-samples", type=int, default=512,
+                    help="random pairs for the Gumbel calibration")
     ap.add_argument("--selftest", action="store_true",
                     help="run on synthetic sequences instead of files")
     args = ap.parse_args(argv)
@@ -208,6 +216,11 @@ def main(argv=None) -> int:
     if args.bam and not args.sam:
         ap.error("--bam requires --sam (BAM files are twins of the SAM "
                  "output)")
+    if args.stats and not args.panel:
+        ap.error("--stats applies to --panel search (hit significance "
+                 "needs a database)")
+    if args.stats and args.reads2:
+        ap.error("--stats is single-end only (no paired Gumbel law)")
     panel_names = None
     read_names: list[str] | None = None
     read_quals: list[str | None] | None = None
@@ -387,6 +400,17 @@ def main(argv=None) -> int:
         _log.info("panel search: %d reads vs %d panel entries%s",
                   len(reads), len(refs),
                   " (both strands)" if args.both_strands else "")
+        calib = None
+        if args.stats:
+            from versalignlib_tpu.stats import calibrate
+
+            calib = calibrate(params,
+                              m=max(len(r) for r in reads),
+                              n=max(len(r) for r in refs),
+                              samples=args.stats_samples)
+            _log.info("Gumbel calibration: lambda=%.4f K=%.4g "
+                      "(%d samples)", calib.lam, calib.k, calib.samples)
+        db_len = sum(len(r) for r in refs)
         for algorithm in (Algorithm.SMITH_WATERMAN,
                           Algorithm.NEEDLEMAN_WUNSCH):
             hits = map_reads(reads_in, refs_in, params, algorithm,
@@ -394,13 +418,23 @@ def main(argv=None) -> int:
                              both_strands=args.both_strands)
             algo = algorithm.name.lower()
             rnames = read_names or [f"read{i}" for i in range(len(reads))]
+            with_stats = calib is not None and (
+                algorithm is Algorithm.SMITH_WATERMAN)
             with open(outdir / f"hits_{algo}.tsv", "w") as f:
-                f.write("read\thit\thit_index\tstrand\tscore\tmapq\n")
+                f.write("read\thit\thit_index\tstrand\tscore\tmapq"
+                        + ("\tbitscore\tevalue" if with_stats else "")
+                        + "\n")
                 for i in range(len(hits)):
+                    extra = ""
+                    if with_stats:
+                        extra = (
+                            f"\t{float(calib.bit_score(hits.score[i])):.1f}"
+                            f"\t{float(calib.evalue(hits.score[i], len(reads[i]), db_len)):.3g}")
                     f.write(f"{rnames[i]}\t{panel_names[hits.index[i]]}\t"
                             f"{int(hits.index[i])}\t"
                             f"{'-' if hits.strand[i] else '+'}\t"
-                            f"{int(hits.score[i])}\t{int(hits.mapq[i])}\n")
+                            f"{int(hits.score[i])}\t{int(hits.mapq[i])}"
+                            f"{extra}\n")
             _write_alignments(outdir / OUT_FILES[(algorithm, "align")],
                               hits.alignments, compat=args.reference_compat)
             if args.sam:
