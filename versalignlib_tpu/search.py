@@ -8,11 +8,13 @@ classic production use of a pairwise aligner is one-vs-many: map each read
 against a panel of references, keep the best hit(s), and only traceback the
 winners (filter-then-align).
 
-TPU-first shape: the cross product is materialized ON DEVICE inside jit
-(``jnp.repeat``/``jnp.tile`` over the already-transferred (B, m) and
-(R, n) arrays), so the host→device link carries B + R sequences, not B×R.
-The panel streams through in chunks bounded by ``max_pairs`` (device batch
-footprint), each chunk one dispatch of the production score kernel; the
+TPU-first shape: on TPU the cross product never materializes at all —
+the dedicated one-vs-many kernel (ops/pallas_search.py) streams the
+smaller side through SMEM as broadcast queries against 1024 lane-resident
+candidates, so HBM holds B + R sequences plus the (B, R) scores, not B×R
+pairs. (The portable XLA path tiles the pairs on device inside jit; the
+host→device link still carries only B + R sequences.) The panel streams
+through in chunks bounded by ``max_pairs`` (device batch footprint); the
 running best/argmax folds on host between chunks. Alignment happens once
 per read, on the winning pair only, through the normal backend dispatch.
 """

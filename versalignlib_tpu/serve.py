@@ -308,6 +308,15 @@ class BatchingAligner:
         try:
             all_reads = [s for r in reqs for s in r.reads]
             all_refs = [s for r in reqs for s in r.refs]
+            n_pairs = len(all_reads)
+            # Bucket the pair COUNT as well as the lengths: the jit cache
+            # keys on the full batch shape, so unbucketed counts would
+            # compile once per distinct coalesced batch size. Padding
+            # pairs are all-0 codes (score 0, per-pair independent) and
+            # their results are sliced off.
+            pad = _bucket(n_pairs, floor=8) - n_pairs
+            all_reads = all_reads + [""] * pad
+            all_refs = all_refs + [""] * pad
             reads_enc = pad_and_encode(
                 all_reads, _bucket(max(len(s) for s in all_reads)))
             refs_enc = pad_and_encode(
@@ -315,10 +324,10 @@ class BatchingAligner:
             if mode == "score":
                 out = self.engine.score_alignments(
                     algorithm, reads_enc, refs_enc)
-                results = [int(v) for v in out]
+                results = [int(v) for v in out[:n_pairs]]
             else:
                 results = self.engine.compute_alignments(
-                    algorithm, reads_enc, refs_enc)
+                    algorithm, reads_enc, refs_enc)[:n_pairs]
         except Exception as exc:
             _log.error("batch of %d requests failed: %s", len(reqs), exc)
             with self._stats_lock:
@@ -326,7 +335,6 @@ class BatchingAligner:
             for r in reqs:
                 _resolve(r.future, exc=exc)
             return
-        n_pairs = len(all_reads)
         dt = time.monotonic() - t0
         with self._stats_lock:
             s = self._stats
@@ -652,12 +660,27 @@ def main(argv=None) -> int:
     ap.add_argument("--max-wait-ms", type=float, default=5.0,
                     help="latency bound: fire a batch at most this long "
                          "after its oldest request")
+    ap.add_argument("--warm", default="",
+                    help="comma-separated mxn shapes to pre-compile before "
+                         "serving (e.g. '128x256,512x512') — first compiles "
+                         "take seconds to minutes; warm them off the "
+                         "request path")
     args = ap.parse_args(argv)
     params = AlignmentParameters(
         score_match=args.match, score_mismatch=args.mismatch,
         score_gap_read=args.gap_read, score_gap_ref=args.gap_ref,
         gap_open_read=args.gap_open, gap_open_ref=args.gap_open)
     engine = AlignmentEngine(params=params, backend=args.backend)
+    for shape in filter(None, args.warm.split(",")):
+        m, n = (int(v) for v in shape.lower().split("x"))
+        _log.info("warming %dx%d (score + align buckets)", m, n)
+        from versalignlib_tpu.types import Algorithm as _Alg
+
+        for algo in (_Alg.SMITH_WATERMAN, _Alg.NEEDLEMAN_WUNSCH):
+            engine.score_alignments(algo, ["A" * _bucket(m)],
+                                    ["A" * _bucket(n)])
+            engine.compute_alignments(algo, ["A" * _bucket(m)],
+                                      ["A" * _bucket(n)])
     aligner = BatchingAligner(engine, max_batch=args.max_batch,
                               max_wait_ms=args.max_wait_ms)
     with AlignServer(aligner, host=args.host, port=args.port) as server:
