@@ -206,6 +206,60 @@ def test_http_map_endpoint(engine, rng):
         assert all(h["alignment"]["cigar"] == "" for h in out["hits"])
 
 
+def test_mixed_endpoint_stress_and_close_under_traffic(engine, rng):
+    """Score and map requests racing on one server: every response is
+    valid; closing with requests in flight neither hangs nor corrupts."""
+    aligner = BatchingAligner(engine, max_wait_ms=10)
+    server = AlignServer(aligner, port=0)
+    server.start()
+    addr = server.address
+    bases = np.array(list("ACGT"))
+    panel = ["".join(rng.choice(bases, size=30)) for _ in range(3)]
+    errors = []
+
+    def score_client(seed):
+        local = np.random.default_rng(seed)
+        for _ in range(6):
+            reads, refs = _random_pairs(local, 2)
+            status, out = _http("POST", addr, "/v1/score",
+                                {"reads": reads, "refs": refs})
+            want = engine.score_alignments(
+                __import__("versalignlib_tpu").Algorithm.SMITH_WATERMAN,
+                reads, refs)
+            if status != 200 or out["scores"] != [int(v) for v in want]:
+                errors.append((status, out))
+
+    def map_client(seed):
+        local = np.random.default_rng(seed)
+        for _ in range(4):
+            reads = [panel[int(local.integers(0, 3))][5:25]]
+            status, out = _http("POST", addr, "/v1/map",
+                                {"reads": reads, "panel": panel})
+            if status != 200 or out["hits"][0]["score"] != 40:
+                errors.append((status, out))
+
+    threads = ([threading.Thread(target=score_client, args=(i,))
+                for i in range(4)]
+               + [threading.Thread(target=map_client, args=(100 + i,))
+                  for i in range(2)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not any(t.is_alive() for t in threads)
+    assert not errors, errors[:3]
+    # Close while a late request is in flight: the submitter gets a clean
+    # error or result, never a hang.
+    fut = aligner.submit(["ACGT"], ["ACGT"])
+    server.close()  # drains + closes the aligner
+    try:
+        fut.result(timeout=30)
+    except RuntimeError:
+        pass  # "closed during submit" is an acceptable outcome
+    with pytest.raises(RuntimeError, match="closed"):
+        aligner.submit(["ACGT"], ["ACGT"])
+
+
 def test_http_server_end_to_end(engine, rng):
     aligner = BatchingAligner(engine, max_wait_ms=5)
     with AlignServer(aligner, port=0, max_request_pairs=8) as server:
