@@ -40,7 +40,30 @@ def _time_call(fn, reps: int = 8, tag0: int = 0) -> float:
     return best
 
 
+def _device_probe_ok(timeout_s: float = 180.0) -> bool:
+    """Probe device init in a SUBPROCESS: when the axon tunnel is down,
+    ``jax.devices()`` blocks indefinitely with no in-process recovery —
+    probing out-of-process lets us fall back to CPU and still emit the
+    JSON line instead of hanging the driver."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and "tpu" in r.stdout
+    except Exception:
+        return False
+
+
 def main() -> int:
+    if not _device_probe_ok():
+        print("[bench] TPU unreachable; falling back to CPU (xla backend)",
+              file=sys.stderr)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
