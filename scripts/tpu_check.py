@@ -36,6 +36,23 @@ def main() -> int:
     ap.add_argument("--no-perf", action="store_true", help="skip perf sweep")
     args = ap.parse_args()
 
+    # Probe device init in a subprocess first: a down axon tunnel makes
+    # jax.devices() block forever with no in-process recovery.
+    import subprocess
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=240)
+        reachable = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        reachable = False
+    if not reachable:
+        print("FATAL: device init hangs (TPU tunnel down?) — tpu_check "
+              "needs the hardware; not falling back to CPU.",
+              file=sys.stderr)
+        return 2
+
     import jax
     import jax.numpy as jnp
 
