@@ -93,6 +93,25 @@ def test_map_to_reference_multichrom_and_repeats(rng, default_params):
     assert int(hits.mapq[1]) == 0
 
 
+def test_window_index_save_load(tmp_path, rng, default_params):
+    bases = np.array(list("ACGT"))
+    refs = ["".join(rng.choice(bases, size=500)),
+            "".join(rng.choice(bases, size=300))]
+    idx = tile_references(refs, window=128, stride=64)
+    idx.save(tmp_path / "idx.npz")
+    from versalignlib_tpu.refmap import WindowIndex
+
+    idx2 = WindowIndex.load(tmp_path / "idx.npz")
+    assert np.array_equal(idx.windows, idx2.windows)
+    assert np.array_equal(idx.start, idx2.start)
+    assert (idx.window, idx.stride, idx.ref_lengths) == (
+        idx2.window, idx2.stride, idx2.ref_lengths)
+    read = refs[1][100:140]
+    h1 = map_to_reference([read], idx, default_params, backend="oracle")
+    h2 = map_to_reference([read], idx2, default_params, backend="oracle")
+    assert int(h1.pos[0]) == int(h2.pos[0]) and int(h1.ref_id[0]) == 1
+
+
 def test_mapq_distinct_locus_rules(rng, default_params):
     bases = np.array(list("ACGT"))
     refA = "".join(rng.choice(bases, size=120))

@@ -62,6 +62,23 @@ class WindowIndex:
     def __len__(self) -> int:
         return self.windows.shape[0]
 
+    def save(self, path) -> None:
+        """Persist the tiling (npz): tile a large genome once, reuse it
+        across runs/processes."""
+        np.savez_compressed(
+            path, windows=self.windows, ref_id=self.ref_id,
+            start=self.start,
+            meta=np.array([self.window, self.stride], dtype=np.int64),
+            ref_lengths=np.array(self.ref_lengths, dtype=np.int64))
+
+    @classmethod
+    def load(cls, path) -> "WindowIndex":
+        with np.load(path) as z:
+            return cls(windows=z["windows"], ref_id=z["ref_id"],
+                       start=z["start"], window=int(z["meta"][0]),
+                       stride=int(z["meta"][1]),
+                       ref_lengths=[int(v) for v in z["ref_lengths"]])
+
 
 def tile_references(
     references,
