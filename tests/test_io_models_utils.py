@@ -626,6 +626,63 @@ def test_parse_records_format_sniffed(tmp_path):
     assert parse_records(fq) == [("a", "ACGT", "II!I"), ("b", "GG", "#J")]
 
 
+def test_write_sam_batch_matches_python_writer(rng, default_params):
+    """The native batch formatter must be byte-identical to write_sam on
+    the materialized alignments — randomized, with reverse strands, quals,
+    unmapped records, linear and affine gap models."""
+    import io as _io
+
+    from versalignlib_tpu import native
+    from versalignlib_tpu.io.sam import write_sam, write_sam_batch
+    from versalignlib_tpu.ops.pallas_align import (pallas_align_affine_batch,
+                                                   pallas_align_batch)
+    from versalignlib_tpu.params import AlignmentParameters
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    p_aff = AlignmentParameters(score_match=2, score_mismatch=-1,
+                                score_gap_read=-1, score_gap_ref=-1,
+                                gap_open_read=-4, gap_open_ref=-4)
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        for params, fill in ((default_params, pallas_align_batch),
+                             (p_aff, pallas_align_affine_batch)):
+            b = 24
+            reads = rng.integers(0, 6, size=(b, 30)).astype(np.uint8)
+            refs = rng.integers(0, 6, size=(b, 40)).astype(np.uint8)
+            reads[0, :] = 0     # all-padding pair -> unmapped record
+            batch = fill(reads, refs, params, algorithm, interpret=True,
+                         raw=True)
+            from versalignlib_tpu.alphabet import decode
+
+            seqs = [decode(r) for r in reads]
+            names = [f"q{i}" for i in range(b)]
+            rnames = [f"c{i % 3}" for i in range(b)]
+            strands = [i % 2 for i in range(b)]
+            mapqs = [int(v) for v in rng.integers(0, 61, size=b)]
+            quals = ["".join(chr(33 + int(x))
+                             for x in rng.integers(0, 40, size=len(s)))
+                     for s in seqs]
+            ref_strs = [decode(f) for f in refs]
+            want_buf = _io.StringIO()
+            write_sam(want_buf, list(batch), seqs, ref_strs,
+                      read_names=names, ref_names=rnames, strands=strands,
+                      mapqs=mapqs, quals=quals)
+            got_buf = _io.StringIO()
+            write_sam_batch(got_buf, batch, seqs, ref_strs,
+                            read_names=names, ref_names=rnames,
+                            strands=strands, mapqs=mapqs, quals=quals)
+            assert got_buf.getvalue() == want_buf.getvalue(), (
+                algorithm, params.affine)
+            # No-quals variant too ('*' column).
+            want_buf = _io.StringIO()
+            write_sam(want_buf, list(batch), seqs, ref_strs,
+                      read_names=names, ref_names=rnames)
+            got_buf = _io.StringIO()
+            write_sam_batch(got_buf, batch, seqs, ref_strs,
+                            read_names=names, ref_names=rnames)
+            assert got_buf.getvalue() == want_buf.getvalue()
+
+
 def test_sam_md_reconstructs_reference(rng, default_params):
     """The samtools contract: SEQ + CIGAR + MD alone must reconstruct the
     aligned reference segment. Randomized over SW and NW alignments with

@@ -113,7 +113,7 @@ def sam_record(
     qual: str | None = None,
     flag_bits: int = 0,
     rnext: str = "*",
-    pnext: int = 0,
+    pnext: int = -1,
     tlen: int = 0,
 ) -> str:
     """One SAM line (no trailing newline) for an alignment of ``read_seq``.
@@ -228,6 +228,78 @@ def write_sam(
                                                quals):
             f.write(sam_record(aln, seq, rn, fn, reverse=bool(st), mapq=mq,
                                qual=q) + "\n")
+
+    if isinstance(path, (str, pathlib.Path)):
+        with open(path, "w") as f:
+            emit(f)
+    else:
+        emit(path)
+
+
+def write_sam_batch(
+    path,
+    batch,
+    reads: Sequence[str],
+    refs: Sequence[str],
+    read_names: Iterable[str] | None = None,
+    ref_names: Iterable[str] | None = None,
+    strands=None,
+    mapqs=None,
+    quals: Sequence[str | None] | None = None,
+) -> None:
+    """Single-end SAM from a raw :class:`~versalignlib_tpu.types.AlignmentBatch`.
+
+    The bulk fast path: record formatting runs in the native C++ layer
+    straight off the column store (~20x the Python writer; identical
+    bytes, test-gated), falling back to per-record :func:`sam_record` when
+    the native library is unavailable. Same argument conventions as
+    :func:`write_sam` (sequences/qualities already in alignment
+    orientation; strands flag the reverse-complemented ones).
+    """
+    n = len(batch)
+    read_names = list(read_names) if read_names is not None else [
+        f"read{i}" for i in range(n)]
+    ref_names = list(ref_names) if ref_names is not None else [
+        f"ref{i}" for i in range(n)]
+    strands = ([0] * n if strands is None else [int(s) for s in strands])
+    mapqs = [255] * n if mapqs is None else [int(q) for q in mapqs]
+    quals = list(quals) if quals is not None else [None] * n
+    if not (n == len(reads) == len(refs) == len(read_names)
+            == len(ref_names) == len(strands) == len(mapqs) == len(quals)):
+        raise ValueError("alignments/reads/refs/names/strands/mapqs/quals "
+                         "length mismatch")
+    for q, s in zip(quals, reads):
+        if q is not None and len(q) != len(s):
+            raise ValueError("quality length != read length")
+
+    import numpy as np
+
+    from versalignlib_tpu import native
+
+    body: bytes | None = None
+    if native.available():
+        flags_mapped = np.array([16 if s else 0 for s in strands],
+                                dtype=np.int32)
+        flags_unmapped = np.full(n, 4, dtype=np.int32)
+        body = native.format_sam_native(
+            batch, list(reads), read_names, ref_names, flags_mapped,
+            flags_unmapped, np.asarray(mapqs), quals=quals)
+
+    def emit(f):
+        f.write("@HD\tVN:1.6\tSO:unknown\n")
+        seen = set()
+        for name, seq in zip(ref_names, refs):
+            if name not in seen:
+                seen.add(name)
+                f.write(f"@SQ\tSN:{name}\tLN:{len(seq)}\n")
+        f.write("@PG\tID:versalignlib_tpu\tPN:versalignlib_tpu\n")
+        if body is not None:
+            f.write(body.decode("latin-1"))
+        else:  # pure-Python fallback: materialize one record at a time
+            for i in range(n):
+                f.write(sam_record(batch[i], reads[i], read_names[i],
+                                   ref_names[i], reverse=bool(strands[i]),
+                                   mapq=mapqs[i], qual=quals[i]) + "\n")
 
     if isinstance(path, (str, pathlib.Path)):
         with open(path, "w") as f:

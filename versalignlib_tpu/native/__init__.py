@@ -86,6 +86,19 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # out bufs
             ctypes.c_int, ctypes.c_void_p, ctypes.c_int,      # cigar_cap, meta, threads
         ]
+        lib.val_format_sam.restype = ctypes.c_int64
+        lib.val_format_sam.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,   # gapped, aln_cap
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,   # cigar, cap, meta
+            ctypes.c_char_p, ctypes.c_void_p,                 # seqs, offsets
+            ctypes.c_char_p, ctypes.c_void_p,                 # quals, offsets
+            ctypes.c_char_p, ctypes.c_void_p,                 # qnames, offsets
+            ctypes.c_char_p, ctypes.c_void_p,                 # rnames, offsets
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # flags x2, mapq
+            ctypes.c_int,                                     # b
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,  # out, caps, lens
+            ctypes.c_int,                                     # threads
+        ]
         _lib = lib
         return _lib
 
@@ -322,3 +335,80 @@ def decode_banded_native(
             buffer_start=buf_start, buffer_end=aln_cap - 1,
         ))
     return out
+
+
+def format_sam_native(
+    batch,                   # types.AlignmentBatch (column store)
+    seqs: list[str],         # oriented SEQ strings
+    qnames: list[str],
+    rnames: list[str],
+    flags_mapped: np.ndarray,
+    flags_unmapped: np.ndarray,
+    mapqs: np.ndarray,
+    quals: list[str] | None = None,
+    n_threads: int | None = None,
+) -> bytes | None:
+    """Batch SAM record formatting through C++ (None = lib unavailable).
+
+    Returns the concatenated record lines (with trailing newlines) for the
+    whole batch; headers are the caller's job. Semantics are io/sam.py's
+    (edge normalization, NM/MD) — gated byte-for-byte by tests.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    b = len(batch)
+    if b == 0:
+        return b""
+
+    def _concat(strings):
+        off = np.zeros(b + 1, dtype=np.int64)
+        for i, s in enumerate(strings):
+            off[i + 1] = off[i] + len(s)
+        return "".join(strings).encode("latin-1"), off
+
+    seq_b, seq_off = _concat(seqs)
+    qn_b, qn_off = _concat(qnames)
+    rn_b, rn_off = _concat(rnames)
+    if quals is not None and any(q is not None for q in quals):
+        if any(q is None for q in quals):
+            raise ValueError("mixed qual/None per batch is not supported "
+                             "by the native formatter")
+        ql_b, ql_off = _concat(quals)
+        ql_ptr = ql_b
+        ql_off_ptr = ql_off.ctypes.data
+    else:
+        ql_ptr = None
+        ql_off_ptr = None
+
+    meta = np.ascontiguousarray(batch.meta, dtype=np.int32)
+    read_g = np.ascontiguousarray(batch.read_gapped)
+    ref_g = np.ascontiguousarray(batch.ref_gapped)
+    cigar = np.ascontiguousarray(batch.cigar)
+    aln_cap = read_g.shape[1]
+    cigar_cap = cigar.shape[1]
+    fm = np.ascontiguousarray(flags_mapped, dtype=np.int32)
+    fu = np.ascontiguousarray(flags_unmapped, dtype=np.int32)
+    mq = np.ascontiguousarray(mapqs, dtype=np.int32)
+
+    # Airtight per-record output bound: names + seq + qual + soft-clipped
+    # CIGAR + MD (2 chars/column) + fixed fields/tags.
+    per = (np.diff(qn_off) + np.diff(rn_off) + 2 * np.diff(seq_off)
+           + cigar_cap + 2 * meta[:, 5].astype(np.int64) + 128)
+    caps = np.zeros(b + 1, dtype=np.int64)
+    np.cumsum(per, out=caps[1:])
+    out = np.zeros(int(caps[-1]), dtype=np.uint8)
+    lens = np.zeros(b, dtype=np.int64)
+    threads = n_threads or min(8, os.cpu_count() or 1)
+    total = lib.val_format_sam(
+        read_g.ctypes.data, ref_g.ctypes.data, aln_cap,
+        cigar.ctypes.data, cigar_cap, meta.ctypes.data,
+        seq_b, seq_off.ctypes.data,
+        ql_ptr, ql_off_ptr,
+        qn_b, qn_off.ctypes.data,
+        rn_b, rn_off.ctypes.data,
+        fm.ctypes.data, fu.ctypes.data, mq.ctypes.data,
+        b, out.ctypes.data, caps.ctypes.data, lens.ctypes.data, threads)
+    if total < 0:
+        raise RuntimeError("val_format_sam overflow (bound bug)")
+    return out[:total].tobytes()  # compacted in C++
