@@ -44,6 +44,48 @@ def synthetic_chunk(seed: int, chunk_index: int, n: int, panel_enc):
     return np.ascontiguousarray(reads)
 
 
+def _write_sam_part(path, reads, hits, panel_enc, panel_names, params,
+                    algorithm, lo) -> None:
+    """One chunk's SAM records (no header): raw traceback of each read's
+    winning pair through the packed Pallas fill, formatted by the native
+    C++ layer (Python sam_record fallback when unavailable)."""
+    from versalignlib_tpu import native
+    from versalignlib_tpu.alphabet import (decode, pad_and_encode,
+                                           reverse_complement_codes)
+    from versalignlib_tpu.ops.pallas_align import pallas_align_batch
+    from versalignlib_tpu.ops.pallas_score import _is_tpu
+
+    reads_enc = (reads if isinstance(reads, np.ndarray)
+                 else pad_and_encode(reads))
+    rev = hits.strand.astype(bool)
+    oriented = np.where(rev[:, None], reverse_complement_codes(reads_enc),
+                        reads_enc)
+    refs_sel = panel_enc[hits.index]
+    raw_ok = native.available()
+    batch = pallas_align_batch(oriented, refs_sel, params, algorithm,
+                               interpret=not _is_tpu(), raw=raw_ok)
+    b = reads_enc.shape[0]
+    seqs = [decode(r) for r in oriented]
+    qnames = [f"read{lo + i}" for i in range(b)]
+    rnames = [panel_names[j] for j in hits.index]
+    if raw_ok:
+        body = native.format_sam_native(
+            batch, seqs, qnames, rnames,
+            np.where(rev, 16, 0).astype(np.int32),
+            np.full(b, 4, dtype=np.int32),
+            hits.mapq.astype(np.int32))
+        with open(path, "wb") as f:
+            f.write(body)
+    else:
+        from versalignlib_tpu.io.sam import sam_record
+
+        with open(path, "w") as f:
+            for i in range(b):
+                f.write(sam_record(batch[i], seqs[i], qnames[i], rnames[i],
+                                   reverse=bool(rev[i]),
+                                   mapq=int(hits.mapq[i])) + "\n")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", help="FASTA/FASTQ of reads (streamed)")
@@ -56,10 +98,15 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--single-strand", action="store_true",
                     help="skip the reverse-complement sweep")
+    ap.add_argument("--sam", action="store_true",
+                    help="also traceback each winner and write "
+                         "alignments.sam (per-chunk parts via the native "
+                         "C++ formatter; resume-safe, assembled at the "
+                         "end)")
     args = ap.parse_args()
 
     from versalignlib_tpu.alphabet import pad_and_encode
-    from versalignlib_tpu.io.fastq import parse_sequences
+    from versalignlib_tpu.io.fastq import parse_sequences_with_names
     from versalignlib_tpu.params import AlignmentParameters
     from versalignlib_tpu.search import map_reads
     from versalignlib_tpu.types import Algorithm
@@ -68,7 +115,10 @@ def main() -> int:
     p = AlignmentParameters()
     algorithm = (Algorithm.SMITH_WATERMAN if args.algorithm == "sw"
                  else Algorithm.NEEDLEMAN_WUNSCH)
-    panel_seqs = parse_sequences(args.panel)
+    panel_recs = parse_sequences_with_names(args.panel)
+    panel_names = [(n.split() or [""])[0] or f"panel{i}"
+                   for i, (n, _) in enumerate(panel_recs)]
+    panel_seqs = [s for _, s in panel_recs]
     panel_enc = pad_and_encode(panel_seqs)
 
     if args.synthetic:
@@ -117,11 +167,28 @@ def main() -> int:
                          hits.score.astype(np.int64),
                          hits.strand.astype(np.int64),
                          hits.mapq.astype(np.int64)], axis=1)
+        if args.sam:
+            # SAM part written BEFORE the journal commit: crash-consistent.
+            _write_sam_part(pathlib.Path(args.ckpt) / f"sam_{c:06d}.part",
+                            reads, hits, panel_enc, panel_names, p,
+                            algorithm, lo)
         ckpt.commit(c, lo, rows)
         mapped += rows.shape[0]
         if (c % 8) == 0:
             rate = mapped / max(time.perf_counter() - t0, 1e-9)
             print(f"  chunk {c}: {rate:.0f} reads/s aggregate")
+
+    if args.sam:
+        sam_out = pathlib.Path(args.ckpt) / "alignments.sam"
+        with open(sam_out, "w") as f:
+            f.write("@HD\tVN:1.6\tSO:unknown\n")
+            for name, seq in zip(panel_names, panel_seqs):
+                f.write(f"@SQ\tSN:{name}\tLN:{len(seq)}\n")
+            f.write("@PG\tID:versalignlib_tpu\tPN:versalignlib_tpu\n")
+            for c in range(n_chunks):
+                part = pathlib.Path(args.ckpt) / f"sam_{c:06d}.part"
+                f.write(part.read_text())
+        print(f"wrote {sam_out}")
 
     table = ckpt.table()
     out = pathlib.Path(args.ckpt) / "hits.tsv"
