@@ -144,18 +144,30 @@ def _stream_topk(reads_enc, windows, params, algorithm, impl, interpret,
     rows = np.arange(b)[:, None]
     for lo in range(0, r, chunk):
         pc = windows[lo : lo + chunk]
-        s = _chunk_scores(reads_enc, reads_dev, pc, params, algorithm,
-                          impl, interpret, mesh).astype(np.int64)
-        kk = min(k, s.shape[1])
-        # Composite key: high score first, LOW window index on ties —
-        # argpartition alone picks an arbitrary member of a tied set,
-        # which would violate the scan-order convention.
-        key = s * np.int64(s.shape[1] + 1) - np.arange(s.shape[1])
-        top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+        kk = min(k, pc.shape[0])
+        if mesh is None:
+            # Device-side top-k: O(B*k) over the link instead of (B, R);
+            # lax.top_k is stable (ties keep the LOWER window index).
+            from versalignlib_tpu.search import _score_topk_chunk
+
+            v, i = _score_topk_chunk(reads_dev, jnp.asarray(pc), params,
+                                     algorithm, impl, interpret, kk)
+            top_v = np.asarray(v).astype(np.int64)
+            top_a = np.asarray(i).astype(np.int64)
+        else:
+            s = _chunk_scores(reads_enc, reads_dev, pc, params, algorithm,
+                              impl, interpret, mesh).astype(np.int64)
+            # Composite key: high score first, LOW window index on ties —
+            # argpartition alone picks an arbitrary member of a tied set,
+            # which would violate the scan-order convention.
+            key = s * np.int64(s.shape[1] + 1) - np.arange(s.shape[1])
+            top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
+            top_v = s[rows, top]
+            top_a = top
         # Merge pools; sort by (-score, window) so equal scores keep the
         # earliest window, matching the streaming argmax convention.
-        cand_v = np.concatenate([vals, s[rows, top]], axis=1)
-        cand_a = np.concatenate([args, top + lo], axis=1)
+        cand_v = np.concatenate([vals, top_v], axis=1)
+        cand_a = np.concatenate([args, top_a + lo], axis=1)
         order = np.lexsort((cand_a, -cand_v), axis=1)[:, :k]
         vals = np.take_along_axis(cand_v, order, axis=1)
         args = np.take_along_axis(cand_a, order, axis=1)

@@ -81,6 +81,22 @@ def _score_cross_chunk(reads, panel, params: AlignmentParameters,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("params", "algorithm", "impl", "interpret", "k"),
+)
+def _score_topk_chunk(reads, panel, params: AlignmentParameters,
+                      algorithm: Algorithm, impl: str, interpret: bool,
+                      k: int):
+    """Device-side top-k fold of one chunk: the host receives O(B*k)
+    (values, window-index) pairs instead of the full (B, R) matrix — the
+    D2H reduction that makes huge window/panel sweeps link-friendly.
+    ``lax.top_k`` is stable (equal values keep the LOWER index), matching
+    the host fold's first-win scan-order convention exactly."""
+    s = _cross_scores(reads, panel, params, algorithm, impl, interpret)
+    return jax.lax.top_k(s, k)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("params", "algorithm", "impl", "interpret", "mesh"),
 )
 def _score_cross_chunk_mesh(reads, panel, params: AlignmentParameters,
@@ -170,15 +186,26 @@ def _stream_best(reads_enc, panel_enc, params, algorithm, impl, interpret,
     best = np.full(b, NEG32, dtype=np.int32)
     second = np.full(b, NEG32, dtype=np.int32)
     arg = np.zeros(b, dtype=np.int32)
-    rows = np.arange(b)
     for lo in range(0, r, chunk):
         pc = panel_enc[lo : lo + chunk]
-        s = _chunk_scores(reads_enc, reads_dev, pc, params, algorithm,
-                          impl, interpret, mesh)
-        c_arg = np.argmax(s, axis=1)           # first-win within the chunk
-        c_best = s[rows, c_arg]
-        c_second = (np.partition(s, -2, axis=1)[:, -2].astype(np.int64)
-                    if s.shape[1] >= 2 else np.full(b, NEG32, np.int64))
+        if mesh is not None:
+            s = _chunk_scores(reads_enc, reads_dev, pc, params, algorithm,
+                              impl, interpret, mesh)
+            rows = np.arange(b)
+            c_arg = np.argmax(s, axis=1)       # first-win within the chunk
+            c_best = s[rows, c_arg]
+            c_second = (np.partition(s, -2, axis=1)[:, -2].astype(np.int64)
+                        if s.shape[1] >= 2 else np.full(b, NEG32, np.int64))
+        else:
+            # Device-side top-2: O(B) comes back over the link, not (B, R).
+            kk = min(2, pc.shape[0])
+            v, i = _score_topk_chunk(reads_dev, jnp.asarray(pc), params,
+                                     algorithm, impl, interpret, kk)
+            v = np.asarray(v)
+            c_arg = np.asarray(i)[:, 0]
+            c_best = v[:, 0]
+            c_second = (v[:, 1].astype(np.int64) if kk >= 2
+                        else np.full(b, NEG32, np.int64))
         upd = c_best > best                    # strict >: earlier chunk wins ties
         # Top-2 merge of two disjoint candidate pools (exact).
         second = np.maximum(np.minimum(best.astype(np.int64), c_best),
