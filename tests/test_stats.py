@@ -109,3 +109,15 @@ def test_cli_panel_stats_columns(tmp_path, rng):
     assert float(planted[-1]) < 1e-3
     assert float(planted[-1]) < float(random_read[-1])
     assert float(planted[-2]) > float(random_read[-2])
+    # Calibration cache: second run loads (identical columns), file exists.
+    cache = tmp_path / "calib.json"
+    rc = main(["--reads", str(rf), "--panel", str(pf), "--outdir",
+               str(tmp_path), "--backend", "oracle", "--stats",
+               "--stats-samples", "96", "--stats-cache", str(cache)])
+    assert rc == 0 and cache.is_file()
+    first = (tmp_path / "hits_smith_waterman.tsv").read_text()
+    rc = main(["--reads", str(rf), "--panel", str(pf), "--outdir",
+               str(tmp_path), "--backend", "oracle", "--stats",
+               "--stats-cache", str(cache)])
+    assert rc == 0
+    assert (tmp_path / "hits_smith_waterman.tsv").read_text() == first

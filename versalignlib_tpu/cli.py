@@ -160,6 +160,10 @@ def main(argv=None) -> int:
                          "statistics apply)")
     ap.add_argument("--stats-samples", type=int, default=512,
                     help="random pairs for the Gumbel calibration")
+    ap.add_argument("--stats-cache", default=None,
+                    help="JSON file to load/save the Gumbel calibration "
+                         "(skip recalibration across runs of the same "
+                         "scoring model)")
     ap.add_argument("--selftest", action="store_true",
                     help="run on synthetic sequences instead of files")
     args = ap.parse_args(argv)
@@ -402,12 +406,19 @@ def main(argv=None) -> int:
                   " (both strands)" if args.both_strands else "")
         calib = None
         if args.stats:
-            from versalignlib_tpu.stats import calibrate
+            from versalignlib_tpu.stats import GumbelCalibration, calibrate
 
-            calib = calibrate(params,
-                              m=max(len(r) for r in reads),
-                              n=max(len(r) for r in refs),
-                              samples=args.stats_samples)
+            cache = pathlib.Path(args.stats_cache) if args.stats_cache else None
+            if cache is not None and cache.is_file():
+                calib = GumbelCalibration.from_json(cache.read_text())
+                _log.info("Gumbel calibration loaded from %s", cache)
+            else:
+                calib = calibrate(params,
+                                  m=max(len(r) for r in reads),
+                                  n=max(len(r) for r in refs),
+                                  samples=args.stats_samples)
+                if cache is not None:
+                    cache.write_text(calib.to_json())
             _log.info("Gumbel calibration: lambda=%.4f K=%.4g "
                       "(%d samples)", calib.lam, calib.k, calib.samples)
         db_len = sum(len(r) for r in refs)
