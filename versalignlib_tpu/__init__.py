@@ -42,6 +42,8 @@ from versalignlib_tpu.refmap import (
     tile_references,
 )
 from versalignlib_tpu.stats import GumbelCalibration, calibrate, karlin_lambda
+from versalignlib_tpu.seed import MinimizerIndex, build_index, minimizers
+from versalignlib_tpu.longread import LongReadHits, find_chains, map_long_reads
 
 __version__ = "0.1.0"
 
@@ -84,5 +86,11 @@ __all__ = [
     "GumbelCalibration",
     "calibrate",
     "karlin_lambda",
+    "MinimizerIndex",
+    "build_index",
+    "minimizers",
+    "map_long_reads",
+    "LongReadHits",
+    "find_chains",
     "__version__",
 ]
