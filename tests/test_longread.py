@@ -111,6 +111,47 @@ def test_map_long_reads_repeat_mapq_and_index_reuse(rng, default_params):
     assert abs(int(hits2.pos[0]) - 3_000) < 40
 
 
+def test_cli_long_mode(tmp_path, rng):
+    from versalignlib_tpu.cli import main
+    from versalignlib_tpu.io.fasta import write_fasta
+    from versalignlib_tpu.io.fastq import write_fastq
+
+    bases = np.array(list("ACGT"))
+    genome = "".join(rng.choice(bases, size=12_000))
+    reads = [_mutate(rng, genome[4_000:4_300]),
+             "".join(rng.choice(bases, size=250))]   # second: junk
+    quals = ["".join(chr(33 + int(q))
+                     for q in rng.integers(2, 41, size=len(r)))
+             for r in reads]
+    rf = tmp_path / "reads.fastq"
+    gf = tmp_path / "genome.fa"
+    write_fastq(rf, reads, names=["good", "junk"], qualities=quals)
+    write_fasta(gf, [genome], names=["chrL"])
+    rc = main(["--reads", str(rf), "--reference", str(gf), "--long",
+               "--outdir", str(tmp_path), "--sam"])
+    assert rc == 0
+    hits = [l.split("\t") for l in
+            (tmp_path / "hits_long.tsv").read_text().splitlines()]
+    assert hits[0][:3] == ["read", "ref", "ref_id"]
+    assert hits[1][0] == "good" and hits[1][1] == "chrL"
+    assert abs(int(hits[1][3]) - 4_000) < 40
+    assert hits[2][1] == "*" and hits[2][2] == "-1"
+    sam = (tmp_path / "alignments_long.sam").read_text()
+    lines = sam.splitlines()
+    assert "@SQ\tSN:chrL\tLN:12000" in lines
+    assert not any(l.startswith("@SQ\tSN:*") for l in lines)
+    recs = {l.split("\t")[0]: l.split("\t") for l in lines
+            if not l.startswith("@")}
+    assert recs["good"][2] == "chrL" and recs["good"][10] == quals[0]
+    assert recs["junk"][1] == "4" and recs["junk"][2] == "*"
+    # Flag guards.
+    with pytest.raises(SystemExit):
+        main(["--reads", str(rf), "--refs", str(gf), "--long"])
+    with pytest.raises(SystemExit):
+        main(["--reads", str(rf), "--reference", str(gf), "--long",
+              "--window", "256"])
+
+
 def test_map_long_reads_multichrom(rng, default_params):
     bases = np.array(list("ACGT"))
     chr1 = "".join(rng.choice(bases, size=6_000))

@@ -103,6 +103,14 @@ def main(argv=None) -> int:
                                         "exhaustive window tiling, report "
                                         "global coordinates (replaces "
                                         "--refs/--panel)")
+    ap.add_argument("--long", action="store_true",
+                    help="with --reference: seed-chain-extend long-read "
+                         "mapping (minimizer index + banded extension) "
+                         "instead of exhaustive window tiling — use for "
+                         "kbp+ reads and/or large genomes")
+    ap.add_argument("--min-anchors", type=int, default=3,
+                    help="with --long: minimum chained minimizer anchors "
+                         "to call a read mapped")
     ap.add_argument("--window", type=int, default=None,
                     help="with --reference: tiling window (default 4x the "
                          "longest read, multiple of 128)")
@@ -217,6 +225,11 @@ def main(argv=None) -> int:
                  "alphabets have no complement)")
     if (args.window or args.stride) and not args.reference:
         ap.error("--window/--stride only apply to --reference mode")
+    if args.long and not args.reference:
+        ap.error("--long applies to --reference mode")
+    if args.long and (args.window or args.stride):
+        ap.error("--long replaces window tiling; --window/--stride do "
+                 "not apply")
     if args.bam and not args.sam:
         ap.error("--bam requires --sam (BAM files are twins of the SAM "
                  "output)")
@@ -312,6 +325,49 @@ def main(argv=None) -> int:
         refs_in = encode_custom(refs, alphabet)
     else:
         reads_in, refs_in = reads, refs
+
+    if args.reference and args.long:
+        from versalignlib_tpu.alphabet import reverse_complement
+        from versalignlib_tpu.io.sam import write_sam
+        from versalignlib_tpu.longread import map_long_reads
+        from versalignlib_tpu.types import Alignment
+
+        _log.info("long-read mapping: %d reads vs %d reference(s), "
+                  "%d total bp", len(reads), len(refs),
+                  sum(len(r) for r in refs))
+        rnames = read_names or [f"read{i}" for i in range(len(reads))]
+        hits = map_long_reads(reads, refs, params, tie=tie,
+                              min_anchors=args.min_anchors)
+        with open(outdir / "hits_long.tsv", "w") as f:
+            f.write("read\tref\tref_id\tpos\tstrand\tscore\tmapq\t"
+                    "chain_score\n")
+            for i in range(len(hits)):
+                rn = (panel_names[hits.ref_id[i]]
+                      if hits.ref_id[i] >= 0 else "*")
+                f.write(f"{rnames[i]}\t{rn}\t{int(hits.ref_id[i])}\t"
+                        f"{int(hits.pos[i])}\t"
+                        f"{'-' if hits.strand[i] else '+'}\t"
+                        f"{int(hits.score[i])}\t{int(hits.mapq[i])}\t"
+                        f"{float(hits.chain_score[i]):.0f}\n")
+        if args.sam:
+            unmapped = Alignment("", "", 0, "", -1, -1, -1, -1)
+            alns = [a if a is not None else unmapped
+                    for a in hits.alignments]
+            oriented = [reverse_complement(r) if s else r
+                        for r, s in zip(reads, hits.strand)]
+            quals = _oriented_quals(read_quals, hits.strand)
+            sam_path = outdir / "alignments_long.sam"
+            write_sam(sam_path, alns, oriented,
+                      [refs[j] if j >= 0 else "" for j in hits.ref_id],
+                      read_names=rnames,
+                      ref_names=[panel_names[j] if j >= 0 else "*"
+                                 for j in hits.ref_id],
+                      strands=hits.strand, mapqs=hits.mapq, quals=quals)
+            _maybe_bam(sam_path, args.bam)
+        mapped = int((hits.ref_id >= 0).sum())
+        print(f"LONG: mapped {mapped}/{len(reads)} reads vs "
+              f"{len(refs)} reference(s)")
+        return 0
 
     if args.reference:
         from versalignlib_tpu.alphabet import reverse_complement

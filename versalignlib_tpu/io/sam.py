@@ -219,7 +219,7 @@ def write_sam(
         f.write("@HD\tVN:1.6\tSO:unknown\n")
         seen = set()
         for name, seq in zip(ref_names, refs):
-            if name not in seen:
+            if name != "*" and name not in seen:  # '*' = unmapped rows
                 seen.add(name)
                 f.write(f"@SQ\tSN:{name}\tLN:{len(seq)}\n")
         f.write("@PG\tID:versalignlib_tpu\tPN:versalignlib_tpu\n")
@@ -289,7 +289,7 @@ def write_sam_batch(
         f.write("@HD\tVN:1.6\tSO:unknown\n")
         seen = set()
         for name, seq in zip(ref_names, refs):
-            if name not in seen:
+            if name != "*" and name not in seen:  # '*' = unmapped rows
                 seen.add(name)
                 f.write(f"@SQ\tSN:{name}\tLN:{len(seq)}\n")
         f.write("@PG\tID:versalignlib_tpu\tPN:versalignlib_tpu\n")
