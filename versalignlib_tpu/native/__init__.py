@@ -121,13 +121,18 @@ def decode_batch_native(
     n_threads: int | None = None,
     affine: bool = False,
     raw: bool = False,
+    gapped: bool = True,
 ):
     """Batch traceback decode through the C++ library.
 
     ``raw=True`` returns an :class:`~versalignlib_tpu.types.AlignmentBatch`
     column store instead of a list of ``Alignment`` objects — the per-object
-    Python materialization costs ~6x the C++ walk (735k vs 119k alns/s at
-    128bp), so bulk pipelines should stay raw.
+    Python materialization costs ~6x the C++ walk, so bulk pipelines should
+    stay raw. ``gapped=False`` (raw only) skips the gapped-string columns
+    entirely — the walk emits CIGAR + coordinates alone, cutting decode time
+    for CIGAR-bound pipelines (the reference's gapped buffers are a display
+    format, include/AlignmentKernel.h:12-24; score/coords/CIGAR carry the
+    same information).
 
     Raises ImportError if the native library is unavailable (callers fall
     back to the Python decoder).
@@ -167,10 +172,13 @@ def decode_batch_native(
             t.encode("latin-1").ljust(n, b"\0")[:n] for t in ref_texts
         )
 
+    if not gapped and not raw:
+        raise ValueError("gapped=False requires raw=True (Alignment objects "
+                         "carry gapped strings)")
     aln_cap = m + n
     cigar_cap = 3 * aln_cap + 16
-    read_g = np.zeros((b, aln_cap), dtype=np.uint8)
-    ref_g = np.zeros((b, aln_cap), dtype=np.uint8)
+    read_g = np.zeros((b, aln_cap), dtype=np.uint8) if gapped else None
+    ref_g = np.zeros((b, aln_cap), dtype=np.uint8) if gapped else None
     cigar = np.zeros((b, cigar_cap), dtype=np.uint8)
     meta = np.zeros((b, 8), dtype=np.int32)
 
@@ -189,8 +197,8 @@ def decode_batch_native(
         params.score_gap_read, params.score_gap_ref,
         1 if Algorithm(algorithm) == Algorithm.NEEDLEMAN_WUNSCH else 0,
         1 if affine else 0,
-        read_g.ctypes.data_as(ctypes.c_void_p),
-        ref_g.ctypes.data_as(ctypes.c_void_p),
+        None if read_g is None else read_g.ctypes.data_as(ctypes.c_void_p),
+        None if ref_g is None else ref_g.ctypes.data_as(ctypes.c_void_p),
         cigar.ctypes.data_as(ctypes.c_void_p),
         cigar_cap,
         meta.ctypes.data_as(ctypes.c_void_p),

@@ -39,7 +39,7 @@ struct Args {
   int match, mismatch, gap_read, gap_ref;
   int is_nw;
   int is_affine;  // 4-bit codes: hptr(2b) | e_ext<<2 | f_ext<<3
-  char *read_gapped;  // (b, m+n)
+  char *read_gapped;  // (b, m+n); nullptr = CIGAR-only mode (skip gapped)
   char *ref_gapped;   // (b, m+n)
   char *cigar_out;    // (b, cigar_cap)
   int cigar_cap;
@@ -68,19 +68,63 @@ inline int load_ptr(const Args &A, int pair, int i, int j) {
   return (word >> (bits * (j % A.pack))) & mask;
 }
 
-void decode_pair(const Args &A, int k) {
+// CIGAR run scratch: walks emit (len << 2 | op) tokens in reverse order;
+// per-thread to avoid per-pair allocation.
+thread_local std::vector<uint32_t> tl_runs;
+
+const char kOpChar[3] = {'M', 'I', 'D'};
+
+// Format run tokens (reverse walk order) to "12M3I..." text. Returns length.
+inline int format_cigar(const uint32_t *runs, int runs_n, char *cg, int cap) {
+  int clen = 0;
+  char tmp[12];
+  for (int t = runs_n - 1; t >= 0; --t) {
+    uint32_t len = runs[t] >> 2;
+    int d = 0;
+    do {
+      tmp[d++] = '0' + (len % 10);
+      len /= 10;
+    } while (len);
+    if (clen + d + 1 >= cap) break;
+    while (d) cg[clen++] = tmp[--d];
+    cg[clen++] = kOpChar[runs[t] & 3];
+  }
+  return clen;
+}
+
+// The linear walk, templated on pointer layout and gapped-string emission so
+// the per-step loop carries no dead branches. kPacked: 2-bit codes in int32
+// words (the Pallas kernels' native stream; pack is always a power of two,
+// so word index / field shift are shifts and masks — the div/mod pair of the
+// previous revision cost ~40 cycles per step). CIGAR runs are accumulated
+// during the walk instead of re-scanning the gapped strings afterwards.
+template <bool kPacked, bool kGapped>
+void decode_pair_impl(const Args &A, int k, int nc, int pshift) {
   const int m = A.m, n = A.n;
   const int aln_cap = m + n;
-  char *rg = A.read_gapped + (size_t)k * aln_cap;
-  char *fg = A.ref_gapped + (size_t)k * aln_cap;
+  char *rg = kGapped ? A.read_gapped + (size_t)k * aln_cap : nullptr;
+  char *fg = kGapped ? A.ref_gapped + (size_t)k * aln_cap : nullptr;
   const uint8_t *read = A.reads + (size_t)k * m;
   const uint8_t *ref = A.refs + (size_t)k * n;
   const char *rt = A.read_texts ? A.read_texts + (size_t)k * m : nullptr;
   const char *ft = A.ref_texts ? A.ref_texts + (size_t)k * n : nullptr;
+  const int32_t *pw =
+      kPacked ? static_cast<const int32_t *>(A.ptr_data) + (size_t)k * m * nc
+              : nullptr;
+  const uint8_t *pd =
+      kPacked ? nullptr
+              : static_cast<const uint8_t *>(A.ptr_data) + (size_t)k * m * n;
+  const int jmask = A.pack - 1;
+  const bool want_cost = A.scores_in == nullptr;
 
   int rp = A.start_r[k];
   int fp = A.start_f[k];
   const int start_rp = rp, start_fp = fp;
+
+  if ((size_t)tl_runs.size() < (size_t)aln_cap + 1) tl_runs.resize(aln_cap + 1);
+  uint32_t *runs = tl_runs.data();
+  int runs_n = 0;
+  int cur_op = -1, cur_len = 0;
 
   // Emit backwards into the buffer tail, reference-style
   // (DefaultKernel.cpp:413-439), then shift to the front.
@@ -93,37 +137,60 @@ void decode_pair(const Args &A, int k) {
       bt = START;  // boundary row 0
     } else if (fp < 0) {
       bt = A.is_nw ? UP : START;  // boundary col 0
+    } else if (kPacked) {
+      bt = (pw[(size_t)rp * nc + (fp >> pshift)] >> (2 * (fp & jmask))) & 3;
     } else {
-      bt = load_ptr(A, k, rp, fp);
+      bt = pd[(size_t)rp * n + fp];
     }
     if (bt == START) break;
-    --pos;
-    char rc = rt ? rt[rp < 0 ? 0 : rp] : kCodeChar[read[rp < 0 ? 0 : rp] <= 5 ? read[rp < 0 ? 0 : rp] : 0];
-    char fc = ft ? ft[fp < 0 ? 0 : fp] : kCodeChar[ref[fp < 0 ? 0 : fp] <= 5 ? ref[fp < 0 ? 0 : fp] : 0];
+    int op;
     if (bt == UP) {
-      rg[pos] = rc;
-      fg[pos] = '-';
-      path_cost += A.gap_ref;
+      if (kGapped) {
+        --pos;
+        rg[pos] = rt ? rt[rp] : kCodeChar[read[rp] <= 5 ? read[rp] : 0];
+        fg[pos] = '-';
+      }
+      if (want_cost) path_cost += A.gap_ref;
       --rp;
+      op = 1;
     } else if (bt == LEFT) {
-      rg[pos] = '-';
-      fg[pos] = fc;
-      path_cost += A.gap_read;
+      if (kGapped) {
+        --pos;
+        rg[pos] = '-';
+        fg[pos] = ft ? ft[fp] : kCodeChar[ref[fp] <= 5 ? ref[fp] : 0];
+      }
+      if (want_cost) path_cost += A.gap_read;
       --fp;
+      op = 2;
     } else {  // DIAG
-      rg[pos] = rc;
-      fg[pos] = fc;
-      path_cost += sub_score(read[rp], ref[fp], A.match, A.mismatch);
+      if (kGapped) {
+        --pos;
+        rg[pos] = rt ? rt[rp] : kCodeChar[read[rp] <= 5 ? read[rp] : 0];
+        fg[pos] = ft ? ft[fp] : kCodeChar[ref[fp] <= 5 ? ref[fp] : 0];
+      }
+      if (want_cost)
+        path_cost += sub_score(read[rp], ref[fp], A.match, A.mismatch);
       --rp;
       --fp;
+      op = 0;
+    }
+    if (op == cur_op) {
+      ++cur_len;
+    } else {
+      if (cur_op >= 0) runs[runs_n++] = (uint32_t)(cur_len << 2) | cur_op;
+      cur_op = op;
+      cur_len = 1;
     }
     ++steps;
   }
+  if (cur_op >= 0) runs[runs_n++] = (uint32_t)(cur_len << 2) | cur_op;
 
-  const int aln_len = aln_cap - pos;
-  // Shift to the front of the per-pair buffer.
-  std::memmove(rg, rg + pos, aln_len);
-  std::memmove(fg, fg + pos, aln_len);
+  const int aln_len = steps;
+  if (kGapped) {
+    // Shift to the front of the per-pair buffer.
+    std::memmove(rg, rg + pos, aln_len);
+    std::memmove(fg, fg + pos, aln_len);
+  }
 
   int32_t score;
   if (A.scores_in) {
@@ -134,24 +201,8 @@ void decode_pair(const Args &A, int k) {
     score = boundary + path_cost;
   }
 
-  // CIGAR (M/I/D run-length) straight from the gapped strings.
   char *cg = A.cigar_out + (size_t)k * A.cigar_cap;
-  int clen = 0;
-  int run = 0;
-  char op = 0;
-  for (int t = 0; t < aln_len; ++t) {
-    char cur_op = rg[t] == '-' ? 'D' : (fg[t] == '-' ? 'I' : 'M');
-    if (cur_op == op) {
-      ++run;
-    } else {
-      if (run > 0 && clen + 12 < A.cigar_cap)
-        clen += std::snprintf(cg + clen, A.cigar_cap - clen, "%d%c", run, op);
-      op = cur_op;
-      run = 1;
-    }
-  }
-  if (run > 0 && clen + 12 < A.cigar_cap)
-    clen += std::snprintf(cg + clen, A.cigar_cap - clen, "%d%c", run, op);
+  int clen = format_cigar(runs, runs_n, cg, A.cigar_cap);
 
   int32_t *mt = A.meta + (size_t)k * 8;
   mt[0] = score;
@@ -164,47 +215,95 @@ void decode_pair(const Args &A, int k) {
   mt[7] = clen;
 }
 
-void decode_pair_affine(const Args &A, int k) {
-  // Three-state (H/E/F) walk mirroring gotoh._affine_traceback: state H
-  // follows hptr; E/F emit LEFT/UP steps and return to H when the extend
-  // bit is clear. Scores must be supplied by the caller (the device kernels
-  // emit exact end-cell scores).
+void decode_pair(const Args &A, int k) {
+  const int nc = (A.n + A.pack - 1) / A.pack;
+  const int pshift = __builtin_ctz(A.pack);
+  if (A.ptr_kind == 1) {
+    if (A.read_gapped)
+      decode_pair_impl<true, true>(A, k, nc, pshift);
+    else
+      decode_pair_impl<true, false>(A, k, nc, pshift);
+  } else {
+    if (A.read_gapped)
+      decode_pair_impl<false, true>(A, k, nc, pshift);
+    else
+      decode_pair_impl<false, false>(A, k, nc, pshift);
+  }
+}
+
+// Affine three-state (H/E/F) walk mirroring gotoh._affine_traceback: state H
+// follows hptr; E/F emit LEFT/UP steps and return to H when the extend bit
+// is clear. Scores must be supplied by the caller (the device kernels emit
+// exact end-cell scores). 4-bit codes, pack a power of two (8 per word).
+template <bool kPacked, bool kGapped>
+void decode_pair_affine_impl(const Args &A, int k, int nc, int pshift) {
   const int m = A.m, n = A.n;
   const int aln_cap = m + n;
-  char *rg = A.read_gapped + (size_t)k * aln_cap;
-  char *fg = A.ref_gapped + (size_t)k * aln_cap;
+  char *rg = kGapped ? A.read_gapped + (size_t)k * aln_cap : nullptr;
+  char *fg = kGapped ? A.ref_gapped + (size_t)k * aln_cap : nullptr;
   const uint8_t *read = A.reads + (size_t)k * m;
   const uint8_t *ref = A.refs + (size_t)k * n;
   const char *rt = A.read_texts ? A.read_texts + (size_t)k * m : nullptr;
   const char *ft = A.ref_texts ? A.ref_texts + (size_t)k * n : nullptr;
+  const int32_t *pw =
+      kPacked ? static_cast<const int32_t *>(A.ptr_data) + (size_t)k * m * nc
+              : nullptr;
+  const uint8_t *pd =
+      kPacked ? nullptr
+              : static_cast<const uint8_t *>(A.ptr_data) + (size_t)k * m * n;
+  const int jmask = A.pack - 1;
 
   int rp = A.start_r[k];
   int fp = A.start_f[k];
   const int start_rp = rp, start_fp = fp;
+
+  if ((size_t)tl_runs.size() < (size_t)aln_cap + 1) tl_runs.resize(aln_cap + 1);
+  uint32_t *runs = tl_runs.data();
+  int runs_n = 0;
+  int cur_op = -1, cur_len = 0;
+  auto push_op = [&](int op) {
+    if (op == cur_op) {
+      ++cur_len;
+    } else {
+      if (cur_op >= 0) runs[runs_n++] = (uint32_t)(cur_len << 2) | cur_op;
+      cur_op = op;
+      cur_len = 1;
+    }
+  };
+
   int pos = aln_cap;
   int steps = 0;
   int state = 0;  // 0=H, 1=F(up), 2=E(left)
   while (steps <= aln_cap) {
     if (rp < 0) break;  // boundary row 0
-    char rc = rt ? rt[rp] : kCodeChar[read[rp] <= 5 ? read[rp] : 0];
     if (fp < 0) {
       if (!A.is_nw) break;
-      --pos;
-      rg[pos] = rc;
-      fg[pos] = '-';
+      if (kGapped) {
+        --pos;
+        rg[pos] = rt ? rt[rp] : kCodeChar[read[rp] <= 5 ? read[rp] : 0];
+        fg[pos] = '-';
+      }
+      push_op(1);
       --rp;
       ++steps;
       continue;
     }
-    char fc = ft ? ft[fp] : kCodeChar[ref[fp] <= 5 ? ref[fp] : 0];
-    int code = load_ptr(A, k, rp, fp);
+    int code;
+    if (kPacked) {
+      code = (pw[(size_t)rp * nc + (fp >> pshift)] >> (4 * (fp & jmask))) & 15;
+    } else {
+      code = pd[(size_t)rp * n + fp];
+    }
     int hptr = code & 3;
     if (state == 0) {
       if (hptr == START) break;
       if (hptr == DIAG) {
-        --pos;
-        rg[pos] = rc;
-        fg[pos] = fc;
+        if (kGapped) {
+          --pos;
+          rg[pos] = rt ? rt[rp] : kCodeChar[read[rp] <= 5 ? read[rp] : 0];
+          fg[pos] = ft ? ft[fp] : kCodeChar[ref[fp] <= 5 ? ref[fp] : 0];
+        }
+        push_op(0);
         --rp;
         --fp;
         ++steps;
@@ -214,45 +313,39 @@ void decode_pair_affine(const Args &A, int k) {
         state = 2;
       }
     } else if (state == 1) {
-      --pos;
-      rg[pos] = rc;
-      fg[pos] = '-';
+      if (kGapped) {
+        --pos;
+        rg[pos] = rt ? rt[rp] : kCodeChar[read[rp] <= 5 ? read[rp] : 0];
+        fg[pos] = '-';
+      }
+      push_op(1);
       --rp;
       if (!((code >> 3) & 1)) state = 0;
       ++steps;
     } else {
-      --pos;
-      rg[pos] = '-';
-      fg[pos] = fc;
+      if (kGapped) {
+        --pos;
+        rg[pos] = '-';
+        fg[pos] = ft ? ft[fp] : kCodeChar[ref[fp] <= 5 ? ref[fp] : 0];
+      }
+      push_op(2);
       --fp;
       if (!((code >> 2) & 1)) state = 0;
       ++steps;
     }
   }
+  if (cur_op >= 0) runs[runs_n++] = (uint32_t)(cur_len << 2) | cur_op;
 
-  const int aln_len = aln_cap - pos;
-  std::memmove(rg, rg + pos, aln_len);
-  std::memmove(fg, fg + pos, aln_len);
+  const int aln_len = steps;
+  if (kGapped) {
+    std::memmove(rg, rg + pos, aln_len);
+    std::memmove(fg, fg + pos, aln_len);
+  }
 
   int32_t score = A.scores_in ? A.scores_in[k] : 0;
 
   char *cg = A.cigar_out + (size_t)k * A.cigar_cap;
-  int clen = 0;
-  int run = 0;
-  char op = 0;
-  for (int t = 0; t < aln_len; ++t) {
-    char cur_op = rg[t] == '-' ? 'D' : (fg[t] == '-' ? 'I' : 'M');
-    if (cur_op == op) {
-      ++run;
-    } else {
-      if (run > 0 && clen + 12 < A.cigar_cap)
-        clen += std::snprintf(cg + clen, A.cigar_cap - clen, "%d%c", run, op);
-      op = cur_op;
-      run = 1;
-    }
-  }
-  if (run > 0 && clen + 12 < A.cigar_cap)
-    clen += std::snprintf(cg + clen, A.cigar_cap - clen, "%d%c", run, op);
+  int clen = format_cigar(runs, runs_n, cg, A.cigar_cap);
 
   int32_t *mt = A.meta + (size_t)k * 8;
   mt[0] = score;
@@ -263,6 +356,22 @@ void decode_pair_affine(const Args &A, int k) {
   mt[5] = aln_len;
   mt[6] = aln_cap - 1 - steps;
   mt[7] = clen;
+}
+
+void decode_pair_affine(const Args &A, int k) {
+  const int nc = (A.n + A.pack - 1) / A.pack;
+  const int pshift = __builtin_ctz(A.pack);
+  if (A.ptr_kind == 1) {
+    if (A.read_gapped)
+      decode_pair_affine_impl<true, true>(A, k, nc, pshift);
+    else
+      decode_pair_affine_impl<true, false>(A, k, nc, pshift);
+  } else {
+    if (A.read_gapped)
+      decode_pair_affine_impl<false, true>(A, k, nc, pshift);
+    else
+      decode_pair_affine_impl<false, false>(A, k, nc, pshift);
+  }
 }
 
 void decode_pair_banded(const Args &A, const int32_t *offsets,
@@ -426,6 +535,7 @@ extern "C" int val_decode_batch(
     int b, int m, int n, int match, int mismatch, int gap_read, int gap_ref,
     int is_nw, int is_affine, char *read_gapped, char *ref_gapped,
     char *cigar_out, int cigar_cap, int32_t *meta, int n_threads) {
+  if (pack <= 0 || (pack & (pack - 1)) != 0) return -2;  // power of two only
   Args A{ptr_data, ptr_kind, pack, reads, refs, read_texts, ref_texts,
          start_r, start_f, scores_in, b, m, n, match, mismatch, gap_read,
          gap_ref, is_nw, is_affine, read_gapped, ref_gapped, cigar_out,

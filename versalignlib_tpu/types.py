@@ -115,7 +115,9 @@ class AlignmentBatch:
     Columns: ``read_gapped``/``ref_gapped`` (b, aln_cap) uint8 ('-' gaps,
     NUL-padded tails), ``cigar`` (b, cigar_cap) uint8, ``meta`` (b, 8) int32
     [score, read_start, read_end, ref_start, ref_end, aln_len, buffer_start,
-    cigar_len].
+    cigar_len]. CIGAR-only batches (``gapped=False`` decode) carry ``None``
+    gapped columns — score/coords/CIGAR only, for pipelines that never
+    display gapped text.
     """
 
     def __init__(self, read_gapped, ref_gapped, cigar, meta):
@@ -132,6 +134,10 @@ class AlignmentBatch:
         return self.meta[:, 0]
 
     def __getitem__(self, k: int) -> "Alignment":
+        if self.read_gapped is None:
+            raise ValueError("CIGAR-only AlignmentBatch (decoded with "
+                             "gapped=False) cannot materialize Alignment "
+                             "objects; read meta/cigar columns directly")
         (score, rs, re_, fs, fe, aln_len, buf_start, clen) = (
             int(x) for x in self.meta[k])
         return Alignment(
@@ -151,9 +157,10 @@ class AlignmentBatch:
     def concat(batches: list["AlignmentBatch"]) -> "AlignmentBatch":
         import numpy as _np
 
+        gapped = batches[0].read_gapped is not None
         return AlignmentBatch(
-            _np.concatenate([b.read_gapped for b in batches]),
-            _np.concatenate([b.ref_gapped for b in batches]),
+            _np.concatenate([b.read_gapped for b in batches]) if gapped else None,
+            _np.concatenate([b.ref_gapped for b in batches]) if gapped else None,
             _np.concatenate([b.cigar for b in batches]),
             _np.concatenate([b.meta for b in batches]),
         )
@@ -162,6 +169,9 @@ class AlignmentBatch:
         """Stream alignments to a text file without materializing objects
         (``compat``: the reference's two-lines+blank format, main.cpp:146-153;
         else the extended ``read/ref/cigar\\tscore`` format)."""
+        if self.read_gapped is None:
+            raise ValueError("CIGAR-only AlignmentBatch cannot write gapped "
+                             "text; decode with gapped=True for display output")
         rg, fg, cg, meta = self.read_gapped, self.ref_gapped, self.cigar, self.meta
         for k in range(len(self)):
             aln_len = int(meta[k, 5])
