@@ -268,9 +268,9 @@ def main() -> int:
                         (sizes[1] - sizes[0]) * cells_per_unit / dt / 1e9)
             return round(float(np.median(rates)), 1) if rates else 0.0
 
-        def score_run(b_):
+        def score_run(b_, n_=512):
             r = jnp.asarray(rng.integers(1, 5, size=(b_, 512)).astype(np.uint8))
-            f = jnp.asarray(rng.integers(1, 5, size=(b_, 512)).astype(np.uint8))
+            f = jnp.asarray(rng.integers(1, 5, size=(b_, n_)).astype(np.uint8))
             def go(tag, r=r, f=f):
                 r = r.at[0, 0].set(tag % 4 + 1)
                 np.asarray(score_batch_device(r, f, p_lin,
@@ -286,6 +286,15 @@ def main() -> int:
         perf["score_sw_512_gcups"] = marginal(
             lambda b_, tag: runs[b_](tag), (4096, 32768), 512 * 512)
         print(f"  SW score 512x512: {perf['score_sw_512_gcups']:.1f} GCUPS")
+
+        # Odd ref length (prime 509): the r2 kernels dropped to unroll/pack
+        # 1 here (16x pointer bytes); the statically-shaped remainder chunk
+        # must keep this within ~1.5x of n=512.
+        runs509 = {b_: score_run(b_, n_=509) for b_ in (4096, 32768)}
+        perf["score_sw_509_gcups"] = marginal(
+            lambda b_, tag: runs509[b_](tag), (4096, 32768), 512 * 509)
+        print(f"  SW score 512x509 (odd n): "
+              f"{perf['score_sw_509_gcups']:.1f} GCUPS")
 
         # Matrix-mode scoring (bit-packed lookup, make_sub_fn): BLOSUM62
         # S=25 protein — the large-alphabet throughput story.
@@ -332,13 +341,13 @@ def main() -> int:
                                                        _last_valid_pos,
                                                        _pack_blocks, _pack_vec)
 
-        def align_run(b_):
+        def align_run(b_, n_=512):
             r = rng.integers(1, 5, size=(b_, 512)).astype(np.uint8)
-            f = rng.integers(1, 5, size=(b_, 512)).astype(np.uint8)
+            f = rng.integers(1, 5, size=(b_, n_)).astype(np.uint8)
             g = -(-b_ // 1024)
             mrp = _pack_vec(_last_valid_pos(r, TieBreak.DIAG_UP_LEFT), g)
             rb = jnp.asarray(_pack_blocks(r, g, 512))
-            fb = jnp.asarray(_pack_blocks(f, g, 512))
+            fb = jnp.asarray(_pack_blocks(f, g, n_))
             def go(tag, rb=rb, fb=fb, mrp=mrp):
                 rb = rb.at[0, 0, 0, 0].set(tag % 4 + 1)
                 out = _align_blocks(rb, fb, mrp, p_lin,
@@ -351,6 +360,14 @@ def main() -> int:
         perf["align_sw_512_gcups"] = marginal(
             lambda b_, tag: aruns[b_](tag), (4096, 16384), 512 * 512)
         print(f"  SW align fill 512x512: {perf['align_sw_512_gcups']:.1f} GCUPS")
+
+        # Odd ref length align fill (see score_sw_509 above): pointer words
+        # stay fully packed (ceil(509/16) words + one partial).
+        aruns509 = {b_: align_run(b_, n_=509) for b_ in (4096, 16384)}
+        perf["align_sw_509_gcups"] = marginal(
+            lambda b_, tag: aruns509[b_](tag), (4096, 16384), 512 * 509)
+        print(f"  SW align fill 512x509 (odd n): "
+              f"{perf['align_sw_509_gcups']:.1f} GCUPS")
 
         from versalignlib_tpu.ops.banded import _banded_align_blocks
 

@@ -201,6 +201,16 @@ def test_map_to_reference_mesh_matches_single(rng, default_params):
     for a, b in zip(single.alignments, sharded.alignments):
         assert (a.ref_start, a.cigar, a.score) == (b.ref_start, b.cigar,
                                                    b.score)
+    # Window-axis sharding (the many side shards; reads replicate).
+    psharded = map_to_reference(reads, [ref], default_params,
+                                mesh=make_mesh(8), panel_axis="panel")
+    assert np.array_equal(single.pos, psharded.pos)
+    assert np.array_equal(single.score, psharded.score)
+    assert np.array_equal(single.strand, psharded.strand)
+    assert np.array_equal(single.mapq, psharded.mapq)
+    for a, b in zip(single.alignments, psharded.alignments):
+        assert (a.ref_start, a.cigar, a.score) == (b.ref_start, b.cigar,
+                                                   b.score)
 
 
 def test_map_to_reference_overlap_warning(rng, default_params):

@@ -112,6 +112,15 @@ def test_search_mesh_matches_single(rng, default_params):
                                    backend="oracle")
     np.testing.assert_array_equal(arg, arg1)
     np.testing.assert_array_equal(best, best1)
+    # Panel-axis sharding: the many side shards, device-local top-k folds.
+    psharded = score_matrix(reads, panel, default_params, mesh=mesh,
+                            max_pairs=32, panel_axis="panel")
+    np.testing.assert_array_equal(psharded, single)
+    arg_p, best_p, _ = best_hits(reads, panel, default_params, mesh=mesh,
+                                 align=False, panel_axis="panel",
+                                 max_pairs=32)
+    np.testing.assert_array_equal(arg_p, arg1)
+    np.testing.assert_array_equal(best_p, best1)
     for g, w in zip(alns, alns1):
         assert (g.read, g.ref, g.score, g.cigar) == (w.read, w.ref, w.score, w.cigar)
 

@@ -47,11 +47,14 @@ from versalignlib_tpu.types import Algorithm, Alignment, TieBreak, Trace
 
 
 def _pick_pack(n: int) -> int:
-    """Pointers per int32 word == inner unroll (16 = fully packed words)."""
-    for u in (16, 8, 4, 2):
-        if n % u == 0:
-            return u
-    return 1
+    """Pointers per int32 word — always fully packed (16 x 2-bit codes).
+
+    Round-2 picked the largest divisor of n, which collapsed to 1 for odd
+    ref lengths (16x the pointer bytes). The kernels now run full words via
+    the grid loop plus ONE statically-shaped partial word for ``n % 16``
+    trailing columns, so the pack never degrades; the decoder's word count
+    is ceil(n / 16)."""
+    return 16
 
 
 #: rows advanced together per align grid step (register wavefront)
@@ -61,14 +64,15 @@ ALIGN_WAVE_ROWS = 4
 def align_vmem_plan(n: int, affine: bool = False, local: bool = False) -> int:
     """VMEM bytes the align kernels request (worst case over algorithms when
     ``local=False``): double-buffered R-row read group, ref block, mrp,
-    packed pointer + aux rows, hsel (NW), plus H/hkeep (+F) scratch.
-    m-independent — read rows stream R at a time through the grid. Single
-    source of truth shared with ``capabilities.dense_fits``."""
+    packed pointer rows + the folded (4,) aux block, hsel (NW), plus
+    H/hkeep (+F) scratch. m-independent — read rows stream R at a time
+    through the grid. Single source of truth shared with
+    ``capabilities.dense_fits``."""
     R = ALIGN_WAVE_ROWS
     pack = _pick_pack_affine(n) if affine else _pick_pack(n)
-    nc = n // max(pack, 1)
+    nc = -(-n // pack)
     return 4 * BLOCK_PAIRS * 2 * (
-        R + n + 1 + R * (nc + 2) + (0 if local else (n + 1))
+        R + n + 1 + R * nc + 4 + (0 if local else (n + 1))
     ) + 4 * BLOCK_PAIRS * (
         ((2 if affine else 1)) * (n + 1) + (0 if local else (n + 1))
     ) + 2 * 1024 * 1024
@@ -89,14 +93,27 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
       refs_ref:  (1, n, 8, 128)   — ref codes (constant across groups)
       mrp_ref:   (1, 8, 128)      — per-pair max_read_pos (NW row capture)
     Outputs:
-      ptr_ref:   (1, R, n//pack, 8, 128) int32 — packed pointer rows
-      aux_ref:   (1, R, 2, 8, 128) int32 — per-row [row_max, row_argmax]
-                 (leftmost strict argmax; NW seeds with the column-0 value at
-                 index 0, DefaultKernel.cpp:317-318; the SW global best is
-                 reduced on host from the row journal — row-major first-win)
+      ptr_ref:   (1, R, ceil(n/pack), 8, 128) int32 — packed pointer rows
+                 (the last word is partial when pack does not divide n)
+      aux_ref:   (1, 4, 8, 128) int32 — journal folded ON DEVICE (the r2
+                 per-row journal shipped (m_pad, 2) words/pair; this is 4):
+                 SW  [global_max, argmax_row, argmax_col, 0] with the
+                     reference's row-major strict-first-win scan seeded
+                     0/(0,0) (DefaultKernel.cpp:252-256);
+                 NW  [row_argmax of the last valid read row, 0, 0, 0]
+                     (leftmost strict argmax seeded by the column-0 value at
+                     index 0, DefaultKernel.cpp:317-318).
       hsel_ref:  (1, n+1, 8, 128) int32 — H row of each pair's last valid
                  read row (NW only)
     Scratch: h_ref (n+1, 8, 128); hkeep_ref (n+1, 8, 128) (NW only).
+
+    The aux block maps to the same VMEM block for every row group, so the
+    fold is a read-modify-write across grid steps: per-row (max, argmax)
+    registers accumulate inside the group, then merge in row order at group
+    end — preserving the reference's row-major first-win exactly. Padded
+    read rows (m_pad > m) are all-invalid; their values can only replay real
+    values diagonally (sub == 0, gaps negative), never exceed the running
+    max, and the strict ``>`` keeps the earlier real cell on equality.
     """
     if local:
         (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref, h_ref) = refs_args
@@ -110,13 +127,13 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
     mismatch = jnp.int32(params.score_mismatch)
     gap_read = jnp.int32(params.score_gap_read)
     gap_ref = jnp.int32(params.score_gap_ref)
-    n_words = n // pack
-    halves = max(1, pack // unroll)  # sub-chunks per packed word
+    n_words = n // pack          # full words; n % pack via one partial word
     zeros = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
 
     @pl.when(ip == 0)
     def _():
         h_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+        aux_ref[0] = jnp.zeros((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
         if not local:
             hkeep_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
 
@@ -150,21 +167,23 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
     l_code = jnp.int32(Trace.LEFT)
     s_code = jnp.int32(Trace.START)
 
-    def word_body(c, carry):
-        # One packed pointer word per iteration: `halves` statically-unrolled
-        # sub-chunks of `unroll` columns, one unconditional word store per
-        # row at the end (a predicated in-loop flush measured 20x slower).
+    def word_body(c, carry, sizes):
+        # One packed pointer word per iteration: statically-unrolled
+        # sub-chunks (``sizes``; (8, 8) for a full 16-column word, the tail
+        # split for the partial word), one unconditional word store per row
+        # at the end (a predicated in-loop flush measured 20x slower).
         lefts, diags, bests, bargs = carry
         words = [zeros] * R
-        for half in range(halves):
-            j0v = c * pack + half * unroll
-            old = h_ref[pl.ds(j0v + 1, unroll)]
-            ref_chunk = refs_ref[0, pl.ds(j0v, unroll)]
+        off = 0
+        for size in sizes:
+            j0v = c * pack + off
+            old = h_ref[pl.ds(j0v + 1, size)]
+            ref_chunk = refs_ref[0, pl.ds(j0v, size)]
             if not local:
-                keep_old = hkeep_ref[pl.ds(j0v + 1, unroll)]
+                keep_old = hkeep_ref[pl.ds(j0v + 1, size)]
                 keep_new = []
             store_vals = []
-            for u in range(unroll):
+            for u in range(size):
                 up = old[u]
                 ref_col = ref_chunk[u]
                 cctx = col_prep(ref_col)
@@ -195,7 +214,7 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
                             jnp.where(cur == left_v, l_code,
                                       jnp.where(cur == up_v, u_code, s_code)),
                         )
-                    words[r] = words[r] | (ptr << (2 * (half * unroll + u)))
+                    words[r] = words[r] | (ptr << (2 * (off + u)))
 
                     # Per-row leftmost strict argmax journal.
                     gt = cur > bests[r]
@@ -211,9 +230,10 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
                 store_vals.append(up)            # row R-1's H value
                 if not local:
                     keep_new.append(keep_u)
-            h_ref[pl.ds(j0v + 1, unroll)] = jnp.stack(store_vals)
+            h_ref[pl.ds(j0v + 1, size)] = jnp.stack(store_vals)
             if not local:
-                hkeep_ref[pl.ds(j0v + 1, unroll)] = jnp.stack(keep_new)
+                hkeep_ref[pl.ds(j0v + 1, size)] = jnp.stack(keep_new)
+            off += size
         for r in range(R):
             ptr_ref[0, r, c] = words[r]
         return lefts, diags, bests, bargs
@@ -224,12 +244,33 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
         [zeros if local else col0s[r + 1] for r in range(R)],  # row-max seed
         [zeros] * R,                               # row-arg seed (index 0)
     )
-    lefts, diags, bests, bargs = jax.lax.fori_loop(
-        0, n_words, word_body, init)
-    for r in range(R):
-        aux_ref[0, r, 0] = bests[r]
-        aux_ref[0, r, 1] = bargs[r]
-    if not local:
+    full_sizes = tuple([unroll] * (pack // unroll))
+    carry = jax.lax.fori_loop(
+        0, n_words, lambda c, cr: word_body(c, cr, full_sizes), init)
+    rem = n % pack
+    if rem:
+        # Partial trailing word: static shapes, full pack retained.
+        carry = word_body(n_words, carry,
+                          (rem,) if rem <= unroll else (unroll, rem - unroll))
+    lefts, diags, bests, bargs = carry
+
+    # Group-end fold into the persistent aux block (see docstring).
+    if local:
+        gbest, gi, gj = aux_ref[0, 0], aux_ref[0, 1], aux_ref[0, 2]
+        for r in range(R):
+            gt = bests[r] > gbest
+            gbest = jnp.where(gt, bests[r], gbest)
+            gi = jnp.where(gt, i0 + r, gi)
+            gj = jnp.where(gt, bargs[r], gj)
+        aux_ref[0, 0] = gbest
+        aux_ref[0, 1] = gi
+        aux_ref[0, 2] = gj
+    else:
+        garg = aux_ref[0, 0]
+        for r in range(R):
+            garg = jnp.where(mrows[r], bargs[r], garg)
+        aux_ref[0, 0] = garg
+
         @pl.when(ip == (m_pad // R) - 1)
         def _():
             hsel_ref[0] = hkeep_ref[...]
@@ -243,30 +284,31 @@ def _align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
     diagonally, NW rows beyond mrp are ignored); refs_b: (G, n, 8, 128);
     mrp_b: (G, 8, 128).
 
-    Returns (ptr_packed (G, m_pad, nc, 8, 128), aux (G, m_pad, 2, 8, 128),
+    Returns (ptr_packed (G, m_pad, ceil(n/16), 8, 128),
+             aux (G, 4, 8, 128) device-folded journal (see _align_kernel),
              hsel (G, n+1, 8, 128)).
     """
     g, m_pad = reads_b.shape[0], reads_b.shape[1]
     n = refs_b.shape[1]
     local = algorithm == Algorithm.SMITH_WATERMAN
     pack = _pick_pack(n)
-    unroll = min(pack, 8)
+    unroll = min(8, n)
     R = ALIGN_WAVE_ROWS
     assert m_pad % R == 0
     kernel = functools.partial(
         _align_kernel, m_pad=m_pad, n=n, pack=pack, unroll=unroll, R=R,
         params=params, local=local, tie=tie
     )
-    nc = n // pack
+    nc = -(-n // pack)
     out_specs = [
         pl.BlockSpec((1, R, nc, BLOCK_SUBLANES, BLOCK_LANES),
                      lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, 2, BLOCK_SUBLANES, BLOCK_LANES),
-                     lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, BLOCK_SUBLANES, BLOCK_LANES),
+                     lambda gg, ii: (gg, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((g, m_pad, nc, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((g, m_pad, 2, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((g, 4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
     ]
     scratch_shapes = [
         pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
@@ -397,7 +439,7 @@ def pallas_align_batch(
     pack = _pick_pack(n)
     if chunk_pairs is None:
         # ~64MB of packed pointers per round, in whole pair blocks.
-        bytes_per_pair = m * (n // pack) * 4
+        bytes_per_pair = m * (-(-n // pack)) * 4
         blocks = max(1, (64 << 20) // (bytes_per_pair * BLOCK_PAIRS))
         chunk_pairs = min(16, blocks) * BLOCK_PAIRS
     results: list[Alignment] = []
@@ -448,27 +490,20 @@ def _decode_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
     nb = r_np.shape[0]
     results: list[Alignment] = []
     ptr = _unpack_pairs(ptr, g)[:nb, :m]    # (nb, m, nc)
-    aux = _unpack_pairs(aux, g)[:nb, :m]    # (nb, m, 2) row journals
+    aux = _unpack_pairs(aux, g)[:nb]        # (nb, 4) device-folded journal
     if local:
-        # Reference SW argmax = first cell (row-major) attaining the global
-        # max, strict > scan seeded at 0/(0,0) (DefaultKernel.cpp:252-256):
-        # first row whose journaled row_max equals the global max, at that
-        # row's leftmost argmax.
-        row_max = aux[:, :, 0]              # (nb, m)
-        gmax = row_max.max(axis=1, initial=0)
-        bi = np.argmax(row_max == gmax[:, None], axis=1).astype(np.int32)
-        bj = aux[np.arange(nb), bi, 1].astype(np.int32)
-        zero_best = gmax <= 0
-        start_r = np.where(zero_best, 0, bi)
-        start_f = np.where(zero_best, 0, bj)
-        scores = np.maximum(gmax, 0).astype(np.int32)
+        # Device fold already implements the reference SW argmax: first cell
+        # (row-major) attaining the global max, strict > scan seeded at
+        # 0/(0,0) (DefaultKernel.cpp:252-256); gmax == 0 folds to (0, 0).
+        scores = aux[:, 0].astype(np.int32)
+        start_r = aux[:, 1].astype(np.int32)
+        start_f = aux[:, 2].astype(np.int32)
     else:
         hsel = _unpack_pairs(hsel, g)[:nb]  # (nb, n+1)
-        row_args = aux[:, :, 1]             # (nb, m)
         max_ref_pos = _last_valid_pos(f_np, tie, params.matrix)
-        gri = np.where(
-            mrp >= 0, row_args[np.arange(nb), np.maximum(mrp, 0)], 0
-        )
+        # aux[:, 0] = leftmost strict argmax of the last valid read row
+        # (0 when mrp < 0: no row matches the capture mask).
+        gri = aux[:, 0]
         start_r = mrp
         start_f = np.minimum(max_ref_pos, gri).astype(np.int32)
         scores = np.where(
@@ -505,10 +540,9 @@ def _decode_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
 # ---------------------------------------------------------------------------
 
 def _pick_pack_affine(n: int) -> int:
-    for u in (8, 4, 2):
-        if n % u == 0:
-            return u
-    return 1
+    """4-bit affine codes: always 8 per int32 word (partial trailing word
+    when 8 does not divide n — see _pick_pack)."""
+    return 8
 
 
 def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
@@ -522,8 +556,8 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
     Canonical tie order DIAG > UP(F) > LEFT(E) with the SW zero-force; the
     SSE flavor gates DIAG on symbol validity and orders DIAG > LEFT(E) >
     UP(F), no zero-force (gotoh._affine_pointers). Extend beats open on gap
-    ties in both flavors. aux journals per-row [row_max, row_argmax] like
-    the linear kernel.
+    ties in both flavors. aux is the device-folded (4,) journal of the
+    linear kernel (SW [gmax, gi, gj, 0]; NW [argmax of last valid row]).
     """
     from versalignlib_tpu.ops.pallas_score import NEG_INF_I32
 
@@ -550,6 +584,7 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
     def _():
         h_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
         f_ref[...] = jnp.full((n, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
+        aux_ref[0] = jnp.zeros((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
         if not local:
             hkeep_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
 
@@ -583,19 +618,19 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
     l_code = jnp.int32(Trace.LEFT)
     s_code = jnp.int32(Trace.START)
 
-    def word_body(c, carry):
+    def word_body(c, carry, size):
         lefts, diags, evals, bests, bargs = carry
         j0 = c * pack
-        old = h_ref[pl.ds(j0 + 1, pack)]
-        ref_chunk = refs_ref[0, pl.ds(j0, pack)]
-        f_old = f_ref[pl.ds(j0, pack)]
+        old = h_ref[pl.ds(j0 + 1, size)]
+        ref_chunk = refs_ref[0, pl.ds(j0, size)]
+        f_old = f_ref[pl.ds(j0, size)]
         if not local:
-            keep_old = hkeep_ref[pl.ds(j0 + 1, pack)]
+            keep_old = hkeep_ref[pl.ds(j0 + 1, size)]
             keep_new = []
         store_vals = []
         f_store = []
         words = [zeros] * R
-        for u in range(pack):
+        for u in range(size):
             up = old[u]
             ref_col = ref_chunk[u]
             cctx = col_prep(ref_col)
@@ -647,10 +682,10 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
             f_store.append(f_up)         # row R-1's F value
             if not local:
                 keep_new.append(keep_u)
-        h_ref[pl.ds(j0 + 1, pack)] = jnp.stack(store_vals)
-        f_ref[pl.ds(j0, pack)] = jnp.stack(f_store)
+        h_ref[pl.ds(j0 + 1, size)] = jnp.stack(store_vals)
+        f_ref[pl.ds(j0, size)] = jnp.stack(f_store)
         if not local:
-            hkeep_ref[pl.ds(j0 + 1, pack)] = jnp.stack(keep_new)
+            hkeep_ref[pl.ds(j0 + 1, size)] = jnp.stack(keep_new)
         for r in range(R):
             ptr_ref[0, r, c] = words[r]
         return lefts, diags, evals, bests, bargs
@@ -668,12 +703,30 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
         [zeros if local else col0s[r + 1] for r in range(R)],
         [zeros] * R,
     )
-    lefts, diags, evals, bests, bargs = jax.lax.fori_loop(
-        0, n_words, word_body, init)
-    for r in range(R):
-        aux_ref[0, r, 0] = bests[r]
-        aux_ref[0, r, 1] = bargs[r]
-    if not local:
+    carry = jax.lax.fori_loop(
+        0, n_words, lambda c, cr: word_body(c, cr, pack), init)
+    rem = n % pack
+    if rem:
+        carry = word_body(n_words, carry, rem)
+    lefts, diags, evals, bests, bargs = carry
+
+    # Group-end fold into the persistent aux block (see _align_kernel).
+    if local:
+        gbest, gi, gj = aux_ref[0, 0], aux_ref[0, 1], aux_ref[0, 2]
+        for r in range(R):
+            gt = bests[r] > gbest
+            gbest = jnp.where(gt, bests[r], gbest)
+            gi = jnp.where(gt, i0 + r, gi)
+            gj = jnp.where(gt, bargs[r], gj)
+        aux_ref[0, 0] = gbest
+        aux_ref[0, 1] = gi
+        aux_ref[0, 2] = gj
+    else:
+        garg = aux_ref[0, 0]
+        for r in range(R):
+            garg = jnp.where(mrows[r], bargs[r], garg)
+        aux_ref[0, 0] = garg
+
         @pl.when(ip == (m_pad // R) - 1)
         def _():
             hsel_ref[0] = hkeep_ref[...]
@@ -694,16 +747,16 @@ def _affine_align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
         _affine_align_kernel, m_pad=m_pad, n=n, pack=pack, R=R,
         params=params, local=local, tie=tie
     )
-    nc = n // pack
+    nc = -(-n // pack)
     out_specs = [
         pl.BlockSpec((1, R, nc, BLOCK_SUBLANES, BLOCK_LANES),
                      lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, R, 2, BLOCK_SUBLANES, BLOCK_LANES),
-                     lambda gg, ii: (gg, ii, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 4, BLOCK_SUBLANES, BLOCK_LANES),
+                     lambda gg, ii: (gg, 0, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((g, m_pad, nc, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
-        jax.ShapeDtypeStruct((g, m_pad, 2, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+        jax.ShapeDtypeStruct((g, 4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
     ]
     scratch_shapes = [
         pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
@@ -785,32 +838,48 @@ def pallas_align_affine_batch(
         ]
     pack = _pick_pack_affine(n)
     if chunk_pairs is None:
-        bytes_per_pair = m * (n // pack) * 4
+        bytes_per_pair = m * (-(-n // pack)) * 4
         blocks = max(1, (64 << 20) // (bytes_per_pair * BLOCK_PAIRS))
         chunk_pairs = min(16, blocks) * BLOCK_PAIRS
     results: list[Alignment] = []
     m_pad = -(-m // ALIGN_WAVE_ROWS) * ALIGN_WAVE_ROWS
-    for lo in range(0, b, chunk_pairs):
+
+    # Same 1-ahead pipelined dispatch as the linear path (the r2 affine loop
+    # was synchronous — device fill of chunk k+1 now overlaps the host
+    # decode of chunk k).
+    def _dispatch(lo):
         r_np = np.asarray(reads[lo : lo + chunk_pairs])
         f_np = np.asarray(refs[lo : lo + chunk_pairs])
-        nb = r_np.shape[0]
-        g = max(1, -(-nb // BLOCK_PAIRS))
+        g = max(1, -(-r_np.shape[0] // BLOCK_PAIRS))
         mrp = _last_valid_pos(r_np, tie, params.matrix)
         r_rows = np.pad(r_np, ((0, 0), (0, m_pad - m)))
-        ptr, aux, hsel = _affine_align_blocks(
+        dev = _affine_align_blocks(
             _pack_blocks(r_rows, g, m_pad), _pack_blocks(f_np, g, n),
             _pack_vec(mrp, g), params, algorithm, tie, interpret,
         )
-        chunk = _decode_affine_chunk(
+        return lo, r_np, f_np, mrp, g, dev
+
+    def _decode(item):
+        lo, r_np, f_np, mrp, g, (ptr, aux, hsel) = item
+        return _decode_affine_chunk(
             lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm, tie,
             pack, n, read_texts, ref_texts, raw,
         )
-        results.append(chunk) if raw else results.extend(chunk)
+
+    starts = list(range(0, b, chunk_pairs))
+    pending = []
+    for idx, start in enumerate(starts):
+        pending.append(_dispatch(start))
+        if len(pending) < 2 and idx + 1 < len(starts):
+            continue
+        results.append(_decode(pending.pop(0)))
+    for item in pending:
+        results.append(_decode(item))
     if raw:
         from versalignlib_tpu.types import AlignmentBatch
 
         return AlignmentBatch.concat(results)
-    return results
+    return [a for chunk in results for a in chunk]
 
 
 def _decode_affine_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params,
@@ -821,21 +890,15 @@ def _decode_affine_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params,
     m = r_np.shape[1]
     nb = r_np.shape[0]
     ptr = _unpack_pairs(ptr, g)[:nb, :m]
-    aux = _unpack_pairs(aux, g)[:nb, :m]
+    aux = _unpack_pairs(aux, g)[:nb]        # (nb, 4) device-folded journal
     if local:
-        row_max = aux[:, :, 0]
-        gmax = row_max.max(axis=1, initial=0)
-        bi = np.argmax(row_max == gmax[:, None], axis=1).astype(np.int32)
-        bj = aux[np.arange(nb), bi, 1].astype(np.int32)
-        zero_best = gmax <= 0
-        start_r = np.where(zero_best, 0, bi)
-        start_f = np.where(zero_best, 0, bj)
-        scores = np.maximum(gmax, 0).astype(np.int32)
+        scores = aux[:, 0].astype(np.int32)
+        start_r = aux[:, 1].astype(np.int32)
+        start_f = aux[:, 2].astype(np.int32)
     else:
         hsel = _unpack_pairs(hsel, g)[:nb]
-        row_args = aux[:, :, 1]
         max_ref_pos = _last_valid_pos(f_np, tie, params.matrix)
-        gri = np.where(mrp >= 0, row_args[np.arange(nb), np.maximum(mrp, 0)], 0)
+        gri = aux[:, 0]
         start_r = mrp
         start_f = np.minimum(max_ref_pos, gri).astype(np.int32)
         scores = np.where(

@@ -53,8 +53,10 @@ def _is_tpu() -> bool:
 
 
 def _pick_unroll(n: int) -> int:
-    """Largest unroll factor dividing n (no ref padding: it would change NW
-    overlap scores, whose per-row bookkeeping reads the LAST column)."""
+    """Largest unroll factor dividing n — retained for the search kernel;
+    the score/align kernels now run a fixed unroll of 8 over full chunks
+    plus one statically-shaped remainder chunk, so odd ref lengths keep
+    full throughput (the r2 cliff: unroll fell to 1 when n was prime)."""
     for u in (8, 4, 2):
         if n % u == 0:
             return u
@@ -215,7 +217,7 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
     open_ref = jnp.int32(params.gap_open_ref)
     zero = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
     neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
-    n_chunks = n // unroll
+    n_chunks = n // unroll   # full chunks; n % unroll handled statically
 
     # Fresh rows per grid step (scratch persists across grid iterations).
     h_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
@@ -233,16 +235,15 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
             rctxs = [row_prep(reads_ref[0, i0 + r]) for r in range(R)]
             h0 = h_ref[0]  # column-0 boundary: 0 in both score paths
 
-            def chunk_body(c, carry):
+            def run_chunk(j0, carry, size):
                 lefts, diags, evals, best = carry
-                j0 = c * unroll
-                old = h_ref[pl.ds(j0 + 1, unroll)]   # row i0-1 values
-                ref_chunk = refs_ref[0, pl.ds(j0, unroll)]
+                old = h_ref[pl.ds(j0 + 1, size)]     # row i0-1 values
+                ref_chunk = refs_ref[0, pl.ds(j0, size)]
                 if affine:
-                    f_old = f_ref[pl.ds(j0, unroll)]
+                    f_old = f_ref[pl.ds(j0, size)]
                     f_store = []
                 store_vals = []
-                for u in range(unroll):
+                for u in range(size):
                     cctx = col_prep(ref_chunk[u])
                     up = old[u]
                     f_up = f_old[u] if affine else None
@@ -278,13 +279,20 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
                         evals = new_evals
                         f_store.append(f_up)   # row R-1's F value
                     store_vals.append(up)      # row R-1's H value
-                h_ref[pl.ds(j0 + 1, unroll)] = jnp.stack(store_vals)
+                h_ref[pl.ds(j0 + 1, size)] = jnp.stack(store_vals)
                 if affine:
-                    f_ref[pl.ds(j0, unroll)] = jnp.stack(f_store)
+                    f_ref[pl.ds(j0, size)] = jnp.stack(f_store)
                 return lefts, diags, evals, best
 
             init = ([h0] * R, [h0] * R, [neg_inf] * R, best)
-            lefts, _, _, best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+            carry = jax.lax.fori_loop(
+                0, n_chunks, lambda c, cr: run_chunk(c * unroll, cr, unroll),
+                init)
+            if n % unroll:
+                # Statically-shaped remainder columns (odd ref lengths keep
+                # the full unroll for the bulk of the sweep).
+                carry = run_chunk(n_chunks * unroll, carry, n % unroll)
+            lefts, _, _, best = carry
             if not local:
                 # NW overlap: max over the LAST column of every row
                 # (DefaultKernel.cpp:177); lefts[r] holds H_{i0+r}[n].
@@ -330,7 +338,7 @@ def _score_blocks(reads_b, refs_b, params: AlignmentParameters,
     n = refs_b.shape[1]
     local = algorithm == Algorithm.SMITH_WATERMAN
     kernel = functools.partial(
-        _score_kernel, m=m, n=n, unroll=_pick_unroll(n),
+        _score_kernel, m=m, n=n, unroll=min(8, n),
         params=params, local=local,
     )
     vmem_bytes = score_vmem_plan(m, n, params.affine)

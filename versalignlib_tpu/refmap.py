@@ -127,12 +127,14 @@ def tile_references(
 
 
 def _stream_topk(reads_enc, windows, params, algorithm, impl, interpret,
-                 chunk, mesh, k: int = TOPK):
+                 chunk, mesh, k: int = TOPK, panel_axis: str = "reads"):
     """Top-k (score, window-index) fold over window chunks.
 
     Returns (vals (B, k) int32 desc, args (B, k) int32). Within-chunk and
     cross-chunk ties resolve to the LOWER window index (scan order, the
-    panel-search convention).
+    panel-search convention). ``panel_axis="panel"`` (with ``mesh``) shards
+    the WINDOW axis over the mesh with device-local top-k folds — genome
+    window sets never replicate per device (see search.score_matrix).
     """
     import jax.numpy as jnp
 
@@ -145,7 +147,13 @@ def _stream_topk(reads_enc, windows, params, algorithm, impl, interpret,
     for lo in range(0, r, chunk):
         pc = windows[lo : lo + chunk]
         kk = min(k, pc.shape[0])
-        if mesh is None:
+        if mesh is not None and panel_axis == "panel":
+            from versalignlib_tpu.search import _mesh_topk_scores
+
+            top_v, top_a = _mesh_topk_scores(reads_enc, pc, params,
+                                             algorithm, impl, interpret,
+                                             mesh, k=kk)
+        elif mesh is None:
             # Device-side top-k: O(B*k) over the link instead of (B, R);
             # lax.top_k is stable (ties keep the LOWER window index).
             from versalignlib_tpu.search import _score_topk_chunk
@@ -228,6 +236,7 @@ def map_to_reference(
     tie: TieBreak = TieBreak.DIAG_UP_LEFT,
     mesh=None,
     both_strands: bool = True,
+    panel_axis: str = "reads",
 ) -> ReferenceHits:
     """Map reads against long references by exhaustive window scoring.
 
@@ -238,7 +247,11 @@ def map_to_reference(
     contained in some window, making the search exact. Both strands are
     scored (DNA; disable with ``both_strands=False``). ``align=True``
     tracebacks each read against its winning window only and shifts the
-    result to global coordinates.
+    result to global coordinates. ``panel_axis="panel"`` (with ``mesh``)
+    shards the WINDOW axis across devices with device-local top-k folds
+    instead of replicating the window set — use it when the tiled genome
+    dominates memory (the mesh analogue of the reference's memory-driven
+    work partitioning, OpenCLKernel.cpp:517-568).
     """
     if params.matrix is not None and both_strands:
         raise ValueError("both_strands mapping is DNA-only (custom "
@@ -283,13 +296,14 @@ def map_to_reference(
     min_dist = -(-index.window // index.stride)
     k = max(TOPK, 2 * min_dist)
     vals, args = _stream_topk(reads_enc, index.windows, params, algorithm,
-                              impl, interpret, chunk, mesh, k=k)
+                              impl, interpret, chunk, mesh, k=k,
+                              panel_axis=panel_axis)
     strand = np.zeros(b, dtype=np.int8)
     if both_strands:
         rc_enc = reverse_complement_codes(reads_enc)
         rc_vals, rc_args = _stream_topk(rc_enc, index.windows, params,
                                         algorithm, impl, interpret, chunk,
-                                        mesh, k=k)
+                                        mesh, k=k, panel_axis=panel_axis)
         rev = rc_vals[:, 0] > vals[:, 0]     # strict >: forward wins ties
         # The distinct-locus second-best needs candidates from BOTH
         # orientations relative to the WINNING orientation's locus; merge

@@ -120,6 +120,117 @@ def _score_cross_chunk_mesh(reads, panel, params: AlignmentParameters,
     return mapped(reads, panel)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "algorithm", "impl", "interpret", "k", "mesh"),
+)
+def _score_topk_chunk_mesh(reads, panel, params: AlignmentParameters,
+                           algorithm: Algorithm, impl: str, interpret: bool,
+                           k: int, mesh):
+    """Panel-sharded top-k: the panel chunk shards over the data axis (the
+    MANY side), reads replicate; every device folds its local top-k and the
+    trailing gather carries O(B * k * n_dev) (value, global-index) pairs.
+    Genome-scale window sets therefore never replicate per device — the
+    mesh analogue of the reference's memory-driven work partitioning
+    (OpenCLKernel.cpp:517-568), with the panel as the partitioned work list.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from versalignlib_tpu.parallel.mesh import DATA_AXIS
+
+    shard_r = panel.shape[0] // mesh.devices.size
+
+    def local(r, f):
+        s = _cross_scores(r, f, params, algorithm, impl, interpret)
+        v, i = jax.lax.top_k(s, k)  # stable: ties keep the LOWER local index
+        off = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * shard_r
+        return v, i + off
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None), P(DATA_AXIS, None)),
+        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        check_vma=False,
+    )
+    return mapped(reads, panel)
+
+
+def _mesh_topk_scores(reads_enc, panel_chunk, params, algorithm, impl,
+                      interpret, mesh, k: int):
+    """One panel chunk sharded over the mesh's data axis with device-local
+    top-k folds; the host k-way-merges the shard results.
+
+    Returns (vals (B, k) int64 desc, idx (B, k) int64 chunk-local), ties
+    resolved to the LOWEST panel index (scan order). Slots beyond the
+    chunk's real candidate count hold NEG32 / index 0.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from versalignlib_tpu.parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.devices.size
+    rc = panel_chunk.shape[0]
+    # Every shard needs >= k rows for lax.top_k; pads are all-invalid
+    # sequences appended at the end (global index >= rc), masked out below.
+    shard_r = max(-(-rc // n_dev), k)
+    pc = np.pad(panel_chunk, ((0, shard_r * n_dev - rc), (0, 0)))
+    pc_dev = jax.device_put(jnp.asarray(pc),
+                            NamedSharding(mesh, P(DATA_AXIS, None)))
+    reads_dev = jax.device_put(jnp.asarray(reads_enc),
+                               NamedSharding(mesh, P(None, None)))
+    v, i = _score_topk_chunk_mesh(reads_dev, pc_dev, params, algorithm,
+                                  impl, interpret, k, mesh)
+    v = np.asarray(v).astype(np.int64)
+    i = np.asarray(i).astype(np.int64)
+    v = np.where(i < rc, v, np.int64(NEG32))     # drop padding candidates
+    order = np.lexsort((i, -v), axis=1)[:, :k]   # (-score, index): first-win
+    return np.take_along_axis(v, order, axis=1), \
+        np.take_along_axis(np.where(i < rc, i, 0), order, axis=1)
+
+
+def _mesh_chunk_scores_panel(reads_enc, panel_chunk, params, algorithm, impl,
+                             interpret, mesh) -> np.ndarray:
+    """Full (B, Rc) score block with the PANEL sharded over the data axis
+    (reads replicated) — score_matrix's panel_axis="panel" mode."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from versalignlib_tpu.parallel.mesh import DATA_AXIS
+
+    n_dev = mesh.devices.size
+    rc = panel_chunk.shape[0]
+    r_pad = -(-rc // n_dev) * n_dev
+    pc = np.pad(panel_chunk, ((0, r_pad - rc), (0, 0)))
+    pc_dev = jax.device_put(jnp.asarray(pc),
+                            NamedSharding(mesh, P(DATA_AXIS, None)))
+    reads_dev = jax.device_put(jnp.asarray(reads_enc),
+                               NamedSharding(mesh, P(None, None)))
+    out = _score_cross_chunk_mesh_panel(reads_dev, pc_dev, params, algorithm,
+                                        impl, interpret, mesh)
+    return np.asarray(out)[:, :rc]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "algorithm", "impl", "interpret", "mesh"),
+)
+def _score_cross_chunk_mesh_panel(reads, panel, params: AlignmentParameters,
+                                  algorithm: Algorithm, impl: str,
+                                  interpret: bool, mesh):
+    from jax.sharding import PartitionSpec as P
+
+    from versalignlib_tpu.parallel.mesh import DATA_AXIS
+
+    mapped = jax.shard_map(
+        lambda r, f: _cross_scores(r, f, params, algorithm, impl, interpret),
+        mesh=mesh,
+        in_specs=(P(None, None), P(DATA_AXIS, None)),
+        out_specs=P(None, DATA_AXIS),
+        check_vma=False,
+    )
+    return mapped(reads, panel)
+
+
 def _pick_impl(impl: str, mesh=None) -> tuple[str, bool]:
     dev = mesh.devices.flat[0] if mesh is not None else jax.devices()[0]
     if impl != "auto":
@@ -173,7 +284,7 @@ NEG32 = np.iinfo(np.int32).min
 
 
 def _stream_best(reads_enc, panel_enc, params, algorithm, impl, interpret,
-                 chunk, mesh):
+                 chunk, mesh, panel_axis: str = "reads"):
     """Running top-2 fold over panel chunks.
 
     Returns (arg (B,), best (B,), second (B,)): the best entry's index and
@@ -188,7 +299,14 @@ def _stream_best(reads_enc, panel_enc, params, algorithm, impl, interpret,
     arg = np.zeros(b, dtype=np.int32)
     for lo in range(0, r, chunk):
         pc = panel_enc[lo : lo + chunk]
-        if mesh is not None:
+        if mesh is not None and panel_axis == "panel":
+            # Shard the MANY side: local top-2 per device, host k-way merge.
+            v, i = _mesh_topk_scores(reads_enc, pc, params, algorithm, impl,
+                                     interpret, mesh, k=2)
+            c_arg = i[:, 0].astype(np.int32)
+            c_best = v[:, 0].astype(np.int32)
+            c_second = v[:, 1]
+        elif mesh is not None:
             s = _chunk_scores(reads_enc, reads_dev, pc, params, algorithm,
                               impl, interpret, mesh)
             rows = np.arange(b)
@@ -224,14 +342,19 @@ def score_matrix(
     impl: str = "auto",
     max_pairs: int = 1 << 20,
     mesh=None,
+    panel_axis: str = "reads",
 ) -> np.ndarray:
     """All-vs-all scores: (B,) reads x (R,) panel -> (B, R) int32.
 
     ``max_pairs`` bounds the device batch per dispatch (the panel streams
     through in ``ceil(B*R / max_pairs)`` chunks). ``impl``: auto = pallas
     on TPU, xla elsewhere. ``mesh``: optional ``jax.sharding.Mesh`` —
-    reads shard over its data axis with the panel chunk replicated
-    (zero inter-device communication; the gather is the only collective).
+    ``panel_axis`` selects which side shards over its data axis:
+    ``"reads"`` (default) shards the read batch and replicates the panel
+    chunk; ``"panel"`` shards the panel chunk and replicates the reads —
+    use it when the many side dominates memory (genome window sets). Both
+    modes have zero inter-device communication; the result gather is the
+    only collective.
     """
     reads_enc = _encode(reads)
     panel_enc = _encode(panel)
@@ -248,9 +371,13 @@ def score_matrix(
     out = np.empty((b, r), dtype=np.int32)
     for lo in range(0, r, chunk):
         pc = panel_enc[lo : lo + chunk]
-        out[:, lo : lo + pc.shape[0]] = _chunk_scores(
-            reads_enc, reads_dev, pc, params, algorithm, impl, interpret,
-            mesh)
+        if mesh is not None and panel_axis == "panel":
+            out[:, lo : lo + pc.shape[0]] = _mesh_chunk_scores_panel(
+                reads_enc, pc, params, algorithm, impl, interpret, mesh)
+        else:
+            out[:, lo : lo + pc.shape[0]] = _chunk_scores(
+                reads_enc, reads_dev, pc, params, algorithm, impl, interpret,
+                mesh)
     return out
 
 
@@ -265,6 +392,7 @@ def best_hits(
     backend: str = "auto",
     tie: TieBreak = TieBreak.DIAG_UP_LEFT,
     mesh=None,
+    panel_axis: str = "reads",
 ) -> tuple[np.ndarray, np.ndarray, list[Alignment] | None]:
     """Best panel hit per read: (hit_index (B,), score (B,), alignments).
 
@@ -273,6 +401,9 @@ def best_hits(
     the full traceback ONLY on each read's winning pair — B alignments
     total instead of B×R — through the normal backend dispatch. An empty
     panel yields hit index -1 and int32-min scores (no fabricated hit 0).
+    ``panel_axis="panel"`` (with ``mesh``) shards the panel across devices
+    with device-local top-k folds instead of replicating it (see
+    :func:`score_matrix`).
     """
     reads_enc = _encode(reads)
     panel_enc = _encode(panel)
@@ -288,7 +419,7 @@ def best_hits(
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(r, max_pairs // max(b, 1)))
     arg, best, _ = _stream_best(reads_enc, panel_enc, params, algorithm,
-                                impl, interpret, chunk, mesh)
+                                impl, interpret, chunk, mesh, panel_axis)
     if not align:
         return arg, best, None
     alns = _align_pairs(reads_enc, panel_enc[arg], params, algorithm, tie,
@@ -485,6 +616,7 @@ def map_reads(
     tie: TieBreak = TieBreak.DIAG_UP_LEFT,
     mesh=None,
     both_strands: bool = True,
+    panel_axis: str = "reads",
 ) -> SearchHits:
     """Strand-aware read mapping: best panel hit over both orientations.
 
@@ -494,6 +626,8 @@ def map_reads(
     read's winning (orientation, panel entry) pair only; reverse-strand
     alignments are reported in reverse-complement read coordinates (the
     SAM convention — ``io.sam.write_sam`` sets flag 16 from ``strand``).
+    ``panel_axis="panel"`` (with ``mesh``) shards the panel across devices
+    instead of replicating it (see :func:`score_matrix`).
     """
     if params.matrix is not None and both_strands:
         raise ValueError("both_strands mapping is DNA-only (custom "
@@ -515,7 +649,7 @@ def map_reads(
     algorithm = Algorithm(algorithm)
     chunk = max(1, min(r, max_pairs // max(b, 1)))
     arg, best, second = _stream_best(reads_enc, panel_enc, params, algorithm,
-                                     impl, interpret, chunk, mesh)
+                                     impl, interpret, chunk, mesh, panel_axis)
     strand = np.zeros(b, dtype=np.int8)
     if both_strands:
         from versalignlib_tpu.alphabet import reverse_complement_codes
@@ -523,7 +657,7 @@ def map_reads(
         rc_enc = reverse_complement_codes(reads_enc)
         rc_arg, rc_best, rc_second = _stream_best(
             rc_enc, panel_enc, params, algorithm, impl, interpret, chunk,
-            mesh)
+            mesh, panel_axis)
         rev = rc_best > best            # strict >: forward wins ties
         # Top-2 merge across the two orientations' candidate pools.
         second = np.maximum(
