@@ -121,3 +121,83 @@ def test_cli_panel_stats_columns(tmp_path, rng):
                "--stats-cache", str(cache)])
     assert rc == 0
     assert (tmp_path / "hits_smith_waterman.tsv").read_text() == first
+
+# ---------------------------------------------------------------------------
+# External-constant gates: the island method must reproduce the PUBLISHED
+# Karlin-Altschul constants (NCBI blast_stat.c tables), not merely separate
+# planted hits from noise. Precision artifact: scripts/calibrate_stats.py.
+# ---------------------------------------------------------------------------
+
+def test_karlin_lambda_blosum62_published():
+    """Theory cross-check: BLOSUM62 + Robinson-Robinson background must give
+    the published ungapped lambda 0.3176 (Altschul 1991 / blast_stat.c)."""
+    from versalignlib_tpu.alphabet import blosum62
+    from versalignlib_tpu.stats import ROBINSON_FREQS
+
+    p = AlignmentParameters(score_gap_read=-1, score_gap_ref=-1,
+                            matrix=blosum62())
+    lam = karlin_lambda(p, freqs=ROBINSON_FREQS)
+    assert abs(lam - 0.3176) < 5e-4
+
+
+def test_gumbel_mle_recovers_parameters(rng):
+    from versalignlib_tpu.stats import _gumbel_mle
+
+    mu, beta = 23.0, 4.0
+    x = rng.gumbel(mu, beta, size=20000)
+    lam, mode = _gumbel_mle(x)
+    assert abs(lam - 1 / beta) / (1 / beta) < 0.03
+    assert abs(mode - mu) < 0.2
+
+
+def test_islands_ungapped_dna_published():
+    """Ungapped +1/-2 DNA: lambda vs the exact theory root and K vs the
+    published NCBI blastn ungapped table value 0.621."""
+    from versalignlib_tpu.stats import calibrate_islands
+
+    p = AlignmentParameters(score_match=1, score_mismatch=-2,
+                            score_gap_read=-1000, score_gap_ref=-1000,
+                            gap_open_read=-1000000, gap_open_ref=-1000000)
+    cal = calibrate_islands(p, m=1024, n=1024, samples=8, seed=1)
+    theory = karlin_lambda(p)  # = ln((3 + sqrt(21)) / 2) ~= 1.3327
+    assert abs(cal.lam - theory) / theory < 0.03
+    assert abs(cal.k - 0.621) / 0.621 < 0.15
+
+
+def test_islands_gapped_blosum62_published():
+    """Gapped BLOSUM62 open 11 / extend 1 with the Robinson background:
+    lambda within 10% of the published 0.267 and K within 2x of 0.041
+    (the precision run in scripts/calibrate_stats.py lands within ~5%;
+    this gate trades samples for test runtime)."""
+    from versalignlib_tpu.alphabet import blosum62
+    from versalignlib_tpu.stats import ROBINSON_FREQS, calibrate_islands
+
+    p = AlignmentParameters(score_gap_read=-1, score_gap_ref=-1,
+                            gap_open_read=-11, gap_open_ref=-11,
+                            matrix=blosum62())
+    cal = calibrate_islands(p, m=1024, n=1024, samples=96, seed=3, c=28,
+                            freqs=ROBINSON_FREQS)
+    assert abs(cal.lam - 0.267) / 0.267 < 0.10
+    assert 0.5 * 0.041 < cal.k < 2.0 * 0.041
+
+
+def test_island_max_equals_sw_score(rng):
+    """The largest island peak IS the SW maximum — ties the extractor to
+    the golden-gated oracle on both linear and affine models."""
+    from versalignlib_tpu.ops import gotoh, oracle
+    from versalignlib_tpu.stats import island_scores
+    from versalignlib_tpu.types import Algorithm
+
+    p_lin = AlignmentParameters()
+    p_aff = AlignmentParameters(score_gap_read=-1, score_gap_ref=-1,
+                                gap_open_read=-5, gap_open_ref=-5)
+    for _ in range(10):
+        m, n = rng.integers(5, 40, size=2)
+        r = rng.integers(1, 5, size=(1, m)).astype(np.uint8)
+        f = rng.integers(1, 5, size=(1, n)).astype(np.uint8)
+        pk = island_scores(r, f, p_lin)
+        want = oracle.score_alignments(
+            Algorithm.SMITH_WATERMAN, r, f, p_lin)[0]
+        assert pk.max(initial=0) == want
+        pk = island_scores(r, f, p_aff)
+        assert pk.max(initial=0) == gotoh.sw_score_affine(r[0], f[0], p_aff)

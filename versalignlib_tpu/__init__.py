@@ -41,7 +41,9 @@ from versalignlib_tpu.refmap import (
     map_to_reference,
     tile_references,
 )
-from versalignlib_tpu.stats import GumbelCalibration, calibrate, karlin_lambda
+from versalignlib_tpu.stats import (GumbelCalibration, ROBINSON_FREQS,
+                                    calibrate, calibrate_islands,
+                                    karlin_lambda)
 from versalignlib_tpu.seed import MinimizerIndex, build_index, minimizers
 from versalignlib_tpu.longread import LongReadHits, find_chains, map_long_reads
 
