@@ -1,0 +1,102 @@
+"""Device-side traceback walk (ops/walk.py): bit-exact vs the host decode.
+
+The device walk ships per-row path records instead of the packed pointer
+matrix; these tests gate that the replayed Alignments are IDENTICAL (every
+field) to the established fill + host-decode path — which is itself
+golden-gated against the compiled reference kernels — across algorithms,
+tie flavors, edge sequences, odd shapes, matrix mode, and chunk boundaries.
+"""
+
+import numpy as np
+import pytest
+
+from versalignlib_tpu.alphabet import pad_and_encode
+from versalignlib_tpu.ops.pallas_align import pallas_align_batch
+from versalignlib_tpu.params import AlignmentParameters
+from versalignlib_tpu.types import Algorithm, TieBreak
+
+P = AlignmentParameters()
+
+
+def _rand_codes(rng, b, m):
+    return rng.integers(0, 6, size=(b, m)).astype(np.int32)
+
+
+def _both(reads, refs, params, algorithm, tie=TieBreak.DIAG_UP_LEFT, **kw):
+    host = pallas_align_batch(reads, refs, params, algorithm, tie,
+                              interpret=True, **kw)
+    dev = pallas_align_batch(reads, refs, params, algorithm, tie,
+                             interpret=True, device_walk=True, **kw)
+    return host, dev
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN,
+                                       Algorithm.NEEDLEMAN_WUNSCH])
+@pytest.mark.parametrize("tie", [TieBreak.DIAG_UP_LEFT,
+                                 TieBreak.DIAG_LEFT_UP])
+def test_device_walk_matches_host_decode(rng, algorithm, tie):
+    reads = ["".join(rng.choice(list("ACGTacgtNn"),
+                                size=int(rng.integers(4, 30))))
+             for _ in range(21)] + ["", "NNNN", "ACGT"]
+    refs = ["".join(rng.choice(list("ACGTacgtNn"),
+                               size=int(rng.integers(4, 40))))
+            for _ in range(21)] + ["ACGT", "", "tttt"]
+    r = pad_and_encode(reads, max(len(s) for s in reads))
+    f = pad_and_encode(refs, max(len(s) for s in refs))
+    host, dev = _both(r, f, P, algorithm, tie)
+    assert host == dev
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN,
+                                       Algorithm.NEEDLEMAN_WUNSCH])
+@pytest.mark.parametrize("shape", [(13, 17), (9, 61), (30, 37)])
+def test_device_walk_odd_shapes(rng, algorithm, shape):
+    m, n = shape
+    r, f = _rand_codes(rng, 9, m), _rand_codes(rng, 9, n)
+    host, dev = _both(r, f, P, algorithm)
+    assert host == dev
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN,
+                                       Algorithm.NEEDLEMAN_WUNSCH])
+def test_device_walk_gap_heavy_runs(rng, algorithm):
+    # Cheap read-gaps force long LEFT runs (the arithmetic run-length path).
+    p = AlignmentParameters(score_match=2, score_mismatch=-1,
+                            score_gap_read=-1, score_gap_ref=-4)
+    r, f = _rand_codes(rng, 13, 8), _rand_codes(rng, 13, 50)
+    host, dev = _both(r, f, p, algorithm)
+    assert host == dev
+
+
+def test_device_walk_matrix_mode(rng):
+    # 6x6 matrix with a negative diagonal entry exercises matrix-aware
+    # validity + substitution on both paths.
+    mat = rng.integers(-3, 4, size=(6, 6)).astype(np.int32)
+    mat[0, :] = 0
+    mat[:, 0] = 0
+    p = AlignmentParameters(matrix=tuple(map(tuple, mat.tolist())))
+    r, f = _rand_codes(rng, 11, 14), _rand_codes(rng, 11, 23)
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        for tie in (TieBreak.DIAG_UP_LEFT, TieBreak.DIAG_LEFT_UP):
+            host, dev = _both(r, f, p, algorithm, tie)
+            assert host == dev
+
+
+def test_device_walk_multi_chunk_boundaries(rng):
+    # chunk_pairs=1024 -> two device rounds; pairs at the seam must agree.
+    r, f = _rand_codes(rng, 40, 12), _rand_codes(rng, 40, 19)
+    host, dev = _both(r, f, P, Algorithm.SMITH_WATERMAN, chunk_pairs=1024)
+    assert host == dev
+
+
+def test_device_walk_raw_column_store(rng):
+    pytest.importorskip("versalignlib_tpu.native")
+    r, f = _rand_codes(rng, 17, 16), _rand_codes(rng, 17, 21)
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        host = pallas_align_batch(r, f, P, algorithm, interpret=True,
+                                  raw=True)
+        dev = pallas_align_batch(r, f, P, algorithm, interpret=True,
+                                 raw=True, device_walk=True)
+        assert len(host) == len(dev)
+        for i in range(len(host)):
+            assert host[i] == dev[i], i

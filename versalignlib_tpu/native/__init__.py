@@ -147,6 +147,11 @@ def decode_batch_native(
         words, pack = ptr
         ptr_arr = np.ascontiguousarray(words, dtype=np.int32)
         kind = 1
+    elif np.asarray(ptr).ndim == 2:
+        # Device-walk row records (b, m) int32 (ops/walk.py).
+        ptr_arr = np.ascontiguousarray(ptr, dtype=np.int32)
+        kind = 2
+        pack = 16
     else:
         ptr_arr = np.ascontiguousarray(ptr, dtype=np.uint8)
         kind = 0
@@ -232,6 +237,34 @@ def decode_batch_native(
             )
         )
     return out
+
+
+def replay_records_native(
+    records: np.ndarray,  # (b, m) int32 device-walk row records
+    reads: np.ndarray,
+    refs: np.ndarray,
+    start_read_pos: np.ndarray,
+    start_ref_pos: np.ndarray,
+    scores: np.ndarray,
+    params,
+    algorithm,
+    read_texts: list[str] | None = None,
+    ref_texts: list[str] | None = None,
+    raw: bool = False,
+    gapped: bool = True,
+    n_threads: int | None = None,
+):
+    """Replay device-walk row records (ops/walk.py) through the C++ walker.
+
+    Same outputs as :func:`decode_batch_native`; the walk consumes one
+    ``left_count*4 | exit_code`` record per visited row instead of fetching
+    2D pointers — the pointer matrix never left the device.
+    """
+    return decode_batch_native(
+        np.ascontiguousarray(records, dtype=np.int32), reads, refs,
+        start_read_pos, start_ref_pos, params, algorithm,
+        scores=scores, read_texts=read_texts, ref_texts=ref_texts,
+        raw=raw, gapped=gapped, n_threads=n_threads)
 
 
 def parse_fasta_codes(path) -> tuple[np.ndarray, np.ndarray]:

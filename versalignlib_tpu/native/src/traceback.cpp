@@ -26,7 +26,9 @@ constexpr int START = 0, UP = 1, LEFT = 2, DIAG = 3;
 
 struct Args {
   const void *ptr_data;
-  int ptr_kind;  // 0 = dense uint8 (b, m, n); 1 = packed int32 (b, m, nc)
+  int ptr_kind;  // 0 = dense uint8 (b, m, n); 1 = packed int32 (b, m, nc);
+                 // 2 = device-walk row records (b, m) int32 (ops/walk.py:
+                 //     left_count*4 | exit_code per row)
   int pack;
   const uint8_t *reads;  // (b, m) codes
   const uint8_t *refs;   // (b, n) codes
@@ -93,12 +95,16 @@ inline int format_cigar(const uint32_t *runs, int runs_n, char *cg, int cap) {
 }
 
 // The linear walk, templated on pointer layout and gapped-string emission so
-// the per-step loop carries no dead branches. kPacked: 2-bit codes in int32
-// words (the Pallas kernels' native stream; pack is always a power of two,
-// so word index / field shift are shifts and masks — the div/mod pair of the
-// previous revision cost ~40 cycles per step). CIGAR runs are accumulated
-// during the walk instead of re-scanning the gapped strings afterwards.
-template <bool kPacked, bool kGapped>
+// the per-step loop carries no dead branches. kPtr: 0 dense codes, 1 packed
+// 2-bit codes in int32 words (the Pallas kernels' native stream; pack is
+// always a power of two, so word index / field shift are shifts and masks —
+// the div/mod pair of the previous revision cost ~40 cycles per step),
+// 2 device-walk row records (ops/walk.py): per row, ``left_count*4 | code``
+// — the move at (rp, fp) is LEFT while fp is above the row's stop column
+// (fp_at_row_entry - left_count), then the recorded exit code; no 2D
+// pointer fetches at all. CIGAR runs are accumulated during the walk
+// instead of re-scanning the gapped strings afterwards.
+template <int kPtr, bool kGapped>
 void decode_pair_impl(const Args &A, int k, int nc, int pshift) {
   const int m = A.m, n = A.n;
   const int aln_cap = m + n;
@@ -109,17 +115,21 @@ void decode_pair_impl(const Args &A, int k, int nc, int pshift) {
   const char *rt = A.read_texts ? A.read_texts + (size_t)k * m : nullptr;
   const char *ft = A.ref_texts ? A.ref_texts + (size_t)k * n : nullptr;
   const int32_t *pw =
-      kPacked ? static_cast<const int32_t *>(A.ptr_data) + (size_t)k * m * nc
-              : nullptr;
+      kPtr == 1 ? static_cast<const int32_t *>(A.ptr_data) + (size_t)k * m * nc
+                : nullptr;
   const uint8_t *pd =
-      kPacked ? nullptr
-              : static_cast<const uint8_t *>(A.ptr_data) + (size_t)k * m * n;
+      kPtr == 0 ? static_cast<const uint8_t *>(A.ptr_data) + (size_t)k * m * n
+                : nullptr;
+  const int32_t *recs =
+      kPtr == 2 ? static_cast<const int32_t *>(A.ptr_data) + (size_t)k * m
+                : nullptr;
   const int jmask = A.pack - 1;
   const bool want_cost = A.scores_in == nullptr;
 
   int rp = A.start_r[k];
   int fp = A.start_f[k];
   const int start_rp = rp, start_fp = fp;
+  int rec_row = -2, rec_stop = 0, rec_code = START;
 
   if ((size_t)tl_runs.size() < (size_t)aln_cap + 1) tl_runs.resize(aln_cap + 1);
   uint32_t *runs = tl_runs.data();
@@ -137,7 +147,15 @@ void decode_pair_impl(const Args &A, int k, int nc, int pshift) {
       bt = START;  // boundary row 0
     } else if (fp < 0) {
       bt = A.is_nw ? UP : START;  // boundary col 0
-    } else if (kPacked) {
+    } else if (kPtr == 2) {
+      if (rp != rec_row) {
+        rec_row = rp;
+        int32_t rec = recs[rp];
+        rec_stop = fp - (rec >> 2);
+        rec_code = rec & 3;
+      }
+      bt = fp > rec_stop ? LEFT : rec_code;
+    } else if (kPtr == 1) {
       bt = (pw[(size_t)rp * nc + (fp >> pshift)] >> (2 * (fp & jmask))) & 3;
     } else {
       bt = pd[(size_t)rp * n + fp];
@@ -218,16 +236,21 @@ void decode_pair_impl(const Args &A, int k, int nc, int pshift) {
 void decode_pair(const Args &A, int k) {
   const int nc = (A.n + A.pack - 1) / A.pack;
   const int pshift = __builtin_ctz(A.pack);
-  if (A.ptr_kind == 1) {
+  if (A.ptr_kind == 2) {
     if (A.read_gapped)
-      decode_pair_impl<true, true>(A, k, nc, pshift);
+      decode_pair_impl<2, true>(A, k, nc, pshift);
     else
-      decode_pair_impl<true, false>(A, k, nc, pshift);
+      decode_pair_impl<2, false>(A, k, nc, pshift);
+  } else if (A.ptr_kind == 1) {
+    if (A.read_gapped)
+      decode_pair_impl<1, true>(A, k, nc, pshift);
+    else
+      decode_pair_impl<1, false>(A, k, nc, pshift);
   } else {
     if (A.read_gapped)
-      decode_pair_impl<false, true>(A, k, nc, pshift);
+      decode_pair_impl<0, true>(A, k, nc, pshift);
     else
-      decode_pair_impl<false, false>(A, k, nc, pshift);
+      decode_pair_impl<0, false>(A, k, nc, pshift);
   }
 }
 

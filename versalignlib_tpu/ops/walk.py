@@ -1,0 +1,258 @@
+"""Device-side traceback walk: packed pointer rows -> per-row path records.
+
+The round-2 pipeline ships the FULL packed pointer matrix device->host
+(2 bits/cell: 4KB/pair at 128x128, 64KB at 512x512) and walks it with the
+native C++ decoder — mirroring the reference's scalar per-lane backtrack
+(/root/reference/src/Kernels/AVX-SSE/SSEKernel.cpp:785-860). That makes the
+device->host link the e2e ceiling on real hosts (PCIe 16GB/s / 4KB ~= 4M
+alns/s at 128bp). This module walks the pointers ON DEVICE and ships only a
+compact per-row record stream (4 bytes/row/pair — 8x fewer bytes at 128bp,
+32x at 512bp), leaving the host a branch-free linear replay.
+
+Key observation making the walk vectorizable: along any traceback path the
+read row index is non-increasing, and within one row the path is exactly
+``k LEFT moves then one exit move`` (UP / DIAG / START) — any UP/DIAG leaves
+the row. So the walk over a whole 1024-pair block is a lockstep scan over
+rows from the bottom, and each pair's per-row work is branchless:
+
+- the LEFT-run length is computed arithmetically from the row's packed
+  2-bit codes: per int32 word, a "not-LEFT" flag bit per field
+  (``~((w>>1) & ~w) & 0x5555_5555``), masked to fields <= the cursor
+  column; the run ends at the highest such flag (31 - clz), maxed across
+  words — O(words/row) vector ops, no data-dependent loop;
+- the exit move is the 2-bit code at the stop column (one select chain
+  over words + a per-lane variable shift);
+- the cursor column advances by the run length (+1 for DIAG), the record
+  ``left_count*4 | exit_code`` is emitted, and lanes activate/retire by
+  comparing the row index against their start row / a done flag.
+
+Boundary semantics replicate ops/traceback.decode_one exactly: row 0 above
+the matrix is all-START; column -1 is UP for NW (DefaultKernel.cpp:304) and
+START for SW. NW end coordinates and the end-cell score (from the captured
+last-valid-row H) are derived on device, so nothing but records + (4,)
+scalars per pair crosses the link.
+
+Cost: ~15 vector ops per packed word per row ~= 8% of the fill's ALU work —
+the walk rides along essentially free; the win is the link bytes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from versalignlib_tpu.params import AlignmentParameters
+from versalignlib_tpu.types import Algorithm, Alignment, Trace, cigar_from_gapped
+
+#: per-2-bit-field flag positions (even bits of an int32 word)
+_FIELD_BITS = 0x55555555
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "n", "pack", "local"))
+def walk_blocks(ptr, aux, hsel, mrp_b, mxp_b, *, m: int, n: int, pack: int,
+                local: bool):
+    """Walk packed pointer blocks on device.
+
+    Parameters
+    ----------
+    ptr:   (G, m_pad, nc, 8, 128) int32 — the fill kernel's packed rows.
+    aux:   (G, 4, 8, 128) int32 — device-folded journal (see _align_kernel).
+    hsel:  (G, n+1, 8, 128) int32 — NW last-valid-row H (None for SW).
+    mrp_b: (G, 8, 128) int32 — per-pair max_read_pos (NW; ignored for SW).
+    mxp_b: (G, 8, 128) int32 — per-pair max_ref_pos (NW; ignored for SW).
+
+    Returns
+    -------
+    records: (G, m, 8, 128) int32 — per-row ``left_count*4 | exit_code``
+             (exit_code: Trace.START stop / UP / DIAG; rows outside the
+             walk hold 0). Row r's record is at records[:, r].
+    start_r, start_f, scores: (G, 8, 128) int32 — traceback start cell
+             (inner coords) and the alignment score.
+    """
+    assert pack == 16, "linear pointer words are 16x 2-bit"
+    nc = ptr.shape[2]
+    if local:
+        scores = aux[:, 0]
+        start_r = aux[:, 1]
+        start_f = aux[:, 2]
+    else:
+        start_r = mrp_b
+        start_f = jnp.minimum(mxp_b, aux[:, 0])
+        # End-cell score: hsel[start_f + 1] per pair (one masked reduction
+        # pass over hsel instead of a host gather — hsel never leaves HBM).
+        idx = jnp.clip(start_f, -1, n - 1) + 1
+        sel = (jnp.arange(n + 1, dtype=jnp.int32)[None, :, None, None]
+               == idx[:, None])
+        scores = jnp.where(start_r >= 0,
+                           jnp.sum(jnp.where(sel, hsel, 0), axis=1),
+                           0)
+
+    bnd_code = jnp.int32(Trace.START if local else Trace.UP)
+    d_code = jnp.int32(Trace.DIAG)
+    s_code = jnp.int32(Trace.START)
+
+    def body(carry, r):
+        fp, started, done = carry
+        row = jax.lax.dynamic_index_in_dim(ptr, r, axis=1, keepdims=False)
+        newly = (start_r == r) & ~started
+        started = started | newly
+        fp = jnp.where(newly, start_f, fp)
+        active = started & ~done
+        fpos = fp >= 0
+        wi = fp >> 4
+        fmod = fp & 15
+
+        # Highest column j_stop <= fp whose code is not LEFT (-1 if none).
+        j_stop = jnp.full_like(fp, -1)
+        for w in range(nc):
+            word = row[:, w]
+            is_left = (word >> 1) & ~word & _FIELD_BITS
+            stops = ~is_left & _FIELD_BITS
+            # Mask to fields <= fp in the cursor word; whole word below it.
+            in_word = (2 << (2 * fmod)) - 1          # wraps safely at fmod=15
+            stops = jnp.where(wi == w, stops & in_word,
+                              jnp.where(wi > w, stops, 0))
+            hb = 31 - jax.lax.clz(stops)
+            j_stop = jnp.maximum(
+                j_stop, jnp.where(stops != 0, w * 16 + (hb >> 1), -1))
+
+        left_cnt = jnp.where(fpos, fp - j_stop, 0)
+        # Exit code at (r, j_stop); boundary when the run hit column -1 or
+        # the row started there (NW UP chain / SW stop).
+        wj = j_stop >> 4
+        fj = j_stop & 15
+        code = jnp.zeros_like(fp)
+        for w in range(nc):
+            code = jnp.where(wj == w, (row[:, w] >> (2 * fj)) & 3, code)
+        code = jnp.where(fpos & (j_stop >= 0), code, bnd_code)
+
+        rec = jnp.where(active, left_cnt * 4 + code, 0)
+        stop_now = active & (code == s_code)
+        fp_next = jnp.where(code == d_code, j_stop - 1, j_stop)
+        fp = jnp.where(active & fpos & ~stop_now, fp_next, fp)
+        done = done | stop_now
+        return (fp, started, done), rec
+
+    G = ptr.shape[0]
+    shape = (G, ptr.shape[3], ptr.shape[4])
+    init = (jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape, bool), jnp.zeros(shape, bool))
+    _, recs = jax.lax.scan(
+        body, init, jnp.arange(m - 1, -1, -1, dtype=jnp.int32))
+    # recs[k] is row m-1-k; return natural row order, pair-block leading.
+    records = jnp.flip(jnp.moveaxis(recs, 0, 1), axis=1)
+    return records, start_r, start_f, scores
+
+
+# ---------------------------------------------------------------------------
+# Host replay: records -> Alignment (python reference; native fast path in
+# versalignlib_tpu.native)
+# ---------------------------------------------------------------------------
+
+def _text_from_codes(codes: np.ndarray) -> str:
+    table = "\0ATCGN"
+    return "".join(table[int(c)] if 0 <= int(c) <= 5 else "\0" for c in codes)
+
+
+def replay_one(
+    records: np.ndarray,
+    read: np.ndarray,
+    ref: np.ndarray,
+    start_read_pos: int,
+    start_ref_pos: int,
+    score: int,
+    params: AlignmentParameters,
+    algorithm: Algorithm,
+    read_text: str | None = None,
+    ref_text: str | None = None,
+) -> Alignment:
+    """Replay one pair's device walk records into an Alignment.
+
+    Produces output identical to ops/traceback.decode_one on the same
+    pointer matrix (test-gated); the walk order and boundary handling
+    mirror it move for move.
+    """
+    m = records.shape[0]
+    n = ref.shape[0]
+    if read_text is None:
+        read_text = _text_from_codes(read)
+    if ref_text is None:
+        ref_text = _text_from_codes(ref)
+    rp, fp = int(start_read_pos), int(start_ref_pos)
+    read_chars: list[str] = []
+    ref_chars: list[str] = []
+    steps = 0
+    while rp >= 0:
+        rec = int(records[rp])
+        k = rec >> 2
+        code = rec & 3
+        for _ in range(k):
+            read_chars.append("-")
+            ref_chars.append(ref_text[fp])
+            fp -= 1
+        steps += k
+        if code == Trace.START:
+            break
+        if code == Trace.UP:
+            read_chars.append(read_text[rp])
+            ref_chars.append("-")
+        else:  # DIAG
+            read_chars.append(read_text[rp])
+            ref_chars.append(ref_text[fp])
+            fp -= 1
+        rp -= 1
+        steps += 1
+
+    read_g = "".join(reversed(read_chars))
+    ref_g = "".join(reversed(ref_chars))
+    aln_length = m + n
+    return Alignment(
+        read=read_g,
+        ref=ref_g,
+        score=int(score),
+        cigar=cigar_from_gapped(read_g, ref_g),
+        read_start=rp + 1,
+        read_end=int(start_read_pos) + 1,
+        ref_start=fp + 1,
+        ref_end=int(start_ref_pos) + 1,
+        buffer_start=aln_length - 1 - steps,
+        buffer_end=aln_length - 1,
+    )
+
+
+def replay_batch(
+    records: np.ndarray,
+    reads: np.ndarray,
+    refs: np.ndarray,
+    start_read_pos: np.ndarray,
+    start_ref_pos: np.ndarray,
+    scores: np.ndarray,
+    params: AlignmentParameters,
+    algorithm: Algorithm,
+    read_texts: list[str] | None = None,
+    ref_texts: list[str] | None = None,
+    raw: bool = False,
+):
+    """Replay a batch; prefers the native decoder, falls back to Python."""
+    try:
+        from versalignlib_tpu.native import replay_records_native
+
+        return replay_records_native(
+            records, reads, refs, start_read_pos, start_ref_pos, scores,
+            params, algorithm, read_texts, ref_texts, raw=raw)
+    except ImportError:
+        if raw:
+            raise
+    return [
+        replay_one(
+            records[i], reads[i], refs[i], int(start_read_pos[i]),
+            int(start_ref_pos[i]), int(scores[i]), params, algorithm,
+            None if read_texts is None else read_texts[i],
+            None if ref_texts is None else ref_texts[i],
+        )
+        for i in range(records.shape[0])
+    ]
