@@ -89,6 +89,25 @@ def test_device_walk_multi_chunk_boundaries(rng):
     assert host == dev
 
 
+def test_engine_device_walk_option(rng):
+    from versalignlib_tpu import AlignmentEngine
+
+    reads = ["ACGTACGTAA", "TTTTGGGG", "acgtn"]
+    refs = ["ACGGACGTAA", "TTTTGGGGCC", "ACGTN"]
+    e0 = AlignmentEngine(backend="pallas")
+    e1 = AlignmentEngine(backend="pallas", device_walk=True)
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        assert (e0.compute_alignments(algorithm, reads, refs)
+                == e1.compute_alignments(algorithm, reads, refs))
+    # Non-pallas backends and affine params ignore the flag (no kwarg leak).
+    eo = AlignmentEngine(backend="oracle", device_walk=True)
+    eo.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+    ea = AlignmentEngine(backend="pallas", device_walk=True,
+                         params=AlignmentParameters(gap_open_read=-4,
+                                                    gap_open_ref=-4))
+    ea.compute_alignments(Algorithm.SMITH_WATERMAN, reads[:1], refs[:1])
+
+
 def test_device_walk_raw_column_store(rng):
     pytest.importorskip("versalignlib_tpu.native")
     r, f = _rand_codes(rng, 17, 16), _rand_codes(rng, 17, 21)

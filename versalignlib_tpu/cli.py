@@ -125,6 +125,11 @@ def main(argv=None) -> int:
     ap.add_argument("--outdir", default=".", help="output directory")
     ap.add_argument("--backend", default="auto",
                     help=f"kernel backend (auto|{'|'.join(sorted(available_backends()))})")
+    ap.add_argument("--device-walk", action="store_true",
+                    help="pallas backend, linear gaps: walk tracebacks on "
+                         "device and ship compact per-row records instead "
+                         "of the packed pointer matrix (same output, far "
+                         "fewer device->host bytes)")
     ap.add_argument("--match", type=int, default=2)
     ap.add_argument("--mismatch", type=int, default=-1)
     ap.add_argument("--gap-read", type=int, default=-3)
@@ -545,7 +550,7 @@ def main(argv=None) -> int:
     else:
         try:
             engine = AlignmentEngine(params=params, backend=args.backend,
-                                     tie=tie)
+                                     tie=tie, device_walk=args.device_walk)
         except KeyError as exc:
             ap.error(str(exc.args[0] if exc.args else exc))
         _log.info("using backend %s over %d pairs", engine.backend.name, len(reads))

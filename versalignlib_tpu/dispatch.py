@@ -118,13 +118,20 @@ class AlignmentEngine:
         backend: str = "auto",
         tie: TieBreak = TieBreak.DIAG_UP_LEFT,
         mesh=None,
+        device_walk: bool = False,
     ) -> None:
         """``mesh``: optional jax.sharding.Mesh — scoring then runs
-        data-parallel over its ``data`` axis (parallel/distributed.py)."""
+        data-parallel over its ``data`` axis (parallel/distributed.py).
+
+        ``device_walk``: pallas backend, linear gaps — walk tracebacks on
+        device and ship compact per-row records instead of the packed
+        pointer matrix (ops/walk.py; bit-identical output, far fewer
+        device->host bytes). Ignored by other backends / affine params."""
         self.params = params
         self.backend = get_backend(backend)
         self.tie = tie
         self.mesh = mesh
+        self.device_walk = device_walk
 
     def _prepare(self, reads, refs) -> tuple[np.ndarray, np.ndarray]:
         if isinstance(reads, np.ndarray) and reads.dtype == np.uint8 and reads.ndim == 2:
@@ -175,6 +182,12 @@ class AlignmentEngine:
             return distributed_align_batch(
                 reads_enc, refs_enc, self.params, algorithm, self.tie,
                 mesh=self.mesh,
+            )
+        if (self.device_walk and self.backend.name == "pallas"
+                and not self.params.affine):
+            return self.backend.compute_alignments(
+                algorithm, reads_enc, refs_enc, self.params, self.tie,
+                device_walk=True,
             )
         return self.backend.compute_alignments(
             algorithm, reads_enc, refs_enc, self.params, self.tie

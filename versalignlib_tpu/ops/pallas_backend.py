@@ -50,7 +50,11 @@ class PallasBackend:
         self._check_dense_fits(reads, refs, params, "score")
         return self._scorer(reads, refs, params, Algorithm(algorithm))
 
-    def compute_alignments(self, algorithm, reads, refs, params, tie):
+    def compute_alignments(self, algorithm, reads, refs, params, tie,
+                           device_walk: bool = False):
+        """``device_walk=True`` (linear gaps): walk the pointer matrix on
+        device and ship per-row records instead of the packed pointer
+        stream — see ops/walk.py (bit-identical, ~5x e2e on narrow links)."""
         self._check_dense_fits(reads, refs, params, "align")
         if params.affine:
             from versalignlib_tpu.ops.pallas_align import pallas_align_affine_batch
@@ -64,7 +68,7 @@ class PallasBackend:
 
             return pallas_align_batch(
                 reads, refs, params, Algorithm(algorithm), tie,
-                interpret=self._scorer.interpret,
+                interpret=self._scorer.interpret, device_walk=device_walk,
             )
         except ImportError:
             if self._xla is None:
