@@ -89,6 +89,46 @@ def test_device_walk_multi_chunk_boundaries(rng):
     assert host == dev
 
 
+AFFINE = AlignmentParameters(score_gap_read=-1, score_gap_ref=-1,
+                             gap_open_read=-4, gap_open_ref=-4)
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN,
+                                       Algorithm.NEEDLEMAN_WUNSCH])
+@pytest.mark.parametrize("tie", [TieBreak.DIAG_UP_LEFT,
+                                 TieBreak.DIAG_LEFT_UP])
+def test_affine_device_walk_matches_host_decode(rng, algorithm, tie):
+    from versalignlib_tpu.ops.pallas_align import pallas_align_affine_batch
+
+    for (m, n) in ((12, 18), (9, 35), (21, 13)):
+        r, f = _rand_codes(rng, 11, m), _rand_codes(rng, 11, n)
+        host = pallas_align_affine_batch(r, f, AFFINE, algorithm, tie,
+                                         interpret=True)
+        dev = pallas_align_affine_batch(r, f, AFFINE, algorithm, tie,
+                                        interpret=True, device_walk=True)
+        assert host == dev, (m, n)
+
+
+def test_affine_device_walk_long_gap_chains(rng):
+    # Cheap extends force multi-row F chains and long E runs — the affine
+    # walk's state carry (in_f) and cont-chain scan.
+    from versalignlib_tpu.ops.pallas_align import pallas_align_affine_batch
+
+    p = AlignmentParameters(score_gap_read=-1, score_gap_ref=-1,
+                            gap_open_read=-2, gap_open_ref=-2)
+    for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        r, f = _rand_codes(rng, 13, 40), _rand_codes(rng, 13, 7)
+        host = pallas_align_affine_batch(r, f, p, algorithm, interpret=True)
+        dev = pallas_align_affine_batch(r, f, p, algorithm, interpret=True,
+                                        device_walk=True)
+        assert host == dev
+        r, f = _rand_codes(rng, 13, 7), _rand_codes(rng, 13, 40)
+        host = pallas_align_affine_batch(r, f, p, algorithm, interpret=True)
+        dev = pallas_align_affine_batch(r, f, p, algorithm, interpret=True,
+                                        device_walk=True)
+        assert host == dev
+
+
 def test_engine_device_walk_option(rng):
     from versalignlib_tpu import AlignmentEngine
 
@@ -99,13 +139,15 @@ def test_engine_device_walk_option(rng):
     for algorithm in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
         assert (e0.compute_alignments(algorithm, reads, refs)
                 == e1.compute_alignments(algorithm, reads, refs))
-    # Non-pallas backends and affine params ignore the flag (no kwarg leak).
+    # Non-pallas backends ignore the flag (no kwarg leak).
     eo = AlignmentEngine(backend="oracle", device_walk=True)
     eo.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
-    ea = AlignmentEngine(backend="pallas", device_walk=True,
-                         params=AlignmentParameters(gap_open_read=-4,
-                                                    gap_open_ref=-4))
-    ea.compute_alignments(Algorithm.SMITH_WATERMAN, reads[:1], refs[:1])
+    # Affine params route through the affine device walk.
+    ap = AlignmentParameters(gap_open_read=-4, gap_open_ref=-4)
+    ea0 = AlignmentEngine(backend="pallas", params=ap)
+    ea1 = AlignmentEngine(backend="pallas", params=ap, device_walk=True)
+    assert (ea0.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+            == ea1.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs))
 
 
 def test_device_walk_raw_column_store(rng):

@@ -123,10 +123,10 @@ class AlignmentEngine:
         """``mesh``: optional jax.sharding.Mesh — scoring then runs
         data-parallel over its ``data`` axis (parallel/distributed.py).
 
-        ``device_walk``: pallas backend, linear gaps — walk tracebacks on
-        device and ship compact per-row records instead of the packed
-        pointer matrix (ops/walk.py; bit-identical output, far fewer
-        device->host bytes). Ignored by other backends / affine params."""
+        ``device_walk``: pallas backend — walk tracebacks on device
+        (linear and affine) and ship compact per-row records instead of
+        the packed pointer matrix (ops/walk.py; bit-identical output, far
+        fewer device->host bytes). Ignored by other backends."""
         self.params = params
         self.backend = get_backend(backend)
         self.tie = tie
@@ -183,8 +183,7 @@ class AlignmentEngine:
                 reads_enc, refs_enc, self.params, algorithm, self.tie,
                 mesh=self.mesh,
             )
-        if (self.device_walk and self.backend.name == "pallas"
-                and not self.params.affine):
+        if self.device_walk and self.backend.name == "pallas":
             return self.backend.compute_alignments(
                 algorithm, reads_enc, refs_enc, self.params, self.tie,
                 device_walk=True,

@@ -746,7 +746,9 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
         [zeros if local else col0s[r + 1] for r in range(R)],
         [zeros] * R,
     )
-    carry = jax.lax.fori_loop(
+    # n < pack: the loop would still TRACE its body, and the full-word
+    # pl.ds(j0, pack) slice exceeds the n-column ref block.
+    carry = init if n_words == 0 else jax.lax.fori_loop(
         0, n_words, lambda c, cr: word_body(c, cr, pack), init)
     rem = n % pack
     if rem:
@@ -858,6 +860,7 @@ def pallas_align_affine_batch(
     read_texts: list[str] | None = None,
     ref_texts: list[str] | None = None,
     raw: bool = False,
+    device_walk: bool = False,
 ) -> list[Alignment]:
     """Affine full-batch alignment on the Pallas path.
 
@@ -866,6 +869,9 @@ def pallas_align_affine_batch(
     no zero-force); extend beats open in both. ``raw=True`` returns an
     :class:`~versalignlib_tpu.types.AlignmentBatch` column store (requires
     the native decoder), as in :func:`pallas_align_batch`.
+    ``device_walk=True`` runs the Gotoh traceback on device (ops/walk.py —
+    the 4-bit pointer stream never leaves HBM; records replay is shared
+    with the linear path).
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -900,10 +906,28 @@ def pallas_align_affine_batch(
             _pack_blocks(r_rows, g, m_pad), _pack_blocks(f_np, g, n),
             _pack_vec(mrp, g), params, algorithm, tie, interpret,
         )
+        if device_walk:
+            from versalignlib_tpu.ops.walk import walk_blocks_affine
+
+            ptr, aux, hsel = dev
+            if local:
+                dev = walk_blocks_affine(ptr, aux, None, None, None,
+                                         m=m, n=n, pack=pack, local=True)
+            else:
+                mxp = _last_valid_pos(f_np, tie, params.matrix)
+                dev = walk_blocks_affine(
+                    ptr, aux, hsel, _pack_vec(mrp, g), _pack_vec(mxp, g),
+                    m=m, n=n, pack=pack, local=False,
+                )
         return lo, r_np, f_np, mrp, g, dev
 
     def _decode(item):
-        lo, r_np, f_np, mrp, g, (ptr, aux, hsel) = item
+        lo, r_np, f_np, mrp, g, dev = item
+        if device_walk:
+            return _decode_records_chunk(
+                lo, r_np, f_np, g, dev, params, algorithm,
+                read_texts, ref_texts, raw)
+        ptr, aux, hsel = dev
         return _decode_affine_chunk(
             lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm, tie,
             pack, n, read_texts, ref_texts, raw,

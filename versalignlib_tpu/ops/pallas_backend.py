@@ -52,8 +52,8 @@ class PallasBackend:
 
     def compute_alignments(self, algorithm, reads, refs, params, tie,
                            device_walk: bool = False):
-        """``device_walk=True`` (linear gaps): walk the pointer matrix on
-        device and ship per-row records instead of the packed pointer
+        """``device_walk=True``: walk the pointer matrix on device (linear
+        AND affine) and ship per-row records instead of the packed pointer
         stream — see ops/walk.py (bit-identical, ~5x e2e on narrow links)."""
         self._check_dense_fits(reads, refs, params, "align")
         if params.affine:
@@ -61,7 +61,7 @@ class PallasBackend:
 
             return pallas_align_affine_batch(
                 reads, refs, params, Algorithm(algorithm), tie,
-                interpret=self._scorer.interpret,
+                interpret=self._scorer.interpret, device_walk=device_walk,
             )
         try:
             from versalignlib_tpu.ops.pallas_align import pallas_align_batch

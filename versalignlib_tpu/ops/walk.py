@@ -49,6 +49,28 @@ from versalignlib_tpu.types import Algorithm, Alignment, Trace, cigar_from_gappe
 
 #: per-2-bit-field flag positions (even bits of an int32 word)
 _FIELD_BITS = 0x55555555
+#: per-4-bit-field flag positions (affine codes)
+_FIELD_BITS4 = 0x11111111
+
+
+def _starts_and_scores(aux, hsel, mrp_b, mxp_b, n: int, local: bool):
+    """Traceback start cell + end-cell score, derived on device.
+
+    SW: the device-folded journal IS (score, argmax_row, argmax_col).
+    NW: end = (max_read_pos, min(max_ref_pos, argmax of last valid row)),
+    score = hsel[start_f + 1] via one masked reduction pass (hsel never
+    leaves HBM). Mirrors _decode_chunk's host derivation exactly.
+    """
+    if local:
+        return aux[:, 1], aux[:, 2], aux[:, 0]
+    start_r = mrp_b
+    start_f = jnp.minimum(mxp_b, aux[:, 0])
+    idx = jnp.clip(start_f, -1, n - 1) + 1
+    sel = (jnp.arange(n + 1, dtype=jnp.int32)[None, :, None, None]
+           == idx[:, None])
+    scores = jnp.where(start_r >= 0,
+                       jnp.sum(jnp.where(sel, hsel, 0), axis=1), 0)
+    return start_r, start_f, scores
 
 
 @functools.partial(
@@ -75,21 +97,8 @@ def walk_blocks(ptr, aux, hsel, mrp_b, mxp_b, *, m: int, n: int, pack: int,
     """
     assert pack == 16, "linear pointer words are 16x 2-bit"
     nc = ptr.shape[2]
-    if local:
-        scores = aux[:, 0]
-        start_r = aux[:, 1]
-        start_f = aux[:, 2]
-    else:
-        start_r = mrp_b
-        start_f = jnp.minimum(mxp_b, aux[:, 0])
-        # End-cell score: hsel[start_f + 1] per pair (one masked reduction
-        # pass over hsel instead of a host gather — hsel never leaves HBM).
-        idx = jnp.clip(start_f, -1, n - 1) + 1
-        sel = (jnp.arange(n + 1, dtype=jnp.int32)[None, :, None, None]
-               == idx[:, None])
-        scores = jnp.where(start_r >= 0,
-                           jnp.sum(jnp.where(sel, hsel, 0), axis=1),
-                           0)
+    start_r, start_f, scores = _starts_and_scores(
+        aux, hsel, mrp_b, mxp_b, n, local)
 
     bnd_code = jnp.int32(Trace.START if local else Trace.UP)
     d_code = jnp.int32(Trace.DIAG)
@@ -144,6 +153,129 @@ def walk_blocks(ptr, aux, hsel, mrp_b, mxp_b, *, m: int, n: int, pack: int,
     _, recs = jax.lax.scan(
         body, init, jnp.arange(m - 1, -1, -1, dtype=jnp.int32))
     # recs[k] is row m-1-k; return natural row order, pair-block leading.
+    records = jnp.flip(jnp.moveaxis(recs, 0, 1), axis=1)
+    return records, start_r, start_f, scores
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "n", "pack", "local"))
+def walk_blocks_affine(ptr, aux, hsel, mrp_b, mxp_b, *, m: int, n: int,
+                       pack: int, local: bool):
+    """Affine (Gotoh) device walk — same record format as :func:`walk_blocks`.
+
+    The host three-state walk (native decode_pair_affine_impl /
+    gotoh._affine_traceback) collapses to per-row records because rows are
+    still ``k LEFT emissions then one exit``; only the run-length rule and
+    the UP chaining change:
+
+    - a cell j is LEFT-emitted iff the chain reaches it:
+      ``emit(j0) = hptr(j0)==LEFT`` (H enters E) and for j < j0
+      ``emit(j) = emit(j+1) & (e_ext(j+1) | hptr(j)==LEFT)`` — an E run
+      continues on the *previous* cell's extend bit, or re-enters E from H;
+      so the run length is a consecutive-ones scan over
+      ``cont(j) = e_ext(j+1) | is_left(j)`` flag bits, same clz trick;
+    - an UP exit at cell j puts the NEXT row in state F iff f_ext(j) is
+      set; a row entered in state F exits immediately with UP (0 LEFTs),
+      chaining on its own cell's f_ext — the per-lane ``in_f`` carry.
+
+    The replayed records are state-free, so the SAME host replay (python
+    or native records mode) serves linear and affine walks.
+    """
+    assert pack == 8, "affine pointer words are 8x 4-bit"
+    nc = ptr.shape[2]
+    start_r, start_f, scores = _starts_and_scores(
+        aux, hsel, mrp_b, mxp_b, n, local)
+
+    bnd_code = jnp.int32(Trace.START if local else Trace.UP)
+    d_code = jnp.int32(Trace.DIAG)
+    u_code = jnp.int32(Trace.UP)
+    l_code = jnp.int32(Trace.LEFT)
+    s_code = jnp.int32(Trace.START)
+
+    def body(carry, r):
+        fp, in_f, started, done = carry
+        row = jax.lax.dynamic_index_in_dim(ptr, r, axis=1, keepdims=False)
+        newly = (start_r == r) & ~started
+        started = started | newly
+        fp = jnp.where(newly, start_f, fp)
+        in_f = jnp.where(newly, False, in_f)
+        active = started & ~done
+        fpos = fp >= 0
+
+        # Per-word flag planes (bit 4f per field).
+        eL = [None] * nc
+        eX = [None] * nc
+        for w in range(nc):
+            word = row[:, w]
+            eL[w] = (word >> 1) & ~word & _FIELD_BITS4  # hptr == LEFT
+            eX[w] = (word >> 2) & _FIELD_BITS4          # e_ext
+        # cont(j) = e_ext(j+1) | is_left(j); eX beyond the last column is 0.
+        cont = [
+            (((eX[w] >> 4) | (eX[w + 1] << 28)) if w + 1 < nc
+             else (eX[w] >> 4)) | eL[w]
+            for w in range(nc)
+        ]
+
+        def code4_at(j):
+            """Full 4-bit code at column j (word select + variable shift)."""
+            wj = j >> 3
+            fj = j & 7
+            c = jnp.zeros_like(j)
+            for w in range(nc):
+                c = jnp.where(wj == w, (row[:, w] >> (4 * fj)) & 15, c)
+            return c
+
+        # State H: LEFT-run length. eL(fp) gates the chain; the chain scan
+        # runs over cont masked to fields <= fp-1.
+        code_fp = code4_at(jnp.maximum(fp, 0))
+        enters_e = (code_fp & 3) == l_code
+        p = fp - 1          # highest chain position
+        wi = p >> 3
+        fm = p & 7
+        jb_chain = jnp.full_like(fp, -1)
+        for w in range(nc):
+            stops = ~cont[w] & _FIELD_BITS4
+            in_word = (2 << (4 * fm)) - 1
+            stops = jnp.where(wi == w, stops & in_word,
+                              jnp.where(wi > w, stops, 0))
+            hb = 31 - jax.lax.clz(stops)
+            jb_chain = jnp.maximum(
+                jb_chain, jnp.where(stops != 0, w * 8 + (hb >> 2), -1))
+        # Cursor after the run: fp when no E entry, else the chain break.
+        jb = jnp.where(enters_e, jb_chain, fp)
+        left_cnt = fp - jb
+
+        code_jb = code4_at(jnp.maximum(jb, 0))
+        hp = code_jb & 3
+        f_ext = (code_jb >> 3) & 1
+
+        # Three cases: row entered in F (immediate UP, chain on own f_ext);
+        # H with cursor in-bounds (exit by hptr); boundary (jb<0 or fp<0).
+        h_code = jnp.where(jb >= 0, hp, bnd_code)
+        code = jnp.where(in_f, u_code, h_code)
+        cnt = jnp.where(in_f | ~fpos, 0, left_cnt)
+        code = jnp.where(fpos, code, bnd_code)
+
+        rec = jnp.where(active, cnt * 4 + code, 0)
+        stop_now = active & (code == s_code)
+        # fp update: DIAG consumes the cursor column; UP keeps it; F rows
+        # keep fp untouched.
+        fp_next = jnp.where(code == d_code, jb - 1, jb)
+        fp = jnp.where(active & fpos & ~in_f & ~stop_now, fp_next, fp)
+        # Next-row state F: an UP exit chaining on the exit cell's f_ext
+        # (for F rows, their own cell = code_fp; for H rows, the cursor).
+        fx_here = jnp.where(in_f, (code_fp >> 3) & 1, f_ext)
+        in_f = active & fpos & (code == u_code) & (fx_here == 1) & (
+            jnp.where(in_f, fp, jb) >= 0)
+        done = done | stop_now
+        return (fp, in_f, started, done), rec
+
+    G = ptr.shape[0]
+    shape = (G, ptr.shape[3], ptr.shape[4])
+    init = (jnp.full(shape, -1, jnp.int32), jnp.zeros(shape, bool),
+            jnp.zeros(shape, bool), jnp.zeros(shape, bool))
+    _, recs = jax.lax.scan(
+        body, init, jnp.arange(m - 1, -1, -1, dtype=jnp.int32))
     records = jnp.flip(jnp.moveaxis(recs, 0, 1), axis=1)
     return records, start_r, start_f, scores
 
