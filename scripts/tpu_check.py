@@ -132,6 +132,36 @@ def main() -> int:
                                            odd_refs, p_aff)
     check("align/affine/odd-ref-len", same_alignments(got, want))
 
+    print("== device-side traceback walk (compiled) ==")
+    # Records path vs the SAME oracle wants as the align section — full
+    # Alignment equality via same_alignments.
+    for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        got = pallas_align_batch(reads[:32], refs[:32], p_lin, alg,
+                                 interpret=False, device_walk=True)
+        want = oracle.compute_alignments(alg, reads[:32], refs[:32], p_lin,
+                                         TieBreak.DIAG_UP_LEFT)
+        check(f"walk/linear/{alg.name}", same_alignments(got, want))
+        got = pallas_align_affine_batch(reads[:32], refs[:32], p_aff, alg,
+                                        interpret=False, device_walk=True)
+        want = gotoh.compute_alignments_affine(alg, reads[:32], refs[:32],
+                                               p_aff)
+        check(f"walk/affine/{alg.name}", same_alignments(got, want))
+    got = pallas_align_batch(reads[:32], refs[:32], p_lin,
+                             Algorithm.SMITH_WATERMAN,
+                             TieBreak.DIAG_LEFT_UP, interpret=False,
+                             device_walk=True)
+    want = oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads[:32],
+                                     refs[:32], p_lin, TieBreak.DIAG_LEFT_UP)
+    check("walk/linear/SMITH_WATERMAN/DIAG_LEFT_UP",
+          same_alignments(got, want))
+    got = pallas_align_batch(reads[:16], refs[:16, :119], p_lin,
+                             Algorithm.SMITH_WATERMAN, interpret=False,
+                             device_walk=True)
+    want = oracle.compute_alignments(Algorithm.SMITH_WATERMAN, reads[:16],
+                                     refs[:16, :119], p_lin,
+                                     TieBreak.DIAG_UP_LEFT)
+    check("walk/odd-ref-len", same_alignments(got, want))
+
     print("== matrix mode (compiled) ==")
     mrng = np.random.default_rng(7)
     mm = mrng.integers(-4, 5, size=(6, 6))
@@ -368,6 +398,25 @@ def main() -> int:
             lambda b_, tag: aruns509[b_](tag), (4096, 16384), 512 * 509)
         print(f"  SW align fill 512x509 (odd n): "
               f"{perf['align_sw_509_gcups']:.1f} GCUPS")
+
+        # e2e alignment pipeline at the short-read shape (fill + transfer +
+        # decode to the raw column store), pointer-D2H vs device-walk.
+        # Wall time of a fixed batch, not a marginal: this is a pipeline
+        # number dominated by link bytes on this tunnel.
+        er = rng.integers(1, 5, size=(16384, 128)).astype(np.uint8)
+        ef = rng.integers(1, 5, size=(16384, 128)).astype(np.uint8)
+        for dw, key in ((False, "e2e_align_ptr_alns_per_s"),
+                        (True, "e2e_align_walk_alns_per_s")):
+            pallas_align_batch(er[:2048], ef[:2048], p_lin,
+                               Algorithm.SMITH_WATERMAN, interpret=False,
+                               raw=True, device_walk=dw)  # warm
+            t0 = time.perf_counter()
+            pallas_align_batch(er, ef, p_lin, Algorithm.SMITH_WATERMAN,
+                               interpret=False, raw=True, device_walk=dw)
+            perf[key] = round(16384 / (time.perf_counter() - t0))
+        print(f"  e2e 128x128 SW align (raw): pointer-D2H "
+              f"{perf['e2e_align_ptr_alns_per_s']} alns/s, device-walk "
+              f"{perf['e2e_align_walk_alns_per_s']} alns/s (tunnel)")
 
         from versalignlib_tpu.ops.banded import _banded_align_blocks
 
