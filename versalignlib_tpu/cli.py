@@ -125,11 +125,14 @@ def main(argv=None) -> int:
     ap.add_argument("--outdir", default=".", help="output directory")
     ap.add_argument("--backend", default="auto",
                     help=f"kernel backend (auto|{'|'.join(sorted(available_backends()))})")
-    ap.add_argument("--device-walk", action="store_true",
-                    help="pallas backend, linear gaps: walk tracebacks on "
-                         "device and ship compact per-row records instead "
-                         "of the packed pointer matrix (same output, far "
-                         "fewer device->host bytes)")
+    ap.add_argument("--device-walk", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="pallas backend: walk tracebacks on device and "
+                         "ship compact per-row records instead of the "
+                         "packed pointer matrix (same output, far fewer "
+                         "device->host bytes). Default: on for compiled "
+                         "TPU runs; --no-device-walk reverts to the "
+                         "pointer-D2H path")
     ap.add_argument("--match", type=int, default=2)
     ap.add_argument("--mismatch", type=int, default=-1)
     ap.add_argument("--gap-read", type=int, default=-3)

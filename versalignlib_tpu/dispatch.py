@@ -118,7 +118,7 @@ class AlignmentEngine:
         backend: str = "auto",
         tie: TieBreak = TieBreak.DIAG_UP_LEFT,
         mesh=None,
-        device_walk: bool = False,
+        device_walk: bool | None = None,
     ) -> None:
         """``mesh``: optional jax.sharding.Mesh — scoring then runs
         data-parallel over its ``data`` axis (parallel/distributed.py).
@@ -126,7 +126,9 @@ class AlignmentEngine:
         ``device_walk``: pallas backend — walk tracebacks on device
         (linear and affine) and ship compact per-row records instead of
         the packed pointer matrix (ops/walk.py; bit-identical output, far
-        fewer device->host bytes). Ignored by other backends."""
+        fewer device->host bytes). Default (None) = backend auto: ON for
+        compiled TPU runs, OFF in interpreter mode. Ignored by other
+        backends."""
         self.params = params
         self.backend = get_backend(backend)
         self.tie = tie
@@ -183,10 +185,10 @@ class AlignmentEngine:
                 reads_enc, refs_enc, self.params, algorithm, self.tie,
                 mesh=self.mesh,
             )
-        if self.device_walk and self.backend.name == "pallas":
+        if self.backend.name == "pallas":
             return self.backend.compute_alignments(
                 algorithm, reads_enc, refs_enc, self.params, self.tie,
-                device_walk=True,
+                device_walk=self.device_walk,
             )
         return self.backend.compute_alignments(
             algorithm, reads_enc, refs_enc, self.params, self.tie

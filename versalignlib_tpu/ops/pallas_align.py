@@ -346,6 +346,25 @@ def _align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
     return out
 
 
+def _chunk_pairs_for(m: int, nc: int, device_walk: bool) -> int:
+    """Pairs per device round — the reference's memory-driven batching
+    (OpenCLKernel.cpp:517-568) with the budget set by the binding resource.
+
+    Pointer-D2H path: ~64MB of packed pointer words per round (the
+    device->host link dominates). Device-walk path: the link carries only
+    (m, ) records (4B/row/pair), so the link budget allows far larger
+    rounds (fewer dispatch round-trips); the pointer stream stays in HBM,
+    capped at ~1GB per round.
+    """
+    ptr_bytes = m * nc * 4
+    if device_walk:
+        blocks = max(1, min((64 << 20) // (m * 4 * BLOCK_PAIRS),
+                            (1 << 30) // (ptr_bytes * BLOCK_PAIRS)))
+        return min(128, blocks) * BLOCK_PAIRS
+    blocks = max(1, (64 << 20) // (ptr_bytes * BLOCK_PAIRS))
+    return min(16, blocks) * BLOCK_PAIRS
+
+
 class PackedPtr:
     """2D pointer accessor over packed int32 words (one pair)."""
 
@@ -445,10 +464,7 @@ def pallas_align_batch(
         ]
     pack = _pick_pack(n)
     if chunk_pairs is None:
-        # ~64MB of packed pointers per round, in whole pair blocks.
-        bytes_per_pair = m * (-(-n // pack)) * 4
-        blocks = max(1, (64 << 20) // (bytes_per_pair * BLOCK_PAIRS))
-        chunk_pairs = min(16, blocks) * BLOCK_PAIRS
+        chunk_pairs = _chunk_pairs_for(m, -(-n // pack), device_walk)
     results: list[Alignment] = []
 
     m_pad = -(-m // ALIGN_WAVE_ROWS) * ALIGN_WAVE_ROWS
@@ -887,9 +903,7 @@ def pallas_align_affine_batch(
         ]
     pack = _pick_pack_affine(n)
     if chunk_pairs is None:
-        bytes_per_pair = m * (-(-n // pack)) * 4
-        blocks = max(1, (64 << 20) // (bytes_per_pair * BLOCK_PAIRS))
-        chunk_pairs = min(16, blocks) * BLOCK_PAIRS
+        chunk_pairs = _chunk_pairs_for(m, -(-n // pack), device_walk)
     results: list[Alignment] = []
     m_pad = -(-m // ALIGN_WAVE_ROWS) * ALIGN_WAVE_ROWS
 

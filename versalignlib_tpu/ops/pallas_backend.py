@@ -51,10 +51,14 @@ class PallasBackend:
         return self._scorer(reads, refs, params, Algorithm(algorithm))
 
     def compute_alignments(self, algorithm, reads, refs, params, tie,
-                           device_walk: bool = False):
-        """``device_walk=True``: walk the pointer matrix on device (linear
-        AND affine) and ship per-row records instead of the packed pointer
-        stream — see ops/walk.py (bit-identical, ~5x e2e on narrow links)."""
+                           device_walk: bool | None = None):
+        """``device_walk``: walk the pointer matrix on device (linear AND
+        affine) and ship per-row records instead of the packed pointer
+        stream — see ops/walk.py (bit-identical, 5-15x e2e on narrow
+        links, larger device rounds). Default (None): ON for compiled TPU
+        runs, OFF in interpreter mode (CPU tests host-decode directly)."""
+        if device_walk is None:
+            device_walk = not self._scorer.interpret
         self._check_dense_fits(reads, refs, params, "align")
         if params.affine:
             from versalignlib_tpu.ops.pallas_align import pallas_align_affine_batch
