@@ -230,10 +230,15 @@ def main() -> int:
         check(f"banded-score/{alg.name}", np.array_equal(got, want))
         for p, label in ((p_lin, "linear"), (p_aff, "affine")):
             got = banded_align_batch(reads_b[:8], refs_b[:8], p, alg,
-                                     band=band, tile=tile, interpret=False)
+                                     band=band, tile=tile, interpret=False,
+                                     device_walk=False)
             want = [banded_align_oracle(r, f, p, band, alg, offs)
                     for r, f in zip(reads_b[:8], refs_b[:8])]
             check(f"banded-align/{label}/{alg.name}", same_alignments(got, want))
+            got = banded_align_batch(reads_b[:8], refs_b[:8], p, alg,
+                                     band=band, tile=tile, interpret=False,
+                                     device_walk=True)
+            check(f"banded-walk/{label}/{alg.name}", same_alignments(got, want))
     # Banded SSE flavor (compiled): linear + affine, SW.
     for p, label in ((p_lin, "linear"), (p_aff, "affine")):
         got = banded_align_batch(reads_b[:8], refs_b[:8], p,
@@ -447,6 +452,26 @@ def main() -> int:
             lambda m_, tag: bruns[m_](tag), (8192, 16384), 512 * 1024)
         print(f"  SW banded align fill (band cells): "
               f"{perf['banded_align_sw_gcups']:.1f} GCUPS")
+
+        # e2e banded pipeline at a long-read shape (fill + link + decode),
+        # pointer-D2H vs device walk. Wall time of a fixed batch: the ptr
+        # path ships ~win/2 bytes/row/pair, the walk 4B/row/pair (~72x).
+        eb, em = 64, 4096
+        ber = rng.integers(1, 5, size=(eb, em)).astype(np.uint8)
+        bef = rng.integers(1, 5, size=(eb, em)).astype(np.uint8)
+        for dw, key in ((False, "e2e_banded_ptr_alns_per_s"),
+                        (True, "e2e_banded_walk_alns_per_s")):
+            banded_align_batch(ber[:8], bef[:8], p_lin,
+                               Algorithm.SMITH_WATERMAN, band=512, tile=64,
+                               interpret=False, device_walk=dw)  # warm
+            t0 = time.perf_counter()
+            banded_align_batch(ber, bef, p_lin, Algorithm.SMITH_WATERMAN,
+                               band=512, tile=64, interpret=False,
+                               device_walk=dw)
+            perf[key] = round(eb / (time.perf_counter() - t0), 2)
+        print(f"  e2e 4k x 4k banded SW align: pointer-D2H "
+              f"{perf['e2e_banded_ptr_alns_per_s']} alns/s, device-walk "
+              f"{perf['e2e_banded_walk_alns_per_s']} alns/s (tunnel)")
 
     failures = sum(1 for ok in checks.values() if not ok)
     rnd = _infer_round()

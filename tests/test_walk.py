@@ -150,6 +150,95 @@ def test_engine_device_walk_option(rng):
             == ea1.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs))
 
 
+# ---------------------------------------------------------------------------
+# Banded device walks (window-relative words, band-edge stop semantics)
+# ---------------------------------------------------------------------------
+
+def _both_banded(reads, refs, params, algorithm, band, tile, **kw):
+    from versalignlib_tpu.ops.banded import banded_align_batch
+
+    host = banded_align_batch(reads, refs, params, algorithm, band=band,
+                              tile=tile, interpret=True, device_walk=False,
+                              **kw)
+    dev = banded_align_batch(reads, refs, params, algorithm, band=band,
+                             tile=tile, interpret=True, device_walk=True,
+                             **kw)
+    return host, dev
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN,
+                                       Algorithm.NEEDLEMAN_WUNSCH])
+@pytest.mark.parametrize("tie", [TieBreak.DIAG_UP_LEFT,
+                                 TieBreak.DIAG_LEFT_UP])
+def test_banded_device_walk_matches_host_decode(rng, algorithm, tie):
+    for (m, n, band, tile) in ((24, 40, 8, 16), (17, 61, 24, 8),
+                               (40, 24, 8, 16)):
+        r, f = _rand_codes(rng, 11, m), _rand_codes(rng, 11, n)
+        host, dev = _both_banded(r, f, P, algorithm, band, tile, tie=tie)
+        assert host == dev, (m, n, band)
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN,
+                                       Algorithm.NEEDLEMAN_WUNSCH])
+def test_banded_affine_device_walk(rng, algorithm):
+    for (m, n, band, tile) in ((24, 40, 16, 8), (17, 61, 24, 8),
+                               (40, 9, 9, 8)):
+        r, f = _rand_codes(rng, 11, m), _rand_codes(rng, 11, n)
+        host, dev = _both_banded(r, f, AFFINE, algorithm, band, tile)
+        assert host == dev, (m, n, band)
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN,
+                                       Algorithm.NEEDLEMAN_WUNSCH])
+def test_banded_device_walk_band_edge_runs(rng, algorithm):
+    # Cheap read-gaps force LEFT/E runs into the band's low edge — the
+    # banded walks' hard-stop boundary (dense NW would UP-chain instead).
+    lin = AlignmentParameters(score_match=2, score_mismatch=-1,
+                              score_gap_read=-1, score_gap_ref=-4)
+    aff = AlignmentParameters(score_gap_read=-1, score_gap_ref=-1,
+                              gap_open_read=-2, gap_open_ref=-2)
+    for params in (lin, aff):
+        r, f = _rand_codes(rng, 13, 8), _rand_codes(rng, 13, 50)
+        host, dev = _both_banded(r, f, params, algorithm, 32, 8)
+        assert host == dev, params.affine
+
+
+def test_banded_device_walk_multi_tile_drift(rng):
+    # Long mutated copies: the moving band drifts across row tiles, so the
+    # walk crosses window-base changes mid-path.
+    m, n = 200, 400
+    reads = rng.integers(1, 5, size=(7, m)).astype(np.int32)
+    refs = np.zeros((7, n), np.int32)
+    for i in range(7):
+        s = np.concatenate([reads[i], reads[i]])[:n]
+        mut = rng.random(n) < 0.1
+        refs[i] = np.where(mut, rng.integers(1, 5, size=n), s)
+    for params in (P, AFFINE):
+        for algorithm in (Algorithm.SMITH_WATERMAN,
+                          Algorithm.NEEDLEMAN_WUNSCH):
+            host, dev = _both_banded(reads, refs, params, algorithm, 64, 32)
+            assert host == dev, (params.affine, algorithm)
+
+
+def test_banded_device_walk_raw_and_model(rng):
+    pytest.importorskip("versalignlib_tpu.native")
+    r, f = _rand_codes(rng, 9, 40), _rand_codes(rng, 9, 70)
+    host, dev = _both_banded(r, f, P, Algorithm.SMITH_WATERMAN, 16, 8,
+                             raw=True)
+    assert len(host) == len(dev)
+    for i in range(len(host)):
+        assert host[i] == dev[i], i
+    # AlignmentModel passes device_walk through to the banded path.
+    from versalignlib_tpu.models import AlignmentModel
+
+    kw = dict(algorithm=Algorithm.SMITH_WATERMAN, banded=True, band=16,
+              band_tile=8)
+    m0 = AlignmentModel(name="b0", device_walk=False, **kw)
+    m1 = AlignmentModel(name="b1", device_walk=True, **kw)
+    assert m0.align(r.astype(np.uint8), f.astype(np.uint8)) == \
+        m1.align(r.astype(np.uint8), f.astype(np.uint8))
+
+
 def test_device_walk_raw_column_store(rng):
     pytest.importorskip("versalignlib_tpu.native")
     r, f = _rand_codes(rng, 17, 16), _rand_codes(rng, 17, 21)

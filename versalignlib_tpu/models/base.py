@@ -26,6 +26,9 @@ class AlignmentModel:
     banded: bool = False
     band: int = 512
     band_tile: int = 256
+    #: banded traceback walk on device (None = on for compiled TPU runs);
+    #: dense models control this through the engine/backend instead.
+    device_walk: bool | None = None
     #: custom alphabet string for encoding (None = the reference DNA table);
     #: char i maps to code i+1, code 0 stays the padding sentinel.
     alphabet: str | None = None
@@ -78,6 +81,7 @@ class AlignmentModel:
             return banded_align_batch(
                 reads_enc, refs_enc, self.params, self.algorithm,
                 band=self.band, tile=self.band_tile, tie=self.tie,
+                device_walk=self.device_walk,
             )
         reads_enc, refs_enc = self._encode(reads, refs)
         from versalignlib_tpu.dispatch import get_backend

@@ -145,9 +145,10 @@ void decode_pair_impl(const Args &A, int k, int nc, int pshift) {
     int bt;
     if (rp < 0) {
       bt = START;  // boundary row 0
-    } else if (fp < 0) {
-      bt = A.is_nw ? UP : START;  // boundary col 0
     } else if (kPtr == 2) {
+      // Records fully encode boundary behavior (dense NW col -1 UP chains
+      // are recorded as UP rows; banded band-edge stops as START) — never
+      // apply the 2D boundary shortcuts below to a record stream.
       if (rp != rec_row) {
         rec_row = rp;
         int32_t rec = recs[rp];
@@ -155,6 +156,8 @@ void decode_pair_impl(const Args &A, int k, int nc, int pshift) {
         rec_code = rec & 3;
       }
       bt = fp > rec_stop ? LEFT : rec_code;
+    } else if (fp < 0) {
+      bt = A.is_nw ? UP : START;  // boundary col 0
     } else if (kPtr == 1) {
       bt = (pw[(size_t)rp * nc + (fp >> pshift)] >> (2 * (fp & jmask))) & 3;
     } else {

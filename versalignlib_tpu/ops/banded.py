@@ -1048,6 +1048,7 @@ def banded_align_batch(
     raw: bool = False,
     chunk_blocks: int | None = None,
     tie=None,
+    device_walk: bool | None = None,
 ):
     """Banded full alignment: Pallas pointer fill + host band walk.
 
@@ -1057,11 +1058,21 @@ def banded_align_batch(
     device round under a 64MB budget (default), pipelined one chunk ahead
     of the host decode — the banded analogue of the dense path's
     memory-driven batching.
+
+    ``device_walk`` walks the band ON DEVICE (ops/walk.py banded walks):
+    the window-relative pointer words never leave HBM and only per-row
+    records (4B/row/pair — ``win/2``x fewer link bytes, e.g. 72x at band
+    512) cross to the host for the shared branch-free replay. Output is
+    bit-identical to the host band walk (test-gated). Default: ON for
+    compiled TPU runs, OFF in interpret mode (same policy as the dense
+    pallas backend).
     """
     from versalignlib_tpu.types import TieBreak
 
     if interpret is None:
         interpret = not _is_tpu()
+    if device_walk is None:
+        device_walk = not interpret
     algorithm = Algorithm(algorithm)
     local = algorithm == Algorithm.SMITH_WATERMAN
     b, m = reads.shape
@@ -1103,8 +1114,15 @@ def banded_align_batch(
         # link budget (the reference's memory-driven batching,
         # OpenCLKernel.cpp:517-568) — in whole 1024-pair blocks. Long pairs
         # always get at least one block (e.g. 16kbp x win 576 = 4.7MB/pair).
+        # Device walk: the link carries only (m,) records, so the budget is
+        # records-driven with the pointer stream capped by HBM (~1GB).
         bytes_per_block = m_pad * wc * 4 * BLOCK_PAIRS
-        chunk_blocks = max(1, (64 << 20) // bytes_per_block)
+        if device_walk:
+            chunk_blocks = max(1, min(
+                (64 << 20) // (m * 4 * BLOCK_PAIRS),
+                (1 << 30) // bytes_per_block))
+        else:
+            chunk_blocks = max(1, (64 << 20) // bytes_per_block)
     chunk_pairs = chunk_blocks * BLOCK_PAIRS
 
     def pack_arr(x, length, pad_len, g):
@@ -1124,9 +1142,36 @@ def banded_align_batch(
             _pack_vec(mrp_all[lo : lo + chunk_pairs], g), params, algorithm,
             band, tile, d_max, canonical, interpret,
         )
+        if device_walk:
+            from versalignlib_tpu.ops.walk import (
+                walk_blocks_banded, walk_blocks_banded_affine)
+
+            walk_fn = (walk_blocks_banded_affine if params.affine
+                       else walk_blocks_banded)
+            dev = walk_fn(
+                dev[0], dev[1], dev[2],
+                _pack_vec(mrp_all[lo : lo + chunk_pairs], g),
+                _pack_vec(max_ref_pos_all[lo : lo + chunk_pairs], g),
+                jnp.asarray(offsets_np), jnp.asarray(wbase_np),
+                m=m, n=n, band=band, local=local,
+            )
         return lo, r_np, f_np, g, dev
 
     def _decode(lo, r_np, f_np, g, dev):
+        if device_walk:
+            from versalignlib_tpu.ops.pallas_align import _unpack_pairs
+            from versalignlib_tpu.ops.walk import replay_batch
+
+            records, start_r, start_f, scores = dev
+            bc = r_np.shape[0]
+            return replay_batch(
+                _unpack_pairs(records, g)[:bc],
+                r_np, f_np,
+                _unpack_pairs(start_r, g)[:bc],
+                _unpack_pairs(start_f, g)[:bc],
+                _unpack_pairs(scores, g)[:bc],
+                params, algorithm, raw=raw,
+            )
         ptr, best, keep = dev
         bc = r_np.shape[0]
         mrp = mrp_all[lo : lo + bc]

@@ -281,6 +281,238 @@ def walk_blocks_affine(ptr, aux, hsel, mrp_b, mxp_b, *, m: int, n: int,
 
 
 # ---------------------------------------------------------------------------
+# Banded walks: window-relative packed words (8 fields/word; 2-bit linear,
+# 4-bit affine), per-row window base + band offsets. Records are the SAME
+# format as the dense walks, so the host replay below is shared. The banded
+# boundary rule differs from dense NW: walking off the band (either edge,
+# incl. column -1) is a hard stop (START record), never an UP chain —
+# mirroring _banded_decode_one / banded_align_oracle.
+# ---------------------------------------------------------------------------
+
+#: per-2-bit-field flag positions of BANDED linear words (8 fields in the
+#: low 16 bits; dense linear packs 16 fields and uses _FIELD_BITS).
+_FIELD_BITS_B2 = 0x5555
+
+
+def _banded_starts(best, keep, mrp_b, mxp_b, offsets, wbase, n: int,
+                   band: int, local: bool):
+    """Banded traceback start cell + score, derived on device.
+
+    SW: the fill's best registers ARE (score, argmax_row, argmax_col).
+    NW: start = (mrp, argmax over the captured last-valid-row H restricted
+    to the in-band window ``[o, min(o+band, n, mxp+1))``), first max wins —
+    mirroring banded_align_batch's host derivation element for element.
+    """
+    if local:
+        return best[:, 1], best[:, 2], best[:, 0]
+    rp = mrp_b
+    safe = jnp.maximum(rp, 0)
+    o = offsets[safe]
+    wb = wbase[safe]
+    hi = jnp.minimum(jnp.minimum(o + band, n), mxp_b + 1)
+    ok = (rp >= 0) & (hi > o)
+    kk = jnp.arange(keep.shape[1], dtype=jnp.int32)[None, :, None, None]
+    valid = (kk >= (o - wb)[:, None]) & (kk < (hi - wb)[:, None])
+    vals = jnp.where(valid, keep, jnp.int32(-(2**31)))
+    arg = jnp.argmax(vals, axis=1).astype(jnp.int32)  # first max, as host
+    score = jnp.max(vals, axis=1)
+    return (jnp.where(ok, rp, -1), jnp.where(ok, wb + arg, -1),
+            jnp.where(ok, score, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "band", "local"))
+def walk_blocks_banded(ptr, best, keep, mrp_b, mxp_b, offsets, wbase, *,
+                       m: int, n: int, band: int, local: bool):
+    """Walk banded packed pointer blocks on device (linear gaps).
+
+    Parameters
+    ----------
+    ptr:     (G, m_pad, wc, 8, 128) int32 — window-relative packed rows
+             (8x 2-bit codes per word, low 16 bits).
+    best:    (G, 4, 8, 128) int32 — SW end registers (score, row, col).
+    keep:    (G, win, 8, 128) int32 — NW captured last-valid-row H
+             (window-relative to ``wbase[mrp]``); ignored for SW.
+    mrp_b/mxp_b: (G, 8, 128) int32 — last valid read/ref positions (NW).
+    offsets: (m_pad,) int32 — band start column per row.
+    wbase:   (m_pad,) int32 — window base column per row (per row tile).
+
+    Returns ``records, start_r, start_f, scores`` exactly like
+    :func:`walk_blocks`; the cursor is an ABSOLUTE ref column, converted
+    per row through ``wbase``/``offsets``. Per-row work is the same
+    clz-over-flag-bits LEFT-run arithmetic, band-clipped on both edges.
+    """
+    wc = ptr.shape[2]
+    start_r, start_f, scores = _banded_starts(
+        best, keep, mrp_b, mxp_b, offsets, wbase, n, band, local)
+
+    d_code = jnp.int32(Trace.DIAG)
+    s_code = jnp.int32(Trace.START)
+    widx = jnp.arange(wc, dtype=jnp.int32)[None, :, None, None]
+    full = jnp.int32(_FIELD_BITS_B2)
+
+    def body(carry, r):
+        fp, started, done = carry
+        row = jax.lax.dynamic_index_in_dim(ptr, r, axis=1, keepdims=False)
+        off_r = offsets[r]
+        wb_r = wbase[r]
+        newly = (start_r == r) & ~started
+        started = started | newly
+        fp = jnp.where(newly, start_f, fp)
+        active = started & ~done
+        kb = fp - off_r
+        live = active & (kb >= 0) & (kb < band)
+
+        k_f = fp - wb_r                     # cursor field (window-relative)
+        lo_k = off_r - wb_r                 # band low edge field (scalar)
+        is_left = (row >> 1) & ~row & full
+        stops = ~is_left & full
+        # Mask stop flags to fields in [lo_k, k_f].
+        wi = k_f >> 3
+        fm = k_f & 7
+        hi_m = jnp.where(widx == wi[:, None], ((2 << (2 * fm)) - 1)[:, None],
+                         jnp.where(widx < wi[:, None], full, 0))
+        lo_w = lo_k >> 3
+        lo_f = lo_k & 7
+        lo_bits = jnp.int32(-1) << (2 * lo_f)
+        lo_m = jnp.where(widx == lo_w, lo_bits,
+                         jnp.where(widx > lo_w, full, 0))
+        stops = stops & hi_m & lo_m
+        hb = 31 - jax.lax.clz(stops)
+        cand = widx * 8 + (hb >> 1)
+        k_stop = jnp.max(jnp.where(stops != 0, cand, -1), axis=1)
+
+        found = k_stop >= 0
+        left_cnt = jnp.where(found, k_f - k_stop, k_f - lo_k + 1)
+        wj = k_stop >> 3
+        fj = k_stop & 7
+        code_sel = jnp.max(
+            jnp.where(widx == wj[:, None],
+                      (row >> (2 * fj[:, None])) & 3, 0), axis=1)
+        code = jnp.where(found, code_sel, s_code)
+        code = jnp.where(live, code, s_code)
+        cnt = jnp.where(live, left_cnt, 0)
+
+        rec = jnp.where(active, cnt * 4 + code, 0)
+        stop_now = active & (code == s_code)
+        k_next = jnp.where(code == d_code, k_stop - 1, k_stop)
+        fp = jnp.where(live & ~stop_now, wb_r + k_next, fp)
+        done = done | stop_now
+        return (fp, started, done), rec
+
+    G = ptr.shape[0]
+    shape = (G, ptr.shape[3], ptr.shape[4])
+    init = (jnp.full(shape, -1, jnp.int32),
+            jnp.zeros(shape, bool), jnp.zeros(shape, bool))
+    _, recs = jax.lax.scan(
+        body, init, jnp.arange(m - 1, -1, -1, dtype=jnp.int32))
+    records = jnp.flip(jnp.moveaxis(recs, 0, 1), axis=1)
+    return records, start_r, start_f, scores
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n", "band", "local"))
+def walk_blocks_banded_affine(ptr, best, keep, mrp_b, mxp_b, offsets, wbase,
+                              *, m: int, n: int, band: int, local: bool):
+    """Banded affine (Gotoh) device walk — records shared with all walks.
+
+    Same three-state collapse as :func:`walk_blocks_affine` (E runs are a
+    consecutive-ones scan over ``cont(j) = e_ext(j+1) | is_left(j)``; F rows
+    exit UP immediately chaining on their own f_ext), with the banded
+    boundary rule: an E run that reaches the band's low edge emits down to
+    it and hard-stops, and a row entered out of band stops before emitting
+    (START record) — mirroring _banded_decode_one's loop-top band check.
+    """
+    wc = ptr.shape[2]
+    start_r, start_f, scores = _banded_starts(
+        best, keep, mrp_b, mxp_b, offsets, wbase, n, band, local)
+
+    d_code = jnp.int32(Trace.DIAG)
+    u_code = jnp.int32(Trace.UP)
+    l_code = jnp.int32(Trace.LEFT)
+    s_code = jnp.int32(Trace.START)
+    widx = jnp.arange(wc, dtype=jnp.int32)[None, :, None, None]
+    full = jnp.int32(_FIELD_BITS4)
+
+    def body(carry, r):
+        fp, in_f, started, done = carry
+        row = jax.lax.dynamic_index_in_dim(ptr, r, axis=1, keepdims=False)
+        off_r = offsets[r]
+        wb_r = wbase[r]
+        newly = (start_r == r) & ~started
+        started = started | newly
+        fp = jnp.where(newly, start_f, fp)
+        in_f = jnp.where(newly, False, in_f)
+        active = started & ~done
+        kb = fp - off_r
+        live = active & (kb >= 0) & (kb < band)
+
+        k_f = fp - wb_r
+        lo_k = off_r - wb_r
+        eL = (row >> 1) & ~row & full       # hptr == LEFT
+        eX = (row >> 2) & full              # e_ext
+        # cont(j) = e_ext(j+1) | is_left(j); field j+1 crosses words upward.
+        eX_hi = jnp.concatenate(
+            [eX[:, 1:], jnp.zeros_like(eX[:, :1])], axis=1)
+        cont = ((eX >> 4) | (eX_hi << 28)) | eL
+
+        def code4_at(k):
+            wj = k >> 3
+            fj = k & 7
+            return jnp.max(
+                jnp.where(widx == wj[:, None],
+                          (row >> (4 * fj[:, None])) & 15, 0), axis=1)
+
+        code_fp = code4_at(jnp.maximum(k_f, 0))
+        enters_e = (code_fp & 3) == l_code
+        # Chain-stop scan over fields [lo_k, k_f - 1].
+        p = k_f - 1
+        wi = p >> 3
+        fm = p & 7
+        stops = ~cont & full
+        hi_m = jnp.where(widx == wi[:, None], ((2 << (4 * fm)) - 1)[:, None],
+                         jnp.where(widx < wi[:, None], full, 0))
+        lo_w = lo_k >> 3
+        lo_f = lo_k & 7
+        lo_bits = jnp.int32(-1) << (4 * lo_f)
+        lo_m = jnp.where(widx == lo_w, lo_bits,
+                         jnp.where(widx > lo_w, full, 0))
+        stops = stops & hi_m & lo_m
+        hb = 31 - jax.lax.clz(stops)
+        cand = widx * 8 + (hb >> 2)
+        jb_chain = jnp.max(jnp.where(stops != 0, cand, -1), axis=1)
+
+        jb = jnp.where(enters_e, jb_chain, k_f)
+        found = jb >= lo_k
+        left_cnt = jnp.where(found, k_f - jb, k_f - lo_k + 1)
+        code_jb = code4_at(jnp.maximum(jb, 0))
+        hp = code_jb & 3
+        f_ext = (code_jb >> 3) & 1
+
+        h_code = jnp.where(found, hp, s_code)
+        code = jnp.where(in_f, u_code, h_code)
+        cnt = jnp.where(in_f, 0, left_cnt)
+        code = jnp.where(live, code, s_code)
+        cnt = jnp.where(live, cnt, 0)
+
+        rec = jnp.where(active, cnt * 4 + code, 0)
+        stop_now = active & (code == s_code)
+        k_next = jnp.where(code == d_code, jb - 1, jb)
+        fp = jnp.where(live & ~in_f & ~stop_now, wb_r + k_next, fp)
+        fx_here = jnp.where(in_f, (code_fp >> 3) & 1, f_ext)
+        in_f = live & (code == u_code) & (fx_here == 1)
+        done = done | stop_now
+        return (fp, in_f, started, done), rec
+
+    G = ptr.shape[0]
+    shape = (G, ptr.shape[3], ptr.shape[4])
+    init = (jnp.full(shape, -1, jnp.int32), jnp.zeros(shape, bool),
+            jnp.zeros(shape, bool), jnp.zeros(shape, bool))
+    _, recs = jax.lax.scan(
+        body, init, jnp.arange(m - 1, -1, -1, dtype=jnp.int32))
+    records = jnp.flip(jnp.moveaxis(recs, 0, 1), axis=1)
+    return records, start_r, start_f, scores
+
+
+# ---------------------------------------------------------------------------
 # Host replay: records -> Alignment (python reference; native fast path in
 # versalignlib_tpu.native)
 # ---------------------------------------------------------------------------
