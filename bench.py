@@ -6,66 +6,97 @@ value = GCUPS (1e9 DP cell updates/sec); vs_baseline = value / 50, the
 north-star target from BASELINE.json (the reference publishes no numbers of
 its own — BASELINE.md).
 
+Robustness layout (the round-3 driver run was killed by its timeout with
+nothing printed — never again):
+
+  parent (this process, never touches a device)
+    ├─ child `--child`        TPU measurement, subprocess w/ timeout
+    └─ child `--child --cpu`  CPU fallback if the TPU child fails/times out
+
+so a parseable JSON line is emitted no matter what the axon tunnel does,
+within BENCH_BUDGET_S (default 540s) wall.
+
 Methodology: this environment reaches the TPU through a tunnel with ~25ms
-of fixed per-call RTT and an async dispatch whose block_until_ready is
-unreliable, so each call is timed to full host materialization and the
-device throughput is taken as the MARGINAL rate between two batch sizes
-(slope of time vs batch), which cancels constant per-call overheads:
+of fixed per-call RTT, slow D2H, and an async dispatch whose
+block_until_ready is unreliable. Each timed call materializes a reduced
+scalar, and the kernel time is the MARGINAL between a k=1-execution call
+and a k=K-execution call of the SAME jitted function (the execution count
+is a traced `lax.fori_loop` bound):
 
-    GCUPS = (B2 - B1) * m * n / (t(B2) - t(B1)) / 1e9
+    GCUPS = (K - 1) * B * m * n / (t(K) - t(1)) / 1e9
 
-Correctness is asserted before timing: a random subset of the scored batch
-must match the golden-gated numpy oracle bit-for-bit.
+This cancels every per-call constant (RTT, dispatch, D2H of the reduced
+scalar) exactly, and needs only ONE remote compile — the round-3 timeout
+was two cold 512-row Pallas compiles (30-170s each) stacked on a slow
+tunnel. Inputs are generated ON DEVICE (no multi-MB H2D over the tunnel);
+each loop iteration perturbs one element so no two executions see
+identical buffers (the tunnel serves repeated identical dispatches from a
+cache — CLAUDE.md).
+
+Correctness is asserted before timing: the same jitted function also
+returns the unperturbed batch's scores, and a random subset must match
+the golden-gated numpy oracle bit-for-bit.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+FALLBACK = {"metric": "sw_512x512_score_gcups", "value": 0.0,
+            "unit": "GCUPS", "vs_baseline": 0.0}
 
 
-def _time_call(fn, reps: int = 8, tag0: int = 0) -> float:
-    """Min-of-reps wall time of fn(tag) with full materialization.
-
-    Each rep gets a distinct tag: fn perturbs one input element per tag so
-    no two executions see identical buffers — the tunnel serves repeated
-    identical executions from a cache, which would collapse the timing to
-    pure RTT (CLAUDE.md)."""
-    best = float("inf")
-    for i in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(fn(tag0 + i))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def _device_probe_ok(timeout_s: float = 180.0) -> bool:
-    """Probe device init in a SUBPROCESS: when the axon tunnel is down,
-    ``jax.devices()`` blocks indefinitely with no in-process recovery —
-    probing out-of-process lets us fall back to CPU and still emit the
-    JSON line instead of hanging the driver."""
-    import subprocess
-
+def _run_child(args, timeout_s):
+    """Run a child bench process; return its parsed JSON line or None."""
     try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout_s)
-        return r.returncode == 0 and "tpu" in r.stdout
-    except Exception:
-        return False
-
-
-def main() -> int:
-    if not _device_probe_ok():
-        print("[bench] TPU unreachable; falling back to CPU (xla backend)",
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)] + args,
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"[bench] child {args} timed out after {timeout_s:.0f}s",
               file=sys.stderr)
-        import jax
+        return None
+    for line in r.stderr.splitlines()[-6:]:
+        print(line, file=sys.stderr)
+    if r.returncode != 0:
+        print(f"[bench] child {args} rc={r.returncode}", file=sys.stderr)
+        return None
+    for line in reversed(r.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                return None
+    return None
 
-        jax.config.update("jax_platforms", "cpu")
+
+def parent() -> int:
+    budget = float(os.environ.get("BENCH_BUDGET_S", "540"))
+    t0 = time.monotonic()
+    left = lambda: budget - (time.monotonic() - t0)
+
+    out = _run_child(["--child"], timeout_s=max(30.0, left() - 110.0))
+    if out is None:
+        print("[bench] TPU child failed; CPU fallback", file=sys.stderr)
+        out = _run_child(["--child", "--cpu"], timeout_s=max(20.0, left() - 5.0))
+        if out is not None:
+            out["note"] = "tpu unreachable; cpu-xla fallback measurement"
+    if out is None:
+        out = dict(FALLBACK, note="both tpu and cpu children failed")
+    print(json.dumps(out))
+    return 0 if out.get("value", 0.0) > 0 else 1
+
+
+def child(cpu: bool) -> int:
+    import numpy as np
     import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    from jax import lax
 
     from versalignlib_tpu.ops import oracle
     from versalignlib_tpu.ops.pallas_score import score_batch_device
@@ -73,53 +104,64 @@ def main() -> int:
     from versalignlib_tpu.params import AlignmentParameters
     from versalignlib_tpu.types import Algorithm
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    if cpu and on_tpu:  # forced-cpu child must not touch the tunnel
+        raise RuntimeError("cpu child resolved to tpu platform")
     p = AlignmentParameters()
     m, n = 512, 512
-    # Wide spread: the marginal's denominator (t2-t1) must dwarf the
-    # tunnel's per-call RTT jitter (~2ms) or the rate swings +-20%.
-    b1, b2 = (4096, 32768) if on_tpu else (64, 256)
-    rng = np.random.default_rng(42)
+    b, k_hi = (16384, 9) if on_tpu else (192, 4)
 
-    def make(b):
-        reads = rng.integers(1, 5, size=(b, m)).astype(np.uint8)
-        refs = rng.integers(1, 5, size=(b, n)).astype(np.uint8)
-        return reads, refs, jnp.asarray(reads), jnp.asarray(refs)
+    kern = (lambda r, f: score_batch_device(r, f, p, Algorithm.SMITH_WATERMAN,
+                                            False)) if on_tpu else \
+           (lambda r, f: xla_score_batch(r, f, p, Algorithm.SMITH_WATERMAN))
 
-    reads1, refs1, r1, f1 = make(b1)
-    _, _, r2, f2 = make(b2)
+    @jax.jit
+    def bench_fn(reads, refs, k, tag):
+        s0 = kern(reads, refs)  # unperturbed: the correctness-gate output
 
-    kern = (
-        (lambda r, f: score_batch_device(r, f, p, Algorithm.SMITH_WATERMAN, False))
-        if on_tpu else
-        (lambda r, f: xla_score_batch(r, f, p, Algorithm.SMITH_WATERMAN))
-    )
-    # tag=0 keeps element [0,0] at its original value mod-pattern; the
-    # correctness gate below scores the UNperturbed batch.
-    fn1 = lambda tag: kern(r1.at[0, 0].set(tag % 4 + 1), f1)
-    fn2 = lambda tag: kern(r2.at[0, 0].set(tag % 4 + 1), f2)
+        def body(i, acc):
+            r = reads.at[0, 0].set((tag + i) % 4 + 1)
+            return acc + jnp.sum(kern(r, refs))
 
-    out1 = np.asarray(kern(r1, f1))  # compile + warm, unperturbed
-    np.asarray(kern(r2, f2))
+        return s0, lax.fori_loop(0, k, body, jnp.int32(0))
 
-    # Correctness gate (bit-exact vs golden-gated oracle on a subset).
-    sub = rng.integers(0, b1, size=24)
-    want = oracle.score_alignments(Algorithm.SMITH_WATERMAN, reads1[sub], refs1[sub], p)
-    if not np.array_equal(out1[sub], want):
+    key = jax.random.PRNGKey(42)
+    kr, kf = jax.random.split(key)
+    reads = jax.random.randint(kr, (b, m), 1, 5, dtype=jnp.int32)
+    refs = jax.random.randint(kf, (b, n), 1, 5, dtype=jnp.int32)
+
+    # Compile + warm + correctness gate (bit-exact vs golden-gated oracle).
+    s0, _ = bench_fn(reads, refs, 1, 0)
+    rng = np.random.default_rng(7)
+    sub = rng.integers(0, b, size=24)
+    reads_sub = np.asarray(reads[sub]).astype(np.uint8)
+    refs_sub = np.asarray(refs[sub]).astype(np.uint8)
+    got = np.asarray(s0)[sub]
+    want = oracle.score_alignments(Algorithm.SMITH_WATERMAN, reads_sub,
+                                   refs_sub, p)
+    if not np.array_equal(got, want):
         print("FATAL: score mismatch vs oracle", file=sys.stderr)
-        print(json.dumps({"metric": "sw_512x512_score_gcups", "value": 0.0,
-                          "unit": "GCUPS", "vs_baseline": 0.0}))
+        print(json.dumps(FALLBACK))
         return 1
 
-    t1 = _time_call(fn1)
-    t2 = _time_call(fn2, tag0=8)
-    if t2 <= t1:  # degenerate timing; fall back to the large-batch rate
-        gcups = b2 * m * n / t2 / 1e9
+    def timed(k, tag0):
+        best = float("inf")
+        for i in range(4):
+            t0 = time.perf_counter()
+            np.asarray(bench_fn(reads, refs, k, 4 * (tag0 + i))[1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = timed(1, 1)
+    tk = timed(k_hi, 64)
+    if tk <= t1:  # degenerate timing; fall back to the k-loop absolute rate
+        gcups = k_hi * b * m * n / tk / 1e9
     else:
-        gcups = (b2 - b1) * m * n / (t2 - t1) / 1e9
+        gcups = (k_hi - 1) * b * m * n / (tk - t1) / 1e9
     print(
-        f"[bench] platform={jax.devices()[0].platform} {m}x{n} SW "
-        f"t({b1})={t1*1e3:.1f}ms t({b2})={t2*1e3:.1f}ms "
+        f"[bench] platform={platform} {m}x{n} SW B={b} "
+        f"t(k=1)={t1*1e3:.1f}ms t(k={k_hi})={tk*1e3:.1f}ms "
         f"marginal GCUPS={gcups:.2f}",
         file=sys.stderr,
     )
@@ -133,4 +175,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--child" in sys.argv:
+        sys.exit(child(cpu="--cpu" in sys.argv))
+    sys.exit(parent())
