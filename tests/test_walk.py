@@ -250,3 +250,20 @@ def test_device_walk_raw_column_store(rng):
         assert len(host) == len(dev)
         for i in range(len(host)):
             assert host[i] == dev[i], i
+
+
+def test_dense_model_device_walk_forwarding(rng):
+    """AlignmentModel forwards device_walk on the dense pallas path and
+    rejects it for backends that cannot honor it (ADVICE r3)."""
+    pytest.importorskip("versalignlib_tpu.native")
+    from versalignlib_tpu.models import AlignmentModel
+
+    r, f = _rand_codes(rng, 7, 24), _rand_codes(rng, 7, 33)
+    kw = dict(algorithm=Algorithm.SMITH_WATERMAN)
+    m0 = AlignmentModel(name="d0", device_walk=False, **kw)
+    m1 = AlignmentModel(name="d1", device_walk=True, **kw)
+    a0 = m0.align(r.astype(np.uint8), f.astype(np.uint8), backend="pallas")
+    a1 = m1.align(r.astype(np.uint8), f.astype(np.uint8), backend="pallas")
+    assert a0 == a1
+    with pytest.raises(ValueError, match="device_walk"):
+        m1.align(r.astype(np.uint8), f.astype(np.uint8), backend="oracle")

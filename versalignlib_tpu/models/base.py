@@ -26,8 +26,9 @@ class AlignmentModel:
     banded: bool = False
     band: int = 512
     band_tile: int = 256
-    #: banded traceback walk on device (None = on for compiled TPU runs);
-    #: dense models control this through the engine/backend instead.
+    #: traceback walk on device (None = backend auto: on for compiled TPU
+    #: runs). Banded and dense-pallas paths both honor it; setting it with
+    #: a non-pallas dense backend raises at align() time.
     device_walk: bool | None = None
     #: custom alphabet string for encoding (None = the reference DNA table);
     #: char i maps to code i+1, code 0 stays the padding sentinel.
@@ -86,6 +87,18 @@ class AlignmentModel:
         reads_enc, refs_enc = self._encode(reads, refs)
         from versalignlib_tpu.dispatch import get_backend
 
-        return get_backend(backend).compute_alignments(
+        be = get_backend(backend)
+        if be.name == "pallas":
+            return be.compute_alignments(
+                self.algorithm, reads_enc, refs_enc, self.params, self.tie,
+                device_walk=self.device_walk,
+            )
+        if self.device_walk is not None:
+            raise ValueError(
+                "device_walk is only supported by the banded path and the "
+                f"pallas backend; got backend={be.name!r}. Leave device_walk"
+                "=None (backend auto) or select backend='pallas'."
+            )
+        return be.compute_alignments(
             self.algorithm, reads_enc, refs_enc, self.params, self.tie
         )

@@ -1115,12 +1115,15 @@ def banded_align_batch(
         # OpenCLKernel.cpp:517-568) — in whole 1024-pair blocks. Long pairs
         # always get at least one block (e.g. 16kbp x win 576 = 4.7MB/pair).
         # Device walk: the link carries only (m,) records, so the budget is
-        # records-driven with the pointer stream capped by HBM (~1GB).
+        # records-driven with the pointer stream capped at 512MB resident —
+        # the dispatch loop pipelines one chunk ahead, so up to TWO chunks'
+        # pointer buffers are live in HBM concurrently (~1GB peak + keep/
+        # hsel), comfortably inside a 16GB v5e.
         bytes_per_block = m_pad * wc * 4 * BLOCK_PAIRS
         if device_walk:
             chunk_blocks = max(1, min(
                 (64 << 20) // (m * 4 * BLOCK_PAIRS),
-                (1 << 30) // bytes_per_block))
+                (1 << 29) // bytes_per_block))
         else:
             chunk_blocks = max(1, (64 << 20) // bytes_per_block)
     chunk_pairs = chunk_blocks * BLOCK_PAIRS
