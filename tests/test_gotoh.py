@@ -201,3 +201,20 @@ def test_xla_affine_align_matches_oracle(rng):
                 w.read, w.ref, w.score, w.cigar), (i, alg, g, w)
             assert (g.read_start, g.read_end, g.ref_start, g.ref_end) == (
                 w.read_start, w.read_end, w.ref_start, w.ref_end), (i, alg)
+
+
+def test_oracle_batch_entry_points_route_affine(rng):
+    """oracle.score_alignments/compute_alignments honor p.affine (they
+    previously computed the LINEAR model silently for affine params)."""
+    from versalignlib_tpu.ops import oracle
+
+    p = AFFINE_PARAMS[1]
+    reads = random_codes(rng, 12, 16, padded=True, n_prob=0.1)
+    refs = random_codes(rng, 12, 17, padded=True, n_prob=0.1)
+    for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        got = oracle.score_alignments(alg, reads, refs, p)
+        want = gotoh.score_alignments_affine(alg, reads, refs, p)
+        assert np.array_equal(got, want), alg
+        ga = oracle.compute_alignments(alg, reads, refs, p)
+        wa = gotoh.compute_alignments_affine(alg, reads, refs, p)
+        assert ga == wa, alg

@@ -347,7 +347,15 @@ def score_alignments(
     refs: np.ndarray,
     p: AlignmentParameters,
 ) -> np.ndarray:
-    """Batch scores; reads/refs are (n, L) uint8 code arrays."""
+    """Batch scores; reads/refs are (n, L) uint8 code arrays.
+
+    Honors ``p.affine`` by routing to the Gotoh oracle (ops/gotoh.py) —
+    the per-pair ``sw_score``/``nw_score`` helpers are linear-only.
+    """
+    if p.affine:
+        from versalignlib_tpu.ops import gotoh
+
+        return gotoh.score_alignments_affine(algorithm, reads, refs, p)
     fn = sw_score if algorithm == Algorithm.SMITH_WATERMAN else nw_score
     return np.array([fn(r, f, p) for r, f in zip(reads, refs)], dtype=np.int32)
 
@@ -359,6 +367,10 @@ def compute_alignments(
     p: AlignmentParameters,
     tie: TieBreak = TieBreak.DIAG_UP_LEFT,
 ) -> list[Alignment]:
-    """Batch full alignments."""
+    """Batch full alignments. Honors ``p.affine`` (see score_alignments)."""
+    if p.affine:
+        from versalignlib_tpu.ops import gotoh
+
+        return gotoh.compute_alignments_affine(algorithm, reads, refs, p, tie)
     fn = sw_align if algorithm == Algorithm.SMITH_WATERMAN else nw_align
     return [fn(r, f, p, tie) for r, f in zip(reads, refs)]

@@ -70,8 +70,15 @@ NEG_INF_I32 = -(2**30)
 def make_sub_fn(params: AlignmentParameters):
     """(row_prep, col_prep, sub_of) triple for in-kernel substitution scoring.
 
-    Default: the reference's 6x6 structure as arithmetic (1 compare chain +
-    2 selects per cell — no gather, alphabet.py:9-16). Generic S x S
+    Default: the reference's 6x6 structure as arithmetic — 3 VPU ops per
+    cell (eq + select + mask-AND; no gather, alphabet.py:9-16): invalid
+    codes map to DISTINCT per-side sentinels (-2 read / -1 ref) so the
+    equality can never fire across validity, the ref context carries a
+    pre-selected ``fbase`` (mismatch if the ref base is valid else 0), and
+    read-side validity is a full-width bit mask folded in with one AND.
+    The column context is two plain int32 vectors, so kernels can
+    precompute it once per ref column into VMEM scratch instead of paying
+    col_prep per row group (the score kernel does). Generic S x S
     ``params.matrix``: a per-row table is built once per row group by
     ``row_prep`` (amortized over the whole ref sweep); ``col_prep`` computes
     per-column lookup state once, shared across the R wavefront rows; each
@@ -88,16 +95,25 @@ def make_sub_fn(params: AlignmentParameters):
     mismatch = jnp.int32(params.score_mismatch)
     if params.matrix is None:
         def row_prep(rc):
-            return rc, (rc >= 1) & (rc <= 4)
+            rv = (rc >= 1) & (rc <= 4)
+            # (sentinel-mapped code, full-width validity mask)
+            return (jnp.where(rv, rc, jnp.int32(-2)),
+                    jnp.where(rv, jnp.int32(-1), jnp.int32(0)))
 
         def col_prep(ref_col):
-            return ref_col, (ref_col >= 1) & (ref_col <= 4)
+            fv = (ref_col >= 1) & (ref_col <= 4)
+            # (sentinel-mapped code, pre-selected base score) — two plain
+            # int32 vectors, storable in VMEM scratch.
+            return (jnp.where(fv, ref_col, jnp.int32(-1)),
+                    jnp.where(fv, mismatch, jnp.int32(0)))
 
         def sub_of(rctx, cctx):
-            rc, rv = rctx
-            fc, fv = cctx
-            return jnp.where(rv & fv,
-                             jnp.where(rc == fc, match, mismatch), 0)
+            rc2, rmask = rctx
+            fc2, fbase = cctx
+            # -2 != -1: the eq can only fire when BOTH sides are valid;
+            # fbase is already 0 for invalid ref; the AND zeroes invalid
+            # reads (x & -1 == x, x & 0 == 0 — exact for negatives too).
+            return jnp.where(rc2 == fc2, match, fbase) & rmask
 
         return row_prep, col_prep, sub_of
 
@@ -190,13 +206,18 @@ def make_sub_fn(params: AlignmentParameters):
 WAVE_ROWS = 4
 
 
-def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
-                  params: AlignmentParameters, local: bool):
+def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, c0_ref, c1_ref,
+                  *, m, n, unroll, params: AlignmentParameters, local: bool):
     """One pair-block: reads (1, m, 8, 128), refs (1, n, 8, 128) int32 codes.
 
     h_ref: (n+1, 8, 128) int32 VMEM scratch (rolling H row).
     f_ref: (n, 8, 128) int32 scratch (rolling Gotoh F row; affine only, else
     a (1, 8, 128) placeholder).
+    c0_ref/c1_ref: (n, 8, 128) int32 scratch (default scoring only, else
+    (1, 8, 128) placeholders): the per-column substitution context
+    (sentinel code, base score) precomputed ONCE per block, so the row-group
+    loop pays two VMEM loads per column instead of re-deriving the context
+    m/R times (~1 VPU op/cell saved at R=4).
     out_ref: (1, 8, 128) int32 best scores per pair.
 
     The main loop is an **R-row register wavefront** (R = WAVE_ROWS): R
@@ -226,6 +247,23 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
 
     row_prep, col_prep, sub_of = make_sub_fn(params)
 
+    # Default scoring: stream the column context through scratch (col_prep
+    # is elementwise, so whole chunks go through it at once, ~5/m ops/cell
+    # amortized); matrix modes keep per-group col_prep (their context is
+    # masks/shift register state, not two storable words).
+    use_cstream = params.matrix is None
+    if use_cstream:
+        def fill_cctx(j0, size):
+            fc2, fb = col_prep(refs_ref[0, pl.ds(j0, size)])
+            c0_ref[pl.ds(j0, size)] = fc2
+            c1_ref[pl.ds(j0, size)] = fb
+
+        jax.lax.fori_loop(
+            0, n_chunks,
+            lambda c, z: (fill_cctx(c * unroll, unroll), z)[1], 0)
+        if n % unroll:
+            fill_cctx(n_chunks * unroll, n % unroll)
+
     def make_group_body(R, base=None):
         """Row-group DP pass. ``base``: static start row (tail) or None to
         derive from the loop index (main fori over groups of R)."""
@@ -238,13 +276,18 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
             def run_chunk(j0, carry, size):
                 lefts, diags, evals, best = carry
                 old = h_ref[pl.ds(j0 + 1, size)]     # row i0-1 values
-                ref_chunk = refs_ref[0, pl.ds(j0, size)]
+                if use_cstream:
+                    c0_chunk = c0_ref[pl.ds(j0, size)]
+                    c1_chunk = c1_ref[pl.ds(j0, size)]
+                else:
+                    ref_chunk = refs_ref[0, pl.ds(j0, size)]
                 if affine:
                     f_old = f_ref[pl.ds(j0, size)]
                     f_store = []
                 store_vals = []
                 for u in range(size):
-                    cctx = col_prep(ref_chunk[u])
+                    cctx = ((c0_chunk[u], c1_chunk[u]) if use_cstream
+                            else col_prep(ref_chunk[u]))
                     up = old[u]
                     f_up = f_old[u] if affine else None
                     new_lefts, new_diags, new_evals = [], [], []
@@ -318,11 +361,14 @@ def _score_kernel(reads_ref, refs_ref, out_ref, h_ref, f_ref, *, m, n, unroll,
 
 def score_vmem_plan(m: int, n: int, affine: bool = False) -> int:
     """VMEM bytes the score kernel requests for one (m, n) pair block:
-    H (+F) scratch rows, double-buffered read/ref blocks, out, headroom.
+    H (+F) scratch rows, column-context streams, double-buffered read/ref
+    blocks, out, headroom. Counts the context streams unconditionally
+    (matrix modes allocate placeholders — the gate stays conservative).
     Single source of truth shared with ``capabilities.dense_fits``."""
     return 4 * BLOCK_PAIRS * (
         (n + 1)                    # H scratch
         + (n if affine else 1)     # F scratch
+        + 2 * n                    # column-context streams (default path)
         + 2 * (m + n)              # double-buffered read/ref blocks
         + 2                        # out
     ) + 1024 * 1024                # headroom
@@ -338,7 +384,7 @@ def _score_blocks(reads_b, refs_b, params: AlignmentParameters,
     n = refs_b.shape[1]
     local = algorithm == Algorithm.SMITH_WATERMAN
     kernel = functools.partial(
-        _score_kernel, m=m, n=n, unroll=min(8, n),
+        _score_kernel, m=m, n=n, unroll=min(128, n),
         params=params, local=local,
     )
     vmem_bytes = score_vmem_plan(m, n, params.affine)
@@ -359,6 +405,10 @@ def _score_blocks(reads_b, refs_b, params: AlignmentParameters,
             pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
             pltpu.VMEM((n if params.affine else 1, BLOCK_SUBLANES, BLOCK_LANES),
                        jnp.int32),
+            pltpu.VMEM((n if params.matrix is None else 1,
+                        BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+            pltpu.VMEM((n if params.matrix is None else 1,
+                        BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
         cost_estimate=pl.CostEstimate(
