@@ -292,7 +292,7 @@ def _align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
     n = refs_b.shape[1]
     local = algorithm == Algorithm.SMITH_WATERMAN
     pack = _pick_pack(n)
-    unroll = min(8, n)
+    unroll = min(16, n)
     R = ALIGN_WAVE_ROWS
     assert m_pad % R == 0
     kernel = functools.partial(
