@@ -123,10 +123,12 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
          h_ref, hkeep_ref) = refs_args
     ip = pl.program_id(1)
     i0 = ip * R
-    match = jnp.int32(params.score_match)
-    mismatch = jnp.int32(params.score_mismatch)
-    gap_read = jnp.int32(params.score_gap_read)
-    gap_ref = jnp.int32(params.score_gap_ref)
+    # The DP runs in a LEFT-SHIFTED domain: every H/sub/gap value carries
+    # ``value << 2`` with a 2-bit move PRIORITY in the low bits, so one
+    # ``max`` selects (value, tie-priority) lexicographically and the 8-op
+    # eq/select pointer chain disappears. Scores stay far inside int32/4.
+    gap_read = jnp.int32(params.score_gap_read << 2)
+    gap_ref = jnp.int32(params.score_gap_ref << 2)
     n_words = n // pack          # full words; n % pack via one partial word
     zeros = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
 
@@ -141,11 +143,17 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
 
     from versalignlib_tpu.alphabet import make_validity
 
-    row_prep, col_prep, sub_of = make_sub_fn(params)
+    row_prep, col_prep, sub_of = make_sub_fn(params, shift=2)
     vfn = make_validity(params.matrix)
+    canonical = tie == TieBreak.DIAG_UP_LEFT
     rcs = [reads_ref[0, r] for r in range(R)]
-    rvs = [vfn(rc) for rc in rcs]
     rctxs = [row_prep(rcs[r]) for r in range(R)]
+    if not canonical:
+        # SSE flavor gates DIAG on both symbols being score-valid: the DIAG
+        # candidate's priority is 3 only when valid, else 0 (an invalid
+        # DIAG that still wins on value falls through the reference's chain
+        # to START, SSEKernel.cpp:364-379 — priority 0 reproduces that).
+        rv3s = [jnp.where(vfn(rc), jnp.int32(3), jnp.int32(0)) for rc in rcs]
     if local:
         col0s = [zeros] * (R + 1)
     else:
@@ -162,16 +170,28 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
             hk0 = jnp.where(mrows[r], col0s[r + 1], hk0)
         hkeep_ref[0] = hk0
 
-    d_code = jnp.int32(Trace.DIAG)
-    u_code = jnp.int32(Trace.UP)
-    l_code = jnp.int32(Trace.LEFT)
-    s_code = jnp.int32(Trace.START)
+    even = jnp.int32(0x55555555)
 
     def word_body(c, carry, sizes):
         # One packed pointer word per iteration: statically-unrolled
-        # sub-chunks (``sizes``; (8, 8) for a full 16-column word, the tail
-        # split for the partial word), one unconditional word store per row
-        # at the end (a predicated in-loop flush measured 20x slower).
+        # sub-chunks (``sizes``; one full 16-column chunk for a full word,
+        # the tail split for the partial word), one unconditional word store
+        # per row at the end (a predicated in-loop flush measured 20x
+        # slower).
+        #
+        # Move selection is a single packed max: every candidate carries
+        # ``(value << 2) | priority`` and ``max`` picks (value, priority)
+        # lexicographically — the 8-op eq/select chain is gone.
+        #   canonical: priorities DIAG 2 > UP 1 > LEFT 0, with START as the
+        #     SW clamp constant ``3`` = (value 0, priority 3): one max is
+        #     simultaneously the zero-clamp AND the zero-force-to-START
+        #     (a 0-valued candidate loses to it, exactly the reference's
+        #     rule). Priorities are remapped to stored Trace codes once per
+        #     completed word (a fixed 2-bit shuffle: code.b1 = ~prio.b0,
+        #     code.b0 = prio.b1 ^ prio.b0 — START 3->0, DIAG 2->3, UP 1->1,
+        #     LEFT 0->2).
+        #   SSE flavor: priorities (valid-gated DIAG 3) > LEFT 2 > UP 1 >
+        #     START 0 ARE the stored codes; the SW clamp constant is 0.
         lefts, diags, bests, bargs = carry
         words = [zeros] * R
         off = 0
@@ -187,36 +207,31 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
                 up = old[u]
                 ref_col = ref_chunk[u]
                 cctx = col_prep(ref_col)
+                if not canonical:
+                    fvm = jnp.where(vfn(ref_col), jnp.int32(-1), jnp.int32(0))
                 keep_u = keep_old[u] if not local else None
                 new_lefts, new_diags = [], []
                 for r in range(R):
-                    sub = sub_of(rctxs[r], cctx)
-                    diag_v = diags[r] + sub
-                    up_v = up + gap_ref
-                    left_v = lefts[r] + gap_read
-                    cur = jnp.maximum(jnp.maximum(diag_v, up_v), left_v)
-                    if local:
-                        cur = jnp.maximum(cur, 0)
-
-                    if tie == TieBreak.DIAG_UP_LEFT:
-                        ptr = jnp.where(
-                            cur == diag_v, d_code,
-                            jnp.where(cur == up_v, u_code,
-                                      jnp.where(cur == left_v, l_code, s_code)),
-                        )
+                    sub = sub_of(rctxs[r], cctx)     # value << 2
+                    if canonical:
+                        diag_p = (diags[r] + sub) | 2
+                        up_p = (up + gap_ref) | 1
+                        left_p = lefts[r] + gap_read     # priority 0
+                        cur_p = jnp.maximum(jnp.maximum(diag_p, up_p), left_p)
                         if local:
-                            ptr = jnp.where(cur == 0, s_code, ptr)
-                    else:  # SSE flavor: DIAG gated on validity, DIAG > LEFT > UP
-                        # (validity = nonzero-scoring codes, matrix-aware).
-                        valid = rvs[r] & vfn(ref_col)
-                        ptr = jnp.where(
-                            (cur == diag_v) & valid, d_code,
-                            jnp.where(cur == left_v, l_code,
-                                      jnp.where(cur == up_v, u_code, s_code)),
-                        )
-                    words[r] = words[r] | (ptr << (2 * (off + u)))
+                            cur_p = jnp.maximum(cur_p, 3)
+                    else:
+                        diag_p = (diags[r] + sub) | (rv3s[r] & fvm)
+                        left_p = (lefts[r] + gap_read) | 2
+                        up_p = (up + gap_ref) | 1
+                        cur_p = jnp.maximum(jnp.maximum(diag_p, left_p), up_p)
+                        if local:
+                            cur_p = jnp.maximum(cur_p, 0)
+                    cur = cur_p & ~3                 # H << 2, priority cleared
+                    words[r] = words[r] | ((cur_p & 3) << (2 * (off + u)))
 
-                    # Per-row leftmost strict argmax journal.
+                    # Per-row leftmost strict argmax journal (shifted domain
+                    # — << 2 is monotonic, strictness preserved).
                     gt = cur > bests[r]
                     bests[r] = jnp.where(gt, cur, bests[r])
                     bargs[r] = jnp.where(gt, j0v + u, bargs[r])
@@ -234,8 +249,17 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
             if not local:
                 hkeep_ref[pl.ds(j0v + 1, size)] = jnp.stack(keep_new)
             off += size
+        filled = sum(sizes)
         for r in range(R):
-            ptr_ref[0, r, c] = words[r]
+            w = words[r]
+            if canonical:
+                # priority -> stored-code 2-bit shuffle, once per 16 cells.
+                w = (((~w) & even) << 1) | (((w >> 1) ^ w) & even)
+                if filled < pack:
+                    # Unfilled fields would otherwise remap 0 -> LEFT; the
+                    # walk's word-granular flag math must see START there.
+                    w = w & jnp.int32((1 << (2 * filled)) - 1)
+            ptr_ref[0, r, c] = w
         return lefts, diags, bests, bargs
 
     init = (
@@ -254,7 +278,9 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
                           (rem,) if rem <= unroll else (unroll, rem - unroll))
     lefts, diags, bests, bargs = carry
 
-    # Group-end fold into the persistent aux block (see docstring).
+    # Group-end fold into the persistent aux block (see docstring). The
+    # fold runs in the shifted domain (monotonic, strictness preserved);
+    # the last group unshifts what the host/walk reads as plain scores.
     if local:
         gbest, gi, gj = aux_ref[0, 0], aux_ref[0, 1], aux_ref[0, 2]
         for r in range(R):
@@ -265,6 +291,10 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
         aux_ref[0, 0] = gbest
         aux_ref[0, 1] = gi
         aux_ref[0, 2] = gj
+
+        @pl.when(ip == (m_pad // R) - 1)
+        def _():
+            aux_ref[0, 0] = aux_ref[0, 0] >> 2
     else:
         garg = aux_ref[0, 0]
         for r in range(R):
@@ -273,7 +303,7 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
 
         @pl.when(ip == (m_pad // R) - 1)
         def _():
-            hsel_ref[0] = hkeep_ref[...]
+            hsel_ref[0] = hkeep_ref[...] >> 2
 
 
 @functools.partial(jax.jit, static_argnames=("params", "algorithm", "tie", "interpret"))

@@ -67,8 +67,14 @@ def _pick_unroll(n: int) -> int:
 NEG_INF_I32 = -(2**30)
 
 
-def make_sub_fn(params: AlignmentParameters):
+def make_sub_fn(params: AlignmentParameters, shift: int = 0):
     """(row_prep, col_prep, sub_of) triple for in-kernel substitution scoring.
+
+    ``shift``: produce substitution scores pre-multiplied by ``1 << shift``
+    (for kernels that run their DP in a left-shifted domain, e.g. the align
+    kernel's packed value|priority max). Free for the default and chain
+    paths (constants are scaled at trace time); +1 VPU op per cell on the
+    bit-packed matrix path.
 
     Default: the reference's 6x6 structure as arithmetic — 3 VPU ops per
     cell (eq + select + mask-AND; no gather, alphabet.py:9-16): invalid
@@ -91,8 +97,8 @@ def make_sub_fn(params: AlignmentParameters):
     all-zero (validated), so padding and out-of-range codes score 0 exactly
     like the reference's '\\0' fill-up.
     """
-    match = jnp.int32(params.score_match)
-    mismatch = jnp.int32(params.score_mismatch)
+    match = jnp.int32(params.score_match << shift)
+    mismatch = jnp.int32(params.score_mismatch << shift)
     if params.matrix is None:
         def row_prep(rc):
             rv = (rc >= 1) & (rc <= 4)
@@ -170,13 +176,14 @@ def make_sub_fn(params: AlignmentParameters):
             return masks, (ref_col & (fpw - 1)) << sh_shift
 
         def sub_of(words, cctx):
-            masks, shift = cctx
-            word = jnp.full_like(shift, all_bias)  # ref codes >= W*fpw: sub 0
+            masks, fshift = cctx
+            word = jnp.full_like(fshift, all_bias)  # ref codes >= W*fpw: sub 0
             for w in range(W):
                 word = jnp.where(masks[w], words[w], word)
             # Arithmetic shift then mask is exact even when the top field
             # sets the sign bit; fields are biased non-negative.
-            return ((word >> shift) & fmask) - bias
+            val = ((word >> fshift) & fmask) - bias
+            return (val << shift) if shift else val
 
         return row_prep, col_prep, sub_of
 
@@ -186,7 +193,8 @@ def make_sub_fn(params: AlignmentParameters):
             acc = jnp.zeros_like(rc)  # M[0][s] == 0; codes >= S fall through
             for a in range(1, S):
                 if M[a][s_col] != 0:
-                    acc = jnp.where(rc == a, jnp.int32(M[a][s_col]), acc)
+                    acc = jnp.where(rc == a, jnp.int32(M[a][s_col] << shift),
+                                    acc)
             rows.append(acc)
         return rows
 
