@@ -215,6 +215,25 @@ def main() -> int:
           np.array_equal(got, cross_oracle(Algorithm.SMITH_WATERMAN, sr[:8],
                                            sf, p_mat)))
 
+    print("== pssm profile search (compiled SMEM-words kernel) ==")
+    from versalignlib_tpu.ops.pssm import (pack_pssm, pssm_scores_device,
+                                           score_profile_oracle)
+
+    pssm = rng.integers(-4, 12, size=(24, 6)).astype(np.int32)
+    pssm[:, 0] = 0
+    pool = rng.integers(0, 7, size=(1100, 64)).astype(np.uint8)
+    pw, pmeta = pack_pssm(pssm)
+    for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        got = np.asarray(pssm_scores_device(pw, pmeta, pool[:64], p_lin, alg))
+        check(f"pssm/{alg.name}",
+              np.array_equal(got, score_profile_oracle(pssm, pool[:64],
+                                                       p_lin, alg)))
+    got = np.asarray(pssm_scores_device(pw, pmeta, pool[:64], p_aff,
+                                        Algorithm.SMITH_WATERMAN))
+    check("pssm/affine",
+          np.array_equal(got, score_profile_oracle(pssm, pool[:64], p_aff,
+                                                   Algorithm.SMITH_WATERMAN)))
+
     print("== banded kernels (compiled) ==")
     m, n, band, tile = 300, 340, 64, 32
     reads_b = rng.integers(0, 6, size=(16, m)).astype(np.uint8)

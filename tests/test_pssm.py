@@ -1,0 +1,140 @@
+"""Position-specific scoring (ops/pssm.py): packing, oracle, kernel parity.
+
+The oracle is the established numpy fills with a precomputed sub plane, so
+the key gates are (a) a PSSM built from a single sequence reproduces plain
+sequence scoring bit-for-bit, and (b) the Pallas SMEM-profile kernel equals
+the oracle on random profiles/pools across algorithms, gap models, field
+widths, and invalid codes.
+"""
+
+import numpy as np
+import pytest
+
+from versalignlib_tpu.ops import oracle
+from versalignlib_tpu.ops.pssm import (PssmMeta, make_pssm_sub_fn, pack_pssm,
+                                       profile_search, profile_sub_plane,
+                                       pssm_from_sequences,
+                                       pssm_scores_device,
+                                       score_profile_oracle, validate_pssm)
+from versalignlib_tpu.params import AlignmentParameters
+from versalignlib_tpu.types import Algorithm
+
+P_LIN = AlignmentParameters()
+P_AFF = AlignmentParameters(gap_open_read=-4, gap_open_ref=-4)
+
+
+def _rand_pssm(rng, m, s, lo, hi):
+    P = rng.integers(lo, hi + 1, size=(m, s)).astype(np.int32)
+    P[:, 0] = 0
+    return P
+
+
+def test_validate_rejects_bad_tables():
+    with pytest.raises(ValueError):
+        validate_pssm(np.zeros((4,), dtype=np.int32))
+    bad = np.ones((4, 6), dtype=np.int32)
+    with pytest.raises(ValueError):
+        validate_pssm(bad)  # col 0 nonzero
+    with pytest.raises(ValueError):
+        pack_pssm(_rand_pssm(np.random.default_rng(0), 4, 6, -300, 300))
+
+
+@pytest.mark.parametrize("lo,hi", [(-4, 11), (-60, 100)])
+def test_pack_extract_roundtrip(rng, lo, hi):
+    """sub_of(packed row, col ctx) == P[i, code]; 0 outside the table."""
+    import jax.numpy as jnp
+
+    for s in (4, 6, 25):
+        P = _rand_pssm(rng, 7, s, lo, hi)
+        words, meta = pack_pssm(P)
+        col_prep, sub_of = make_pssm_sub_fn(meta)
+        codes = np.arange(256, dtype=np.int32)
+        cctx = col_prep(jnp.asarray(codes))
+        for i in range(P.shape[0]):
+            row_words = tuple(jnp.int32(int(words[i, w]))
+                              for w in range(meta.words))
+            got = np.asarray(sub_of(row_words, cctx))
+            want = np.where(codes < s, P[i, np.minimum(codes, s - 1)], 0)
+            assert np.array_equal(got, want), (s, i)
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN,
+                                       Algorithm.NEEDLEMAN_WUNSCH])
+@pytest.mark.parametrize("params", [P_LIN, P_AFF])
+def test_single_sequence_profile_reduces_to_sequence_scoring(
+        rng, algorithm, params):
+    """P[i, s] = match/mismatch of read[i] vs s == plain sequence scores."""
+    reads = rng.integers(0, 7, size=(5, 11)).astype(np.uint8)
+    refs = rng.integers(0, 7, size=(16, 14)).astype(np.uint8)
+    want_all = oracle.score_alignments(algorithm, np.repeat(reads, 16, 0),
+                                       np.tile(refs, (5, 1)), params)
+    for ri, read in enumerate(reads):
+        P = np.zeros((read.size, 6), dtype=np.int32)
+        for i, c in enumerate(read):
+            if 1 <= c <= 4:
+                for s in range(1, 5):
+                    P[i, s] = (params.score_match if s == c
+                               else params.score_mismatch)
+        got = score_profile_oracle(P, refs, params, algorithm)
+        assert np.array_equal(got, want_all[ri * 16:(ri + 1) * 16]), ri
+
+
+@pytest.mark.parametrize("algorithm", [Algorithm.SMITH_WATERMAN,
+                                       Algorithm.NEEDLEMAN_WUNSCH])
+@pytest.mark.parametrize("params", [P_LIN, P_AFF])
+@pytest.mark.parametrize("lo,hi,s", [(-4, 11, 6), (-30, 90, 25)])
+def test_kernel_matches_oracle(rng, algorithm, params, lo, hi, s):
+    P = _rand_pssm(rng, 9, s, lo, hi)
+    pool = rng.integers(0, min(s + 3, 28), size=(37, 13)).astype(np.uint8)
+    words, meta = pack_pssm(P)
+    got = np.asarray(pssm_scores_device(words, meta, pool, params,
+                                        algorithm, interpret=True))
+    want = score_profile_oracle(P, pool, params, algorithm)
+    assert np.array_equal(got, want)
+
+
+def test_kernel_multi_block_and_odd_shapes(rng):
+    """Pool crossing the 1024-lane block boundary + odd lengths."""
+    P = _rand_pssm(rng, 5, 6, -3, 5)
+    pool = rng.integers(0, 7, size=(1061, 7)).astype(np.uint8)
+    words, meta = pack_pssm(P)
+    got = np.asarray(pssm_scores_device(words, meta, pool, P_LIN,
+                                        Algorithm.SMITH_WATERMAN,
+                                        interpret=True))
+    want = score_profile_oracle(P, pool, P_LIN, Algorithm.SMITH_WATERMAN)
+    assert np.array_equal(got, want)
+
+
+def test_profile_sub_plane_outside_codes():
+    P = np.zeros((3, 6), dtype=np.int32)
+    P[:, 1] = 7
+    ref = np.array([1, 5, 6, 200, 0], dtype=np.int32)
+    plane = profile_sub_plane(P, ref)
+    assert plane[0].tolist() == [7, 0, 0, 0, 0]
+
+
+def test_pssm_from_sequences_and_search(rng):
+    """Planted motif instances rank above random pool entries end-to-end."""
+    from versalignlib_tpu.alphabet import pad_and_encode
+
+    motif = "ACGTACGTGGCC"
+    insts = []
+    for _ in range(40):
+        seq = list(motif)
+        j = int(rng.integers(0, len(seq)))
+        seq[j] = "ACGT"[int(rng.integers(0, 4))]
+        insts.append("".join(seq))
+    P = pssm_from_sequences(pad_and_encode(insts))
+    assert P.shape == (len(motif), 6) and np.all(P[:, 0] == 0)
+    assert P[0, 1] > 0  # consensus A scores positive
+
+    pool = ["".join(rng.choice(list("ACGT"), size=30)) for _ in range(50)]
+    planted = sorted(int(i) for i in rng.choice(50, size=5, replace=False))
+    for i in planted:
+        s = pool[i]
+        pool[i] = s[:9] + motif + s[9 + len(motif):]
+    scores, idx = profile_search(P, pool, k=5)
+    assert sorted(int(i) for i in idx) == planted
+    # Backend parity on the same pool.
+    s2, i2 = profile_search(P, pool, k=5, backend="oracle")
+    assert np.array_equal(scores, s2) and np.array_equal(idx, i2)

@@ -46,6 +46,8 @@ from versalignlib_tpu.stats import (GumbelCalibration, ROBINSON_FREQS,
                                     karlin_lambda)
 from versalignlib_tpu.seed import MinimizerIndex, build_index, minimizers
 from versalignlib_tpu.longread import LongReadHits, find_chains, map_long_reads
+from versalignlib_tpu.ops.pssm import (pack_pssm, profile_search,
+                                       pssm_from_sequences)
 
 __version__ = "0.1.0"
 
@@ -94,5 +96,8 @@ __all__ = [
     "map_long_reads",
     "LongReadHits",
     "find_chains",
+    "profile_search",
+    "pssm_from_sequences",
+    "pack_pssm",
     "__version__",
 ]

@@ -51,8 +51,12 @@ def _fill_affine(
     *,
     local: bool,
     col0_penalty: bool,
+    sub: np.ndarray | None = None,
 ):
-    """Full (m+1, n+1) H, E, F matrices (int32)."""
+    """Full (m+1, n+1) H, E, F matrices (int32).
+
+    ``sub``: optional precomputed (m, n) substitution plane
+    (position-specific scoring, ops/pssm.py)."""
     read = np.asarray(read, dtype=np.int32)
     ref = np.asarray(ref, dtype=np.int32)
     m, n = read.size, ref.size
@@ -67,7 +71,8 @@ def _fill_affine(
         h[1:, 0] = open_f + i_idx * ext_f
         f[1:, 0] = h[1:, 0]  # boundary gap may extend without reopening
 
-    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
+    if sub is None:
+        sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
     j_idx = np.arange(n + 1, dtype=np.int64)
 
     for i in range(1, m + 1):

@@ -58,6 +58,7 @@ def _fill_matrix(
     *,
     local: bool,
     col0_penalty: bool,
+    sub: np.ndarray | None = None,
 ) -> np.ndarray:
     """Full (read_len+1, ref_len+1) H matrix.
 
@@ -65,6 +66,9 @@ def _fill_matrix(
     ``col0_penalty``: column 0 = (i)*gap_ref as in the NW traceback variant
     (row i of H corresponds to read_pos i-1, so H[i,0] = i*gap_ref matches
     the reference's ``(read_pos+1)*scoreGapRef``); otherwise column 0 stays 0.
+    ``sub``: optional precomputed (read_len, ref_len) substitution plane
+    (position-specific scoring, ops/pssm.py); default derives it from the
+    codes.
     """
     read = np.asarray(read, dtype=np.int32)
     ref = np.asarray(ref, dtype=np.int32)
@@ -74,7 +78,8 @@ def _fill_matrix(
         h[:, 0] = np.arange(m + 1, dtype=np.int32) * p.score_gap_ref
 
     # sub[i, j] = substitution score of read[i] vs ref[j]
-    sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
+    if sub is None:
+        sub = substitution_scores(read[:, None], ref[None, :], p.score_match, p.score_mismatch, p.matrix)
 
     for i in range(1, m + 1):
         t = np.empty(n + 1, dtype=np.int32)

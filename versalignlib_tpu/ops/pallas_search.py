@@ -44,7 +44,7 @@ from versalignlib_tpu.types import Algorithm
 
 def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, *, m, n,
                    unroll, params: AlignmentParameters, local: bool,
-                   query_is_read: bool):
+                   query_is_read: bool, pssm_meta=None):
     """Score 1024 lane sequences against one SMEM query sequence.
 
     query_ref: (1, 1, m) int32 SMEM when ``query_is_read`` else (1, 1, n).
@@ -57,6 +57,14 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, *, m, n,
     source switches between SMEM scalars and VMEM lane vectors, so the
     recurrence (and the NW score bookkeeping) is identical to
     ops/pallas_score.py:_score_kernel.
+
+    ``pssm_meta`` (ops/pssm.py PssmMeta): the query is a POSITION-SPECIFIC
+    scoring profile instead of a sequence — query_ref holds the profile's
+    rows bit-packed W words per row ((1, 1, m*W) SMEM), and the per-cell
+    substitution becomes "select this row's word by lane ref code, extract
+    the biased field" (same field scheme as the bit-packed matrix path in
+    make_sub_fn, but the tables are RUNTIME data riding SMEM, not
+    trace-time constants). Requires ``query_is_read``.
     """
     gap_read = jnp.int32(params.score_gap_read)
     gap_ref = jnp.int32(params.score_gap_ref)
@@ -72,7 +80,18 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, *, m, n,
         f_ref[...] = jnp.full((n, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32,
                               jnp.int32)
 
-    row_prep, col_prep, sub_of = make_sub_fn(params)
+    if pssm_meta is None:
+        row_prep, col_prep, sub_of = make_sub_fn(params)
+    else:
+        from versalignlib_tpu.ops.pssm import make_pssm_sub_fn
+
+        assert query_is_read, "a profile is always the read side"
+        col_prep, sub_of = make_pssm_sub_fn(pssm_meta)
+        W = pssm_meta.words
+
+        def row_prep(i):
+            # W packed SMEM words: this profile row's scores for every code.
+            return tuple(query_ref[0, 0, i * W + w] for w in range(W))
 
     def read_code(i):
         """Row i's read code: SMEM scalar or per-lane vector."""
@@ -83,7 +102,8 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, *, m, n,
     def make_group_body(R, base=None):
         def group_body(idx, best):
             i0 = idx * R if base is None else base
-            rctxs = [row_prep(read_code(i0 + r)) for r in range(R)]
+            rctxs = [row_prep(i0 + r) if pssm_meta is not None
+                     else row_prep(read_code(i0 + r)) for r in range(R)]
             h0 = h_ref[0]
 
             def chunk_body(c, carry):
@@ -177,21 +197,28 @@ def search_vmem_plan(m: int, n: int, affine: bool = False) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "algorithm", "query_is_read", "interpret"),
+    static_argnames=("params", "algorithm", "query_is_read", "interpret",
+                     "pssm_meta"),
 )
 def _search_blocks(query_b, lanes_b, params: AlignmentParameters,
                    algorithm: Algorithm, query_is_read: bool,
-                   interpret: bool = False):
+                   interpret: bool = False, pssm_meta=None):
     """query_b: (K, 1, Lq) int32 (the middle axis satisfies the TPU
     block-shape rule for SMEM blocks); lanes_b: (G, Lv, 8, 128) int32 ->
-    (G, K, 8, 128) int32 scores."""
+    (G, K, 8, 128) int32 scores.
+
+    ``pssm_meta``: Lq = m * meta.words packed profile words per query
+    (see _search_kernel)."""
     k, _, lq = query_b.shape
     g, lv = lanes_b.shape[0], lanes_b.shape[1]
-    m, n = (lq, lv) if query_is_read else (lv, lq)
+    if pssm_meta is not None:
+        m, n = lq // pssm_meta.words, lv
+    else:
+        m, n = (lq, lv) if query_is_read else (lv, lq)
     local = algorithm == Algorithm.SMITH_WATERMAN
     kernel = functools.partial(
         _search_kernel, m=m, n=n, unroll=_pick_unroll(n), params=params,
-        local=local, query_is_read=query_is_read,
+        local=local, query_is_read=query_is_read, pssm_meta=pssm_meta,
     )
     return pl.pallas_call(
         kernel,

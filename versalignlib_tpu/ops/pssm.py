@@ -1,0 +1,291 @@
+"""Position-specific scoring (PSSM / profile) search — ADDITIVE capability.
+
+The reference library scores every read position with one substitution rule
+(match/mismatch tables, /root/reference/src/Kernels/default/DefaultKernel.h:83-96);
+a PSSM generalizes that to a per-position score row: aligning profile
+position ``i`` against symbol code ``s`` scores ``P[i, s]`` (the standard
+motif/domain-scanning model behind PSI-BLAST / MEME / HMM match states).
+Gap costs stay the engine's linear or affine (Gotoh) model, and both
+algorithm variants keep their exact reference semantics (SW clamp/global
+max; the NW overlap score's free leading/trailing gaps,
+DefaultKernel.cpp:177,189-191).
+
+Semantically a PSSM is "matrix mode with a position-indexed read": a
+synthetic read ``[1..m]`` scored through a rectangular (m+1, S) matrix.
+The oracle is therefore the established numpy fills with a precomputed
+substitution plane (oracle._fill_matrix / gotoh._fill_affine ``sub=``).
+
+TPU-first design: the profile rides the one-vs-many search kernel
+(ops/pallas_search.py) as the SMEM query side — each profile row's S
+scores are bit-packed into ``W = ceil(S / fields_per_word)`` int32 words of
+biased fields (the same field scheme make_sub_fn uses for constant
+matrices, but here the tables are RUNTIME data). A cell pays W scalar-
+broadcast selects + one lane-wise variable-shift extract, the pool side
+keeps 1024 candidates per (8, 128) register tile, and scores stream out
+with no cross-product materialization.
+
+Score conventions: ``P[i, 0]`` must be 0 (code 0 is the padding sentinel,
+pad scores 0 exactly like the reference's '\\0' fill-up); codes outside
+the table score 0 (the reference's invalid-base rule).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from versalignlib_tpu.params import AlignmentParameters
+from versalignlib_tpu.types import Algorithm
+
+
+class PssmMeta(NamedTuple):
+    """Static (hashable) packing descriptor for a bit-packed profile."""
+
+    n_symbols: int    # S: table width (codes >= S score 0)
+    words: int        # W: int32 words per profile row
+    field_bits: int   # 4 or 8
+    bias: int         # stored field = score + bias (fields non-negative)
+
+
+def validate_pssm(P) -> np.ndarray:
+    P = np.asarray(P, dtype=np.int32)
+    if P.ndim != 2 or P.shape[1] < 2:
+        raise ValueError(f"PSSM must be (m, S >= 2), got {P.shape}")
+    if np.any(P[:, 0] != 0):
+        raise ValueError("PSSM column 0 must be zero (code 0 is padding)")
+    return P
+
+
+def pack_pssm(P) -> tuple[np.ndarray, PssmMeta]:
+    """(m, S) int score table -> ((m, W) int32 packed words, PssmMeta).
+
+    Field width is the narrowest power-of-2 the entry SPAN allows (4 bits
+    for span <= 15, 8 for span <= 255); wider tables are rejected — rescale
+    the profile (PSSM log-odds at sensible scales fit 8 bits with room).
+    """
+    P = validate_pssm(P)
+    m, s = P.shape
+    lo = int(min(0, P.min()))
+    hi = int(max(0, P.max()))
+    span = hi - lo
+    if span <= 15:
+        fw = 4
+    elif span <= 255:
+        fw = 8
+    else:
+        raise ValueError(
+            f"PSSM entry span {span} exceeds 255; rescale the profile")
+    bias = -lo
+    fpw = 32 // fw
+    fmask = (1 << fw) - 1
+    w_cnt = -(-s // fpw)
+    words = np.zeros((m, w_cnt), dtype=np.int64)
+    for w in range(w_cnt):
+        for k in range(fpw):
+            sym = w * fpw + k
+            field = (P[:, sym].astype(np.int64) + bias) if sym < s else bias
+            words[:, w] |= (field & fmask) << (fw * k)
+    words = np.where(words >= (1 << 31), words - (1 << 32), words)
+    return words.astype(np.int32), PssmMeta(s, w_cnt, fw, bias)
+
+
+def make_pssm_sub_fn(meta: PssmMeta):
+    """(col_prep, sub_of) for in-kernel profile scoring.
+
+    ``sub_of(row_words, cctx)``: row_words are the W packed SMEM scalars of
+    one profile row; cctx comes from ``col_prep(ref_col)`` on the lane
+    vector. Mirrors make_sub_fn's bit-packed matrix path with runtime
+    tables.
+    """
+    fw, w_cnt, bias = meta.field_bits, meta.words, meta.bias
+    fpw = 32 // fw
+    fmask = (1 << fw) - 1
+    bw = 0
+    for k in range(fpw):
+        bw |= (bias & fmask) << (fw * k)
+    bias_word = bw - (1 << 32) if bw >= (1 << 31) else bw
+    idx_shift = fpw.bit_length() - 1
+    sh_shift = fw.bit_length() - 1
+
+    def col_prep(ref_col):
+        masks = [(ref_col >> idx_shift) == w for w in range(w_cnt)]
+        return masks, (ref_col & (fpw - 1)) << sh_shift
+
+    def sub_of(row_words, cctx):
+        masks, shift = cctx
+        # Codes >= W*fpw select no word and fall through to pure bias
+        # (score 0); codes in [S, W*fpw) hit bias fields packed at build
+        # time — the oracle's "outside the table scores 0" rule exactly.
+        word = jnp.full_like(shift, jnp.int32(bias_word))
+        for w in range(w_cnt):
+            word = jnp.where(masks[w], row_words[w], word)
+        return ((word >> shift) & fmask) - bias
+
+    return col_prep, sub_of
+
+
+# ---------------------------------------------------------------------------
+# Oracle (numpy) — the semantic source of truth for profile scoring
+# ---------------------------------------------------------------------------
+
+def profile_sub_plane(P: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """(m, n) substitution plane: sub[i, j] = P[i, ref_j] (0 outside)."""
+    P = validate_pssm(P)
+    ref = np.asarray(ref, dtype=np.int32)
+    s = P.shape[1]
+    inside = (ref >= 0) & (ref < s)
+    codes = np.where(inside, ref, 0)
+    return np.where(inside[None, :], P[:, codes], 0).astype(np.int32)
+
+
+def score_profile_oracle(
+    P: np.ndarray,
+    refs: np.ndarray,
+    params: AlignmentParameters,
+    algorithm: Algorithm,
+) -> np.ndarray:
+    """Batch profile scores vs (R, n) code array — numpy reference.
+
+    Reuses the golden-gated fills with a precomputed sub plane, so SW /
+    NW-overlap / affine semantics are identical to sequence scoring.
+    """
+    from versalignlib_tpu.ops import gotoh, oracle
+
+    P = validate_pssm(P)
+    refs = np.asarray(refs, dtype=np.uint8)
+    m = P.shape[0]
+    dummy_read = np.zeros(m, dtype=np.int32)
+    local = Algorithm(algorithm) == Algorithm.SMITH_WATERMAN
+    out = np.empty(refs.shape[0], dtype=np.int32)
+    for i, ref in enumerate(refs):
+        sub = profile_sub_plane(P, ref)
+        if params.affine:
+            h, _, _ = gotoh._fill_affine(
+                dummy_read, ref, params, local=local, col0_penalty=False,
+                sub=sub)
+        else:
+            h = oracle._fill_matrix(
+                dummy_read, ref, params, local=local, col0_penalty=False,
+                sub=sub)
+        if local:
+            out[i] = int(h.max())
+        else:
+            last_col = h[1:, -1].max() if h.shape[0] > 1 else 0
+            out[i] = int(max(0, int(last_col), int(h[-1, :].max())))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device path
+# ---------------------------------------------------------------------------
+
+def pssm_scores_device(
+    words,
+    meta: PssmMeta,
+    pool,
+    params: AlignmentParameters,
+    algorithm: Algorithm,
+    interpret: bool = False,
+):
+    """(m, W) packed words x (R, n) pool codes -> (R,) int32 scores.
+
+    One Pallas dispatch: the profile streams through SMEM, 1024 pool
+    sequences per register tile (see module docstring).
+    """
+    from versalignlib_tpu.ops.pallas_search import (_pack_lanes,
+                                                    _search_blocks)
+    from versalignlib_tpu.ops.pallas_score import BLOCK_PAIRS
+
+    words = jnp.asarray(words, jnp.int32)
+    m = words.shape[0]
+    pool = jnp.asarray(pool)
+    r, n = pool.shape
+    query_b = words.reshape(1, 1, m * meta.words)
+    lanes_b = _pack_lanes(pool, n)
+    out = _search_blocks(query_b, lanes_b, params, Algorithm(algorithm),
+                         True, interpret, pssm_meta=meta)
+    g = out.shape[0]
+    scores = jnp.transpose(out, (0, 2, 3, 1)).reshape(g * BLOCK_PAIRS)
+    return scores[:r]
+
+
+# ---------------------------------------------------------------------------
+# Profile construction
+# ---------------------------------------------------------------------------
+
+def pssm_from_sequences(
+    seqs: np.ndarray,
+    n_symbols: int = 6,
+    pseudocount: float = 1.0,
+    scale: float = 2.0,
+    background: np.ndarray | None = None,
+) -> np.ndarray:
+    """Log-odds PSSM from aligned equal-length sequences ((B, m) codes).
+
+    Counts each valid symbol (codes 1..n_symbols-1) per column, adds the
+    pseudocount, and scores ``round(scale * log2(freq / background))``.
+    Background defaults to uniform over codes 1..4 (the DNA alphabet,
+    alphabet.py:9-16); column 0 (padding) is fixed at 0.
+    """
+    seqs = np.asarray(seqs, dtype=np.int32)
+    if seqs.ndim != 2:
+        raise ValueError("seqs must be (B, m) code array")
+    b, m = seqs.shape
+    s = n_symbols
+    counts = np.zeros((m, s), dtype=np.float64)
+    for sym in range(1, s):
+        counts[:, sym] = (seqs == sym).sum(axis=0)
+    if background is None:
+        background = np.zeros(s)
+        background[1:5] = 0.25
+    background = np.asarray(background, dtype=np.float64)
+    P = np.zeros((m, s), dtype=np.int32)
+    valid_total = counts[:, 1:].sum(axis=1) + pseudocount * (s - 1)
+    for sym in range(1, s):
+        if background[sym] <= 0:
+            continue  # symbols with no background stay 0 (neutral)
+        freq = (counts[:, sym] + pseudocount) / valid_total
+        P[:, sym] = np.round(scale * np.log2(freq / background[sym]))
+    return P
+
+
+def profile_search(
+    P: np.ndarray,
+    pool,
+    params: AlignmentParameters = None,
+    algorithm: Algorithm = Algorithm.SMITH_WATERMAN,
+    k: int = 10,
+    backend: str = "auto",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k pool entries for a profile: (scores, indices), score-sorted
+    (ties keep the lower index, matching lax.top_k / the search paths).
+
+    ``pool``: (R, n) uint8 code array or list of sequence strings
+    (padded + encoded with the reference rules). ``backend``: "pallas"
+    (compiled on TPU, interpret elsewhere), "oracle", or "auto".
+    """
+    from versalignlib_tpu.params import DEFAULT_PARAMETERS
+
+    params = DEFAULT_PARAMETERS if params is None else params
+    P = validate_pssm(P)
+    if not isinstance(pool, np.ndarray):
+        from versalignlib_tpu.alphabet import pad_and_encode
+
+        pool = pad_and_encode(list(pool))
+    if backend == "oracle":
+        scores = score_profile_oracle(P, pool, params, algorithm)
+    else:
+        from versalignlib_tpu.ops.pallas_score import _is_tpu
+
+        interpret = not _is_tpu()
+        words, meta = pack_pssm(P)
+        scores = np.asarray(
+            pssm_scores_device(words, meta, pool, params, algorithm,
+                               interpret))
+    k = min(k, scores.shape[0])
+    # Stable top-k: sort by (-score, index).
+    order = np.lexsort((np.arange(scores.shape[0]), -scores.astype(np.int64)))
+    top = order[:k]
+    return scores[top].astype(np.int32), top.astype(np.int32)
