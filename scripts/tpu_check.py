@@ -391,6 +391,24 @@ def main() -> int:
         print(f"  SW one-vs-many search 64x128 vs 512bp windows: "
               f"{perf['search_sw_gcups']:.1f} GCUPS")
 
+        # PSSM motif scan: 24-position profile vs 512bp pool sequences
+        # (runtime SMEM word tables; same one-vs-many streaming).
+        pw_j = jnp.asarray(pw)
+
+        def pssm_run(r_):
+            f = jnp.asarray(rng.integers(1, 5, size=(r_, 512)).astype(np.uint8))
+            def go(tag, f=f):
+                f = f.at[0, 0].set(tag % 4 + 1)
+                np.asarray(jnp.sum(pssm_scores_device(
+                    pw_j, pmeta, f, p_lin, Algorithm.SMITH_WATERMAN)))
+            return go
+
+        pruns = {r_: pssm_run(r_) for r_ in (4096, 16384)}
+        perf["pssm_sw_gcups"] = marginal(
+            lambda r_, tag: pruns[r_](tag), (4096, 16384), 24 * 512)
+        print(f"  SW pssm scan 24pos vs 512bp pool: "
+              f"{perf['pssm_sw_gcups']:.1f} GCUPS")
+
         from versalignlib_tpu.ops.pallas_align import (_align_blocks,
                                                        _last_valid_pos,
                                                        _pack_blocks, _pack_vec)

@@ -138,3 +138,29 @@ def test_pssm_from_sequences_and_search(rng):
     # Backend parity on the same pool.
     s2, i2 = profile_search(P, pool, k=5, backend="oracle")
     assert np.array_equal(scores, s2) and np.array_equal(idx, i2)
+
+
+def test_cli_pssm_mode(rng, tmp_path):
+    """--pssm-from end-to-end: build profile, scan panel, write TSV."""
+    from versalignlib_tpu.cli import main
+
+    motif = "ACGTACGTGGCC"
+    with open(tmp_path / "motif.fa", "w") as f:
+        for k in range(30):
+            s = list(motif)
+            s[int(rng.integers(0, len(s)))] = "ACGT"[int(rng.integers(0, 4))]
+            f.write(f">inst{k}\n{''.join(s)}\n")
+    pool = ["".join(rng.choice(list("ACGT"), size=40)) for _ in range(30)]
+    for i in (3, 17):
+        pool[i] = pool[i][:10] + motif + pool[i][10 + len(motif):]
+    with open(tmp_path / "panel.fa", "w") as f:
+        for i, s in enumerate(pool):
+            f.write(f">p{i}\n{s}\n")
+    rc = main(["--pssm-from", str(tmp_path / "motif.fa"),
+               "--panel", str(tmp_path / "panel.fa"),
+               "--outdir", str(tmp_path), "--top", "2"])
+    assert rc == 0
+    lines = (tmp_path / "hits_pssm.tsv").read_text().splitlines()
+    assert lines[0] == "rank\tpanel_index\tpanel_name\tscore"
+    top = sorted(int(line.split("\t")[1]) for line in lines[1:])
+    assert top == [3, 17]

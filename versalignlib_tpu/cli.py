@@ -86,6 +86,68 @@ def _write_alignments(path, alignments, compat: bool = False):
                 f.write(f"{a.read}\n{a.ref}\n{a.cigar}\t{a.score}\n")
 
 
+def _run_pssm_mode(ap, args, params) -> int:
+    """--pssm-from: build a log-odds profile from aligned instances and
+    scan the panel with the SMEM-profile search kernel (ops/pssm.py)."""
+    from versalignlib_tpu.types import Algorithm
+
+    for bad, name in ((args.reads, "--reads"), (args.reads2, "--reads2"),
+                      (args.reference, "--reference"), (args.band, "--band"),
+                      (args.long, "--long"), (args.sam, "--sam"),
+                      (args.stats, "--stats"), (args.matrix, "--matrix"),
+                      (args.selftest, "--selftest")):
+        if bad:
+            ap.error(f"--pssm-from cannot be combined with {name}")
+    if not args.panel:
+        ap.error("--pssm-from requires --panel")
+    from versalignlib_tpu.io.fastq import parse_sequences_with_names
+    from versalignlib_tpu.ops.pssm import profile_search, pssm_from_sequences
+
+    insts = [s for _, s in parse_sequences_with_names(args.pssm_from)]
+    if not insts:
+        print(f"{args.pssm_from!r} contains no sequences - exiting.",
+              file=sys.stderr)
+        return 1
+    if len({len(s) for s in insts}) != 1:
+        ap.error("--pssm-from sequences must be aligned (equal length)")
+    if args.alphabet:
+        from versalignlib_tpu.alphabet import encode_custom
+
+        codes = encode_custom(insts, args.alphabet)
+        s_sym = len(args.alphabet) + 1
+        background = np.zeros(s_sym)
+        background[1:] = 1.0 / (s_sym - 1)
+        pssm = pssm_from_sequences(codes, n_symbols=s_sym,
+                                   background=background)
+    else:
+        pssm = pssm_from_sequences(pad_and_encode(insts))
+    recs = parse_sequences_with_names(args.panel)
+    panel_names = [n or f"panel{i}" for i, (n, _) in enumerate(recs)]
+    pool = [s for _, s in recs]
+    if not pool:
+        print(f"Panel {args.panel!r} contains no sequences - exiting.",
+              file=sys.stderr)
+        return 1
+    if args.alphabet:
+        from versalignlib_tpu.alphabet import encode_custom
+
+        pool = encode_custom(pool, args.alphabet)
+    backend = "oracle" if args.backend == "oracle" else "pallas"
+    scores, idx = profile_search(pssm, pool, params,
+                                 Algorithm.SMITH_WATERMAN, k=args.top,
+                                 backend=backend)
+    outdir = pathlib.Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    out = outdir / "hits_pssm.tsv"
+    with out.open("w") as fh:
+        fh.write("rank\tpanel_index\tpanel_name\tscore\n")
+        for rank, (i, s) in enumerate(zip(idx, scores)):
+            fh.write(f"{rank}\t{int(i)}\t{panel_names[int(i)]}\t{int(s)}\n")
+    print(f"pssm: {pssm.shape[0]}-position profile from {len(insts)} "
+          f"instances; top {len(idx)}/{len(pool)} hits -> {out}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="versalignlib_tpu", description=__doc__)
     ap.add_argument("--reads", help="FASTA or FASTQ file of reads "
@@ -180,6 +242,12 @@ def main(argv=None) -> int:
                     help="JSON file to load/save the Gumbel calibration "
                          "(skip recalibration across runs of the same "
                          "scoring model)")
+    ap.add_argument("--pssm-from",
+                    help="FASTA of ALIGNED equal-length motif instances: "
+                         "build a log-odds PSSM and scan --panel with it "
+                         "(profile-search mode; writes hits_pssm.tsv)")
+    ap.add_argument("--top", type=int, default=10,
+                    help="with --pssm-from: number of top panel hits")
     ap.add_argument("--selftest", action="store_true",
                     help="run on synthetic sequences instead of files")
     args = ap.parse_args(argv)
@@ -246,6 +314,8 @@ def main(argv=None) -> int:
                  "needs a database)")
     if args.stats and args.reads2:
         ap.error("--stats is single-end only (no paired Gumbel law)")
+    if args.pssm_from:
+        return _run_pssm_mode(ap, args, params)
     panel_names = None
     read_names: list[str] | None = None
     read_quals: list[str | None] | None = None

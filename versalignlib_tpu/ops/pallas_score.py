@@ -378,6 +378,10 @@ def score_vmem_plan(m: int, n: int, affine: bool = False) -> int:
         + (n if affine else 1)     # F scratch
         + 2 * n                    # column-context streams (default path)
         + 2 * (m + n)              # double-buffered read/ref blocks
+        + 6 * min(128, n)          # per-chunk load/store stack temporaries
+                                   # (old/c0/c1/store + remainder overlap at
+                                   # unroll=128 — a 509-column sweep OOM'd
+                                   # the old 1MB headroom by 80KB)
         + 2                        # out
     ) + 1024 * 1024                # headroom
 
