@@ -294,59 +294,57 @@ def main() -> int:
     if not args.quick and not args.no_perf:
         print("== performance (marginal rate; see BENCHMARKS.md) ==")
 
-        _tag = [0]
+        def kmarginal(exec_fn, cells_per_exec, k_hi=9, tries=3):
+            """Marginal over a TRACED execution count: one jitted dispatch
+            runs ``exec_fn`` (tag -> scalar jnp value) k times on
+            per-iteration-perturbed inputs inside a fori_loop and reduces
+            to a scalar, so (t(k_hi) - t(1)) / (k_hi - 1) cancels every
+            per-call constant (RTT, dispatch, the scalar D2H) EXACTLY and
+            needs one compile. The r4 sweep replaced the old two-batch-size
+            marginal, whose denominator swung +-30% run-to-run with tunnel
+            jitter (align fill read 288 and 219 GCUPS an hour apart)."""
+            @jax.jit
+            def loop(k, tag):
+                return jax.lax.fori_loop(
+                    0, k, lambda i, acc: acc + exec_fn(tag + i),
+                    jnp.int32(0))
 
-        def marginal(run, sizes, cells_per_unit, tries=3):
-            """Median over ``tries`` of the min-of-reps marginal rate
-            between two sizes (cancels the tunnel's fixed RTT). Every call
-            gets a fresh tag: runs perturb one input element per tag so no
-            two executions see identical buffers (the tunnel serves
-            repeated identical executions from a cache, which collapses
-            the denominator — CLAUDE.md). Measurements whose denominator
-            does not dwarf RTT jitter (< 5ms) are discarded."""
-            rates = []
-            for _ in range(tries):
-                ts = []
-                for s in sizes:
-                    run(s, _tag[0]); _tag[0] += 1  # warm/compile
-                    best = float("inf")
-                    for _ in range(4):
-                        _tag[0] += 1
-                        t0 = time.perf_counter()
-                        run(s, _tag[0])
-                        best = min(best, time.perf_counter() - t0)
-                    ts.append(best)
-                dt = ts[1] - ts[0]
-                if dt > 0.005:
-                    rates.append(
-                        (sizes[1] - sizes[0]) * cells_per_unit / dt / 1e9)
-            return round(float(np.median(rates)), 1) if rates else 0.0
+            np.asarray(loop(1, 0))  # compile + warm
 
-        def score_run(b_, n_=512):
-            r = jnp.asarray(rng.integers(1, 5, size=(b_, 512)).astype(np.uint8))
-            f = jnp.asarray(rng.integers(1, 5, size=(b_, n_)).astype(np.uint8))
-            def go(tag, r=r, f=f):
-                r = r.at[0, 0].set(tag % 4 + 1)
-                np.asarray(score_batch_device(r, f, p_lin,
-                                              Algorithm.SMITH_WATERMAN, False))
-            return go
+            def timed(k, tag0):
+                best = float("inf")
+                for i in range(tries):
+                    t0 = time.perf_counter()
+                    np.asarray(loop(k, 64 * (tag0 + i)))
+                    best = min(best, time.perf_counter() - t0)
+                return best
 
-        # score: build inputs once per size, time the kernel only. Wide
-        # spread (4096/32768) so the marginal's denominator dwarfs the
-        # tunnel's RTT jitter (same rationale as bench.py).
-        runs = {}
-        for b_ in (4096, 32768):
-            runs[b_] = score_run(b_)
-        perf["score_sw_512_gcups"] = marginal(
-            lambda b_, tag: runs[b_](tag), (4096, 32768), 512 * 512)
+            t1 = timed(1, 1)
+            tk = timed(k_hi, 9)
+            return round(
+                (k_hi - 1) * cells_per_exec / max(tk - t1, 1e-9) / 1e9, 1)
+
+        B_SC = 16384
+
+        def score_exec(n_, p_=p_lin):
+            r = jnp.asarray(rng.integers(1, 5, size=(B_SC, 512)).astype(np.uint8))
+            f = jnp.asarray(rng.integers(1, 5, size=(B_SC, n_)).astype(np.uint8))
+
+            def fn(tag, r=r, f=f):
+                r2 = r.at[0, 0].set(tag % 4 + 1)
+                return jnp.sum(score_batch_device(
+                    r2, f, p_, Algorithm.SMITH_WATERMAN, False))
+            return fn
+
+        perf["score_sw_512_gcups"] = kmarginal(score_exec(512),
+                                               B_SC * 512 * 512)
         print(f"  SW score 512x512: {perf['score_sw_512_gcups']:.1f} GCUPS")
 
         # Odd ref length (prime 509): the r2 kernels dropped to unroll/pack
         # 1 here (16x pointer bytes); the statically-shaped remainder chunk
         # must keep this within ~1.5x of n=512.
-        runs509 = {b_: score_run(b_, n_=509) for b_ in (4096, 32768)}
-        perf["score_sw_509_gcups"] = marginal(
-            lambda b_, tag: runs509[b_](tag), (4096, 32768), 512 * 509)
+        perf["score_sw_509_gcups"] = kmarginal(score_exec(509),
+                                               B_SC * 512 * 509)
         print(f"  SW score 512x509 (odd n): "
               f"{perf['score_sw_509_gcups']:.1f} GCUPS")
 
@@ -358,86 +356,80 @@ def main() -> int:
                                     matrix=blosum62())
         S_blo = len(p_blo.matrix)
 
-        def blosum_run(b_):
-            r = jnp.asarray(rng.integers(1, S_blo, size=(b_, 512)).astype(np.uint8))
-            f = jnp.asarray(rng.integers(1, S_blo, size=(b_, 512)).astype(np.uint8))
-            def go(tag, r=r, f=f):
-                r = r.at[0, 0].set(tag % 4 + 1)
-                np.asarray(score_batch_device(r, f, p_blo,
-                                              Algorithm.SMITH_WATERMAN, False))
-            return go
+        def blosum_exec():
+            r = jnp.asarray(rng.integers(1, S_blo, size=(8192, 512)).astype(np.uint8))
+            f = jnp.asarray(rng.integers(1, S_blo, size=(8192, 512)).astype(np.uint8))
 
-        bruns_m = {b_: blosum_run(b_) for b_ in (4096, 16384)}
-        perf["score_blosum62_gcups"] = marginal(
-            lambda b_, tag: bruns_m[b_](tag), (4096, 16384), 512 * 512)
+            def fn(tag, r=r, f=f):
+                r2 = r.at[0, 0].set(tag % 4 + 1)
+                return jnp.sum(score_batch_device(
+                    r2, f, p_blo, Algorithm.SMITH_WATERMAN, False))
+            return fn
+
+        perf["score_blosum62_gcups"] = kmarginal(blosum_exec(),
+                                                 8192 * 512 * 512)
         print(f"  BLOSUM62 (S=25) score 512x512: "
               f"{perf['score_blosum62_gcups']:.1f} GCUPS")
 
         # One-vs-many search kernel at the refmap shape: 64 reads resident,
-        # window pool in lanes (on-device reduction; tiny transfer).
+        # 16k-window pool in lanes (on-device reduction; tiny transfer).
         sreads = jnp.asarray(rng.integers(1, 5, size=(64, 128)).astype(np.uint8))
+        spool = jnp.asarray(rng.integers(1, 5, size=(16384, 512)).astype(np.uint8))
 
-        def search_run(r_):
-            f = jnp.asarray(rng.integers(1, 5, size=(r_, 512)).astype(np.uint8))
-            def go(tag, f=f):
-                f = f.at[0, 0].set(tag % 4 + 1)
-                np.asarray(jnp.sum(cross_scores_device(
-                    sreads, f, p_lin, Algorithm.SMITH_WATERMAN, False)))
-            return go
+        def search_exec(tag):
+            f2 = spool.at[0, 0].set(tag % 4 + 1)
+            return jnp.sum(cross_scores_device(
+                sreads, f2, p_lin, Algorithm.SMITH_WATERMAN, False))
 
-        sruns = {r_: search_run(r_) for r_ in (1024, 4096)}
-        perf["search_sw_gcups"] = marginal(
-            lambda r_, tag: sruns[r_](tag), (1024, 4096), 64 * 128 * 512)
-        print(f"  SW one-vs-many search 64x128 vs 512bp windows: "
+        # 64 x 16384 pairs of 128 x 512 cells = 68.7G cells per execution:
+        # keep k_hi small, the single-exec time already dwarfs jitter.
+        perf["search_sw_gcups"] = kmarginal(search_exec,
+                                            64 * 16384 * 128 * 512, k_hi=3)
+        print(f"  SW one-vs-many search 64x128 vs 16k 512bp windows: "
               f"{perf['search_sw_gcups']:.1f} GCUPS")
 
-        # PSSM motif scan: 24-position profile vs 512bp pool sequences
+        # PSSM motif scan: 24-position profile vs a 64k x 512bp pool
         # (runtime SMEM word tables; same one-vs-many streaming).
         pw_j = jnp.asarray(pw)
+        ppool = jnp.asarray(rng.integers(1, 5, size=(65536, 512)).astype(np.uint8))
 
-        def pssm_run(r_):
-            f = jnp.asarray(rng.integers(1, 5, size=(r_, 512)).astype(np.uint8))
-            def go(tag, f=f):
-                f = f.at[0, 0].set(tag % 4 + 1)
-                np.asarray(jnp.sum(pssm_scores_device(
-                    pw_j, pmeta, f, p_lin, Algorithm.SMITH_WATERMAN)))
-            return go
+        def pssm_exec(tag):
+            f2 = ppool.at[0, 0].set(tag % 4 + 1)
+            return jnp.sum(pssm_scores_device(
+                pw_j, pmeta, f2, p_lin, Algorithm.SMITH_WATERMAN))
 
-        pruns = {r_: pssm_run(r_) for r_ in (4096, 16384)}
-        perf["pssm_sw_gcups"] = marginal(
-            lambda r_, tag: pruns[r_](tag), (4096, 16384), 24 * 512)
-        print(f"  SW pssm scan 24pos vs 512bp pool: "
+        perf["pssm_sw_gcups"] = kmarginal(pssm_exec, 24 * 512 * 65536)
+        print(f"  SW pssm scan 24pos vs 64k x 512bp pool: "
               f"{perf['pssm_sw_gcups']:.1f} GCUPS")
 
         from versalignlib_tpu.ops.pallas_align import (_align_blocks,
                                                        _last_valid_pos,
                                                        _pack_blocks, _pack_vec)
 
-        def align_run(b_, n_=512):
+        def align_exec(n_, b_=4096):
             r = rng.integers(1, 5, size=(b_, 512)).astype(np.uint8)
             f = rng.integers(1, 5, size=(b_, n_)).astype(np.uint8)
             g = -(-b_ // 1024)
             mrp = _pack_vec(_last_valid_pos(r, TieBreak.DIAG_UP_LEFT), g)
             rb = jnp.asarray(_pack_blocks(r, g, 512))
             fb = jnp.asarray(_pack_blocks(f, g, n_))
-            def go(tag, rb=rb, fb=fb, mrp=mrp):
-                rb = rb.at[0, 0, 0, 0].set(tag % 4 + 1)
-                out = _align_blocks(rb, fb, mrp, p_lin,
+
+            def fn(tag, rb=rb, fb=fb, mrp=mrp):
+                rb2 = rb.at[0, 0, 0, 0].set(tag % 4 + 1)
+                out = _align_blocks(rb2, fb, mrp, p_lin,
                                     Algorithm.SMITH_WATERMAN,
                                     TieBreak.DIAG_UP_LEFT, False)
-                np.asarray(jnp.sum(out[1]))  # tiny transfer; forces the fill
-            return go
+                return jnp.sum(out[1])
+            return fn
 
-        aruns = {b_: align_run(b_) for b_ in (4096, 16384)}
-        perf["align_sw_512_gcups"] = marginal(
-            lambda b_, tag: aruns[b_](tag), (4096, 16384), 512 * 512)
+        perf["align_sw_512_gcups"] = kmarginal(align_exec(512),
+                                               4096 * 512 * 512)
         print(f"  SW align fill 512x512: {perf['align_sw_512_gcups']:.1f} GCUPS")
 
         # Odd ref length align fill (see score_sw_509 above): pointer words
         # stay fully packed (ceil(509/16) words + one partial).
-        aruns509 = {b_: align_run(b_, n_=509) for b_ in (4096, 16384)}
-        perf["align_sw_509_gcups"] = marginal(
-            lambda b_, tag: aruns509[b_](tag), (4096, 16384), 512 * 509)
+        perf["align_sw_509_gcups"] = kmarginal(align_exec(509),
+                                               4096 * 512 * 509)
         print(f"  SW align fill 512x509 (odd n): "
               f"{perf['align_sw_509_gcups']:.1f} GCUPS")
 
@@ -462,31 +454,30 @@ def main() -> int:
 
         from versalignlib_tpu.ops.banded import _banded_align_blocks
 
-        def banded_run(m_):
+        def banded_exec():
             band_, tile_ = 512, 64
-            n_ = 16384
+            m_ = n_ = 16384
             r = rng.integers(1, 5, size=(1024, m_)).astype(np.uint8)
             f = rng.integers(1, 5, size=(1024, n_)).astype(np.uint8)
-            m_p = -(-m_ // tile_) * tile_
-            offs_ = band_offsets(m_p, m_, n_, band_)
+            offs_ = band_offsets(m_, m_, n_, band_)
             d_max = max(int(np.diff(offs_).max(initial=1)), 1)
             ws = jnp.asarray(offs_[::tile_].copy())
             mrp = _pack_vec(_last_valid_pos(r, TieBreak.DIAG_UP_LEFT), 1)
-            rb = jnp.asarray(_pack_blocks(np.pad(r, ((0, 0), (0, m_p - m_))), 1, m_p))
+            rb = jnp.asarray(_pack_blocks(r, 1, m_))
             fb = jnp.asarray(_pack_blocks(f, 1, n_))
             offs_j = jnp.asarray(offs_)
-            def go(tag, rb=rb, fb=fb):
-                rb = rb.at[0, 0, 0, 0].set(tag % 4 + 1)
-                out = _banded_align_blocks(rb, fb, offs_j, ws, mrp, p_lin,
+
+            def fn(tag, rb=rb, fb=fb):
+                rb2 = rb.at[0, 0, 0, 0].set(tag % 4 + 1)
+                out = _banded_align_blocks(rb2, fb, offs_j, ws, mrp, p_lin,
                                            Algorithm.SMITH_WATERMAN, band_,
                                            tile_, d_max, canonical=True,
                                            interpret=False)
-                np.asarray(jnp.sum(out[1]))
-            return go
+                return jnp.sum(out[1])
+            return fn
 
-        bruns = {m_: banded_run(m_) for m_ in (8192, 16384)}
-        perf["banded_align_sw_gcups"] = marginal(
-            lambda m_, tag: bruns[m_](tag), (8192, 16384), 512 * 1024)
+        perf["banded_align_sw_gcups"] = kmarginal(
+            banded_exec(), 16384 * 512 * 1024, k_hi=3)
         print(f"  SW banded align fill (band cells): "
               f"{perf['banded_align_sw_gcups']:.1f} GCUPS")
 

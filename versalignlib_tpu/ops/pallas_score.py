@@ -396,7 +396,10 @@ def _score_blocks(reads_b, refs_b, params: AlignmentParameters,
     n = refs_b.shape[1]
     local = algorithm == Algorithm.SMITH_WATERMAN
     kernel = functools.partial(
-        _score_kernel, m=m, n=n, unroll=min(128, n),
+        # Deep unroll feeds the TPU compiler; interpreter-mode (CPU tests)
+        # keeps the shallow one — a 128-column unrolled body costs minutes
+        # of XLA-CPU compile time for zero interpret-mode benefit.
+        _score_kernel, m=m, n=n, unroll=min(8 if interpret else 128, n),
         params=params, local=local,
     )
     vmem_bytes = score_vmem_plan(m, n, params.affine)

@@ -36,14 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from versalignlib_tpu.ops.pallas_score import (BLOCK_LANES, BLOCK_PAIRS,
                                                BLOCK_SUBLANES, NEG_INF_I32,
-                                               WAVE_ROWS, _pick_unroll,
+                                               WAVE_ROWS,
                                                make_sub_fn)
 from versalignlib_tpu.params import AlignmentParameters
 from versalignlib_tpu.types import Algorithm
 
 
-def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, *, m, n,
-                   unroll, params: AlignmentParameters, local: bool,
+def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, c0_ref,
+                   c1_ref, *, m, n, unroll,
+                   params: AlignmentParameters, local: bool,
                    query_is_read: bool, pssm_meta=None):
     """Score 1024 lane sequences against one SMEM query sequence.
 
@@ -73,7 +74,7 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, *, m, n,
     open_ref = jnp.int32(params.gap_open_ref)
     zero = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
     neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
-    n_chunks = n // unroll
+    n_chunks = n // unroll   # full chunks; n % unroll handled statically
 
     h_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
     if affine:
@@ -99,6 +100,21 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, *, m, n,
             return query_ref[0, 0, i]
         return lanes_ref[0, i]
 
+    # Default scoring with the ref side in lanes: stream the column context
+    # through scratch once per grid step (same scheme as the score kernel);
+    # SMEM-scalar and pssm/matrix columns keep per-group col_prep.
+    use_cstream = query_is_read and params.matrix is None and pssm_meta is None
+    if use_cstream:
+        def fill_cctx(j0, size):
+            fc2, fb = col_prep(lanes_ref[0, pl.ds(j0, size)])
+            c0_ref[pl.ds(j0, size)] = fc2
+            c1_ref[pl.ds(j0, size)] = fb
+
+        jax.lax.fori_loop(
+            0, n_chunks, lambda c, z: (fill_cctx(c * unroll, unroll), z)[1], 0)
+        if n % unroll:
+            fill_cctx(n_chunks * unroll, n % unroll)
+
     def make_group_body(R, base=None):
         def group_body(idx, best):
             i0 = idx * R if base is None else base
@@ -106,21 +122,27 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, *, m, n,
                      else row_prep(read_code(i0 + r)) for r in range(R)]
             h0 = h_ref[0]
 
-            def chunk_body(c, carry):
+            def run_chunk(j0, carry, size):
                 lefts, diags, evals, best = carry
-                j0 = c * unroll
-                old = h_ref[pl.ds(j0 + 1, unroll)]
-                if not query_is_read:
+                old = h_ref[pl.ds(j0 + 1, size)]
+                if use_cstream:
+                    c0_chunk = c0_ref[pl.ds(j0, size)]
+                    c1_chunk = c1_ref[pl.ds(j0, size)]
+                    ref_chunk = None
+                elif not query_is_read:
                     ref_chunk = None  # per-column SMEM scalars below
                 else:
-                    ref_chunk = lanes_ref[0, pl.ds(j0, unroll)]
+                    ref_chunk = lanes_ref[0, pl.ds(j0, size)]
                 if affine:
-                    f_old = f_ref[pl.ds(j0, unroll)]
+                    f_old = f_ref[pl.ds(j0, size)]
                     f_store = []
                 store_vals = []
-                for u in range(unroll):
-                    cctx = col_prep(ref_chunk[u] if query_is_read
-                                    else query_ref[0, 0, j0 + u])
+                for u in range(size):
+                    if use_cstream:
+                        cctx = (c0_chunk[u], c1_chunk[u])
+                    else:
+                        cctx = col_prep(ref_chunk[u] if query_is_read
+                                        else query_ref[0, 0, j0 + u])
                     up = old[u]
                     f_up = f_old[u] if affine else None
                     new_lefts, new_diags, new_evals = [], [], []
@@ -152,14 +174,20 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, *, m, n,
                         evals = new_evals
                         f_store.append(f_up)
                     store_vals.append(up)
-                h_ref[pl.ds(j0 + 1, unroll)] = jnp.stack(store_vals)
+                h_ref[pl.ds(j0 + 1, size)] = jnp.stack(store_vals)
                 if affine:
-                    f_ref[pl.ds(j0, unroll)] = jnp.stack(f_store)
+                    f_ref[pl.ds(j0, size)] = jnp.stack(f_store)
                 return lefts, diags, evals, best
 
             init = ([h0] * R, [h0] * R, [neg_inf] * R, best)
-            lefts, _, _, best = jax.lax.fori_loop(0, n_chunks, chunk_body,
-                                                  init)
+            carry = jax.lax.fori_loop(
+                0, n_chunks, lambda c, cr: run_chunk(c * unroll, cr, unroll),
+                init)
+            if n % unroll:
+                # Statically-shaped remainder columns (odd ref lengths keep
+                # the full unroll for the bulk of the sweep).
+                carry = run_chunk(n_chunks * unroll, carry, n % unroll)
+            lefts, _, _, best = carry
             if not local:
                 # NW overlap: best over the last column of every row
                 # (same bookkeeping as the pairwise kernel).
@@ -182,14 +210,17 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, *, m, n,
 
 
 def search_vmem_plan(m: int, n: int, affine: bool = False) -> int:
-    """VMEM bytes for one lane block: H (+F) scratch rows, double-buffered
-    lane block, out, headroom (the SMEM query costs no VMEM)."""
+    """VMEM bytes for one lane block: H (+F) scratch rows, column-context
+    streams, per-chunk stack temporaries, double-buffered lane block, out,
+    headroom (the SMEM query costs no VMEM)."""
     # Lanes hold the ref side when query_is_read, else the read side;
     # plan for the larger so the budget is safe either way.
     lane_len = max(m, n)
     return 4 * BLOCK_PAIRS * (
         (n + 1)
         + (n if affine else 1)
+        + 2 * n                    # column-context streams (default path)
+        + 6 * min(128, n)          # per-chunk load/store stack temporaries
         + 2 * lane_len
         + 2
     ) + 1024 * 1024
@@ -217,9 +248,12 @@ def _search_blocks(query_b, lanes_b, params: AlignmentParameters,
         m, n = (lq, lv) if query_is_read else (lv, lq)
     local = algorithm == Algorithm.SMITH_WATERMAN
     kernel = functools.partial(
-        _search_kernel, m=m, n=n, unroll=_pick_unroll(n), params=params,
+        # Deep unroll only for compiled TPU runs (see _score_blocks).
+        _search_kernel, m=m, n=n, unroll=min(8 if interpret else 128, n),
+        params=params,
         local=local, query_is_read=query_is_read, pssm_meta=pssm_meta,
     )
+    cstream = query_is_read and params.matrix is None and pssm_meta is None
     return pl.pallas_call(
         kernel,
         grid=(g, k),   # inner k varies fastest: the big lane block stays
@@ -239,6 +273,10 @@ def _search_blocks(query_b, lanes_b, params: AlignmentParameters,
             pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
             pltpu.VMEM((n if params.affine else 1, BLOCK_SUBLANES,
                         BLOCK_LANES), jnp.int32),
+            pltpu.VMEM((n if cstream else 1, BLOCK_SUBLANES, BLOCK_LANES),
+                       jnp.int32),
+            pltpu.VMEM((n if cstream else 1, BLOCK_SUBLANES, BLOCK_LANES),
+                       jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=search_vmem_plan(m, n, params.affine)),
