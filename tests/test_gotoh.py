@@ -218,3 +218,20 @@ def test_oracle_batch_entry_points_route_affine(rng):
         ga = oracle.compute_alignments(alg, reads, refs, p)
         wa = gotoh.compute_alignments_affine(alg, reads, refs, p)
         assert ga == wa, alg
+
+
+def test_pallas_align_batch_routes_affine(rng):
+    """pallas_align_batch honors p.affine (the 2-bit linear kernel cannot
+    represent Gotoh state; it previously ran the LINEAR model silently —
+    inputs with interleaved invalid codes exposed it in round 4)."""
+    from versalignlib_tpu.ops.pallas_align import pallas_align_batch
+    from versalignlib_tpu.types import TieBreak
+
+    p = AFFINE_PARAMS[1]
+    reads = random_codes(rng, 24, 16, padded=True, n_prob=0.2)
+    refs = random_codes(rng, 24, 17, padded=True, n_prob=0.2)
+    for alg in (Algorithm.SMITH_WATERMAN, Algorithm.NEEDLEMAN_WUNSCH):
+        got = pallas_align_batch(reads, refs, p, alg, TieBreak.DIAG_UP_LEFT,
+                                 interpret=True)
+        want = gotoh.compute_alignments_affine(alg, reads, refs, p)
+        assert got == want, alg

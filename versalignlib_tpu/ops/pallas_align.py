@@ -478,7 +478,17 @@ def pallas_align_batch(
     packed pointer matrix (2 bits/cell — 8x more at 128bp, 32x at 512bp),
     and the host does a branch-free replay. Output is bit-identical
     (test-gated); the pointer stream never leaves HBM.
+
+    Honors ``params.affine`` by routing to
+    :func:`pallas_align_affine_batch` (the 2-bit linear kernel cannot
+    represent Gotoh open/extend state — calling it directly with affine
+    params previously returned LINEAR-model alignments silently).
     """
+    if params.affine:
+        return pallas_align_affine_batch(
+            reads, refs, params, algorithm, tie=tie, interpret=interpret,
+            chunk_pairs=chunk_pairs, read_texts=read_texts,
+            ref_texts=ref_texts, raw=raw, device_walk=device_walk)
     if interpret is None:
         interpret = not _is_tpu()
     algorithm = Algorithm(algorithm)
@@ -659,12 +669,13 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
          h_ref, f_ref, hkeep_ref) = refs_args
     ip = pl.program_id(1)
     i0 = ip * R
-    match = jnp.int32(params.score_match)
-    mismatch = jnp.int32(params.score_mismatch)
-    ext_r = jnp.int32(params.score_gap_read)
-    ext_f = jnp.int32(params.score_gap_ref)
-    open_r = jnp.int32(params.gap_open_read)
-    open_f = jnp.int32(params.gap_open_ref)
+    # Shifted domain (see the linear kernel): H/E/F carry value << 2 with a
+    # 2-bit move priority in cur's low bits; NEG_INF_I32 itself serves as
+    # the shifted -inf sentinel (drift stays thousands, far from wrap).
+    ext_r = jnp.int32(params.score_gap_read << 2)
+    ext_f = jnp.int32(params.score_gap_ref << 2)
+    open_r = jnp.int32(params.gap_open_read << 2)
+    open_f = jnp.int32(params.gap_open_ref << 2)
     n_words = n // pack
     zeros = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
     neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
@@ -680,15 +691,19 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
     from versalignlib_tpu.alphabet import make_validity
     from versalignlib_tpu.ops.pallas_score import make_sub_fn
 
-    row_prep, col_prep, sub_of = make_sub_fn(params)
+    row_prep, col_prep, sub_of = make_sub_fn(params, shift=2)
     vfn = make_validity(params.matrix)
+    canonical = tie == TieBreak.DIAG_UP_LEFT
     rcs = [reads_ref[0, r] for r in range(R)]
-    rvs = [vfn(rc) for rc in rcs]
     rctxs = [row_prep(rcs[r]) for r in range(R)]
+    if not canonical:
+        # SSE flavor: valid-gated DIAG priority (see the linear kernel).
+        rv3s = [jnp.where(vfn(rc), jnp.int32(3), jnp.int32(0)) for rc in rcs]
     if local:
         col0s = [zeros] * (R + 1)
     else:
-        # Gotoh boundary: H[k][0] = open_f + k*ext_f (k >= 1), H[0][0] = 0.
+        # Gotoh boundary: H[k][0] = open_f + k*ext_f (k >= 1), H[0][0] = 0
+        # (shifted constants keep this in the shifted domain).
         col0s = [
             jnp.where(i0 + r == 0, zeros,
                       open_f + jnp.full((BLOCK_SUBLANES, BLOCK_LANES),
@@ -702,10 +717,8 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
             hk0 = jnp.where(mrows[r], col0s[r + 1], hk0)
         hkeep_ref[0] = hk0
 
-    d_code = jnp.int32(Trace.DIAG)
-    u_code = jnp.int32(Trace.UP)
-    l_code = jnp.int32(Trace.LEFT)
-    s_code = jnp.int32(Trace.START)
+    even4 = jnp.int32(0x11111111)   # bit 0 of each 4-bit field
+    ef4 = jnp.int32(0xCCCCCCCC - (1 << 32))  # e_ext|f_ext bits per field
 
     def word_body(c, carry, size):
         lefts, diags, evals, bests, bargs = carry
@@ -723,11 +736,13 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
             up = old[u]
             ref_col = ref_chunk[u]
             cctx = col_prep(ref_col)
+            if not canonical:
+                fvm = jnp.where(vfn(ref_col), jnp.int32(-1), jnp.int32(0))
             f_up = f_old[u]
             keep_u = keep_old[u] if not local else None
             new_lefts, new_diags, new_evals = [], [], []
             for r in range(R):
-                sub = sub_of(rctxs[r], cctx)
+                sub = sub_of(rctxs[r], cctx)     # value << 2
                 # max(a+c, b+c) == max(a,b)+c (exact in ints); the extend
                 # bits compare the pre-add maxes: f_val == f_up+ext iff
                 # max(up+open, f_up) == f_up.
@@ -736,22 +751,26 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
                 e_pre = jnp.maximum(lefts[r] + open_r, evals[r])
                 e_new = e_pre + ext_r
                 diag_v = diags[r] + sub
-                cur = jnp.maximum(jnp.maximum(diag_v, f_val), e_new)
-                if local:
-                    cur = jnp.maximum(cur, 0)
-
-                if tie == TieBreak.DIAG_UP_LEFT:
-                    hp = jnp.where(cur == diag_v, d_code,
-                                   jnp.where(cur == f_val, u_code,
-                                             jnp.where(cur == e_new, l_code, s_code)))
+                # Packed value|priority max (see the linear kernel).
+                if canonical:
+                    # DIAG 2 > UP(F) 1 > LEFT(E) 0; START = the SW clamp
+                    # constant 3; prio -> code remap once per word below.
+                    cur_p = jnp.maximum(jnp.maximum(diag_v | 2, f_val | 1),
+                                        e_new)
                     if local:
-                        hp = jnp.where(cur == 0, s_code, hp)
+                        cur_p = jnp.maximum(cur_p, 3)
                 else:
-                    valid = rvs[r] & vfn(ref_col)
-                    hp = jnp.where((cur == diag_v) & valid, d_code,
-                                   jnp.where(cur == e_new, l_code,
-                                             jnp.where(cur == f_val, u_code, s_code)))
-                code = hp | ((e_pre == evals[r]).astype(jnp.int32) << 2) \
+                    # SSE: valid-gated DIAG 3 > LEFT(E) 2 > UP(F) 1 are the
+                    # stored codes; no zero-force (START only when every
+                    # candidate is negative in SW).
+                    cur_p = jnp.maximum(
+                        jnp.maximum(diag_v | (rv3s[r] & fvm), e_new | 2),
+                        f_val | 1)
+                    if local:
+                        cur_p = jnp.maximum(cur_p, 0)
+                cur = cur_p & ~3                 # H << 2, priority cleared
+                code = (cur_p & 3) \
+                    | ((e_pre == evals[r]).astype(jnp.int32) << 2) \
                     | ((f_pre == f_up).astype(jnp.int32) << 3)
                 words[r] = words[r] | (code << (4 * u))
 
@@ -776,7 +795,15 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
         if not local:
             hkeep_ref[pl.ds(j0 + 1, size)] = jnp.stack(keep_new)
         for r in range(R):
-            ptr_ref[0, r, c] = words[r]
+            w = words[r]
+            if canonical:
+                # hptr priority -> stored-code shuffle per 4-bit field
+                # (b1' = ~b0, b0' = b1 ^ b0), e_ext/f_ext bits untouched.
+                w = (w & ef4) | (((~w) & even4) << 1) | (((w >> 1) ^ w) & even4)
+                if size < pack:
+                    # Unfilled fields would remap 0 -> LEFT; keep START.
+                    w = w & jnp.int32((1 << (4 * size)) - 1)
+            ptr_ref[0, r, c] = w
         return lefts, diags, evals, bests, bargs
 
     # E init: -inf, but DATA-dependent (min of a loaded vector with the
@@ -812,6 +839,11 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
         aux_ref[0, 0] = gbest
         aux_ref[0, 1] = gi
         aux_ref[0, 2] = gj
+
+        @pl.when(ip == (m_pad // R) - 1)
+        def _():
+            # Leave the H << 2 domain at the block boundary.
+            aux_ref[0, 0] = aux_ref[0, 0] >> 2
     else:
         garg = aux_ref[0, 0]
         for r in range(R):
@@ -820,7 +852,7 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
 
         @pl.when(ip == (m_pad // R) - 1)
         def _():
-            hsel_ref[0] = hkeep_ref[...]
+            hsel_ref[0] = hkeep_ref[...] >> 2
 
 
 @functools.partial(jax.jit, static_argnames=("params", "algorithm", "tie", "interpret"))
