@@ -43,6 +43,15 @@ from pathlib import Path
 import numpy as np
 
 ROOT = Path(__file__).resolve().parent.parent
+
+
+def _infer_round() -> int:
+    import glob as _glob
+    import re as _re
+    rounds = [int(m.group(1))
+              for f in _glob.glob(str(ROOT / "BENCH_r*.json"))
+              if (m := _re.search(r"BENCH_r(\d+)\.json$", f))]
+    return (max(rounds) + 1) if rounds else 1
 sys.path.insert(0, str(ROOT))
 
 
@@ -234,7 +243,7 @@ def main(argv=None) -> int:
     total_pairs = sum(pairs[k] * len(v) for k, v in by_kind.items())
     batches = stats1["batches"] - stats0["batches"]
     result = {
-        "round": 3,
+        "round": _infer_round(),
         "platform": platform,
         "backend": engine.backend.name,
         "clients": args.clients,

@@ -233,6 +233,17 @@ def main() -> int:
     check("pssm/affine",
           np.array_equal(got, score_profile_oracle(pssm, pool[:64], p_aff,
                                                    Algorithm.SMITH_WATERMAN)))
+    from versalignlib_tpu.ops.pssm import pack_pssms
+
+    pssm2 = rng.integers(-4, 12, size=(24, 6)).astype(np.int32)
+    pssm2[:, 0] = 0
+    pwm, pmm = pack_pssms([pssm, pssm2])
+    gotm = np.asarray(pssm_scores_device(pwm, pmm, pool[:64], p_lin,
+                                         Algorithm.SMITH_WATERMAN))
+    check("pssm/multi-profile", all(
+        np.array_equal(gotm[i], score_profile_oracle(pp, pool[:64], p_lin,
+                                                     Algorithm.SMITH_WATERMAN))
+        for i, pp in enumerate((pssm, pssm2))))
 
     print("== banded kernels (compiled) ==")
     m, n, band, tile = 300, 340, 64, 32
@@ -432,6 +443,30 @@ def main() -> int:
                                                4096 * 512 * 509)
         print(f"  SW align fill 512x509 (odd n): "
               f"{perf['align_sw_509_gcups']:.1f} GCUPS")
+
+        # Affine (Gotoh) align fill: 4-bit codes, packed-prio hptr.
+        from versalignlib_tpu.ops.pallas_align import _affine_align_blocks
+
+        def affine_align_exec(b_=4096):
+            r = rng.integers(1, 5, size=(b_, 512)).astype(np.uint8)
+            f = rng.integers(1, 5, size=(b_, 512)).astype(np.uint8)
+            g = -(-b_ // 1024)
+            mrp = _pack_vec(_last_valid_pos(r, TieBreak.DIAG_UP_LEFT), g)
+            rb = jnp.asarray(_pack_blocks(r, g, 512))
+            fb = jnp.asarray(_pack_blocks(f, g, 512))
+
+            def fn(tag, rb=rb, fb=fb, mrp=mrp):
+                rb2 = rb.at[0, 0, 0, 0].set(tag % 4 + 1)
+                out = _affine_align_blocks(rb2, fb, mrp, p_aff,
+                                           Algorithm.SMITH_WATERMAN,
+                                           TieBreak.DIAG_UP_LEFT, False)
+                return jnp.sum(out[1])
+            return fn
+
+        perf["align_affine_sw_gcups"] = kmarginal(affine_align_exec(),
+                                                  4096 * 512 * 512)
+        print(f"  SW affine align fill 512x512: "
+              f"{perf['align_affine_sw_gcups']:.1f} GCUPS")
 
         # e2e alignment pipeline at the short-read shape (fill + transfer +
         # decode to the raw column store), pointer-D2H vs device-walk.

@@ -164,3 +164,27 @@ def test_cli_pssm_mode(rng, tmp_path):
     assert lines[0] == "rank\tpanel_index\tpanel_name\tscore"
     top = sorted(int(line.split("\t")[1]) for line in lines[1:])
     assert top == [3, 17]
+
+
+def test_multi_profile_search(rng):
+    """Joint pack + one-dispatch multi-profile scan == per-profile runs."""
+    from versalignlib_tpu.ops.pssm import pack_pssms
+
+    Ps = [_rand_pssm(rng, 8, 6, -4, 9) for _ in range(3)]
+    pool = rng.integers(0, 7, size=(70, 21)).astype(np.uint8)
+    words, meta = pack_pssms(Ps)
+    assert words.shape[0] == 3
+    got = np.asarray(pssm_scores_device(words, meta, pool, P_LIN,
+                                        Algorithm.SMITH_WATERMAN,
+                                        interpret=True))
+    for i, P in enumerate(Ps):
+        want = score_profile_oracle(P, pool, P_LIN,
+                                    Algorithm.SMITH_WATERMAN)
+        assert np.array_equal(got[i], want), i
+    # profile_search list mode matches single-profile calls.
+    res = profile_search(Ps, pool, k=4)
+    for i, P in enumerate(Ps):
+        s1, i1 = profile_search(P, pool, k=4)
+        assert np.array_equal(res[i][0], s1) and np.array_equal(res[i][1], i1)
+    with pytest.raises(ValueError, match="equal"):
+        pack_pssms([Ps[0], _rand_pssm(rng, 9, 6, -4, 9)])

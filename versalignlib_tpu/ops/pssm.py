@@ -58,17 +58,33 @@ def validate_pssm(P) -> np.ndarray:
     return P
 
 
-def pack_pssm(P) -> tuple[np.ndarray, PssmMeta]:
+def pack_pssms(Ps) -> tuple[np.ndarray, PssmMeta]:
+    """Jointly pack K equal-shape profiles -> ((K, m, W) words, shared
+    PssmMeta) for one multi-profile kernel dispatch (the search kernel's
+    query axis streams profiles through SMEM)."""
+    Ps = [validate_pssm(P) for P in Ps]
+    if len({P.shape for P in Ps}) != 1:
+        raise ValueError("multi-profile packing requires equal (m, S) shapes")
+    stack = np.stack(Ps)
+    lo = int(min(0, stack.min()))
+    hi = int(max(0, stack.max()))
+    packed = [pack_pssm(P, lo=lo, hi=hi) for P in Ps]
+    return np.stack([w for w, _ in packed]), packed[0][1]
+
+
+def pack_pssm(P, lo: int | None = None,
+              hi: int | None = None) -> tuple[np.ndarray, PssmMeta]:
     """(m, S) int score table -> ((m, W) int32 packed words, PssmMeta).
 
     Field width is the narrowest power-of-2 the entry SPAN allows (4 bits
     for span <= 15, 8 for span <= 255); wider tables are rejected — rescale
     the profile (PSSM log-odds at sensible scales fit 8 bits with room).
+    ``lo``/``hi`` widen the assumed entry range (joint multi-profile packs).
     """
     P = validate_pssm(P)
     m, s = P.shape
-    lo = int(min(0, P.min()))
-    hi = int(max(0, P.max()))
+    lo = int(min(0, P.min())) if lo is None else lo
+    hi = int(max(0, P.max())) if hi is None else hi
     span = hi - lo
     if span <= 15:
         fw = 4
@@ -189,9 +205,11 @@ def pssm_scores_device(
     algorithm: Algorithm,
     interpret: bool = False,
 ):
-    """(m, W) packed words x (R, n) pool codes -> (R,) int32 scores.
+    """(m, W) packed words x (R, n) pool codes -> (R,) int32 scores; a
+    (K, m, W) stack of jointly-packed profiles (pack_pssms) -> (K, R).
 
-    One Pallas dispatch: the profile streams through SMEM, 1024 pool
+    One Pallas dispatch either way: profiles stream through SMEM along the
+    kernel's query axis while the big lane block stays resident, 1024 pool
     sequences per register tile (see module docstring).
     """
     from versalignlib_tpu.ops.pallas_search import (_pack_lanes,
@@ -199,16 +217,21 @@ def pssm_scores_device(
     from versalignlib_tpu.ops.pallas_score import BLOCK_PAIRS
 
     words = jnp.asarray(words, jnp.int32)
-    m = words.shape[0]
+    multi = words.ndim == 3
+    k = words.shape[0] if multi else 1
+    m = words.shape[1] if multi else words.shape[0]
     pool = jnp.asarray(pool)
     r, n = pool.shape
-    query_b = words.reshape(1, 1, m * meta.words)
+    query_b = words.reshape(k, 1, m * meta.words)
     lanes_b = _pack_lanes(pool, n)
     out = _search_blocks(query_b, lanes_b, params, Algorithm(algorithm),
                          True, interpret, pssm_meta=meta)
     g = out.shape[0]
-    scores = jnp.transpose(out, (0, 2, 3, 1)).reshape(g * BLOCK_PAIRS)
-    return scores[:r]
+    # (G, K, 8, 128) -> (K, G*1024) -> trim lane padding.
+    scores = jnp.transpose(out, (1, 0, 2, 3)).reshape(k, g * BLOCK_PAIRS)
+    if multi:
+        return scores[:, :r]
+    return scores[0, :r]
 
 
 # ---------------------------------------------------------------------------
@@ -262,6 +285,11 @@ def profile_search(
     """Top-k pool entries for a profile: (scores, indices), score-sorted
     (ties keep the lower index, matching lax.top_k / the search paths).
 
+    ``P``: one (m, S) table, or a LIST of equal-shape tables — multi-profile
+    mode packs them jointly and scores every profile in ONE kernel dispatch
+    (the pool block stays resident while profiles stream through SMEM),
+    returning a list of (scores, indices).
+
     ``pool``: (R, n) uint8 code array or list of sequence strings
     (padded + encoded with the reference rules). ``backend``: "pallas"
     (compiled on TPU, interpret elsewhere), "oracle", or "auto".
@@ -269,23 +297,40 @@ def profile_search(
     from versalignlib_tpu.params import DEFAULT_PARAMETERS
 
     params = DEFAULT_PARAMETERS if params is None else params
-    P = validate_pssm(P)
+    multi = isinstance(P, (list, tuple))
     if not isinstance(pool, np.ndarray):
         from versalignlib_tpu.alphabet import pad_and_encode
 
         pool = pad_and_encode(list(pool))
     if backend == "oracle":
-        scores = score_profile_oracle(P, pool, params, algorithm)
+        if multi:
+            score_rows = [score_profile_oracle(validate_pssm(p0), pool,
+                                               params, algorithm)
+                          for p0 in P]
+        else:
+            score_rows = [score_profile_oracle(validate_pssm(P), pool,
+                                               params, algorithm)]
     else:
         from versalignlib_tpu.ops.pallas_score import _is_tpu
 
         interpret = not _is_tpu()
-        words, meta = pack_pssm(P)
-        scores = np.asarray(
+        if multi:
+            words, meta = pack_pssms(P)
+        else:
+            words, meta = pack_pssm(P)
+        out = np.asarray(
             pssm_scores_device(words, meta, pool, params, algorithm,
                                interpret))
-    k = min(k, scores.shape[0])
-    # Stable top-k: sort by (-score, index).
-    order = np.lexsort((np.arange(scores.shape[0]), -scores.astype(np.int64)))
-    top = order[:k]
-    return scores[top].astype(np.int32), top.astype(np.int32)
+        score_rows = list(out) if multi else [out]
+
+    def topk(scores):
+        kk = min(k, scores.shape[0])
+        # Stable top-k: sort by (-score, index).
+        order = np.lexsort((np.arange(scores.shape[0]),
+                            -scores.astype(np.int64)))
+        top = order[:kk]
+        return scores[top].astype(np.int32), top.astype(np.int32)
+
+    if multi:
+        return [topk(s) for s in score_rows]
+    return topk(score_rows[0])
