@@ -245,6 +245,22 @@ def main() -> int:
                                                      Algorithm.SMITH_WATERMAN))
         for i, pp in enumerate((pssm, pssm2))))
 
+    print("== translated search (compiled affine+matrix one-vs-many) ==")
+    try:
+        from versalignlib_tpu.translate import (TRANSLATED_PARAMETERS,
+                                                translated_search)
+
+        tr_reads = ["C" + "ATGAAATGGCATCATGAAGAAAAGCTG" + "GT",
+                    "ACGTACGTACGTACGTACGTACGTACG"]
+        tr_panel = ["MKWHHEEKL", "WWYYFFPPHH"]
+        th = translated_search(tr_reads, tr_panel)
+        check("translated/frame+entry",
+              int(th.index[0]) == 0 and int(th.frame[0]) == 2
+              and int(th.score[0]) > 0)
+    except Exception as exc:  # noqa: BLE001
+        print(f"  FAIL  translated search raised: {exc}")
+        checks["translated/frame+entry"] = False
+
     print("== banded kernels (compiled) ==")
     m, n, band, tile = 300, 340, 64, 32
     reads_b = rng.integers(0, 6, size=(16, m)).astype(np.uint8)

@@ -1,0 +1,91 @@
+"""Six-frame translation + translated search (translate.py).
+
+Translation is gated against hand-checked codons and strand/frame
+identities; the search end-to-end plants reverse-translated peptides in
+DNA (forward and reverse-complement frames) and must recover the panel
+entry, the frame, and a score equal to scoring the translation directly.
+"""
+
+import numpy as np
+import pytest
+
+from versalignlib_tpu.alphabet import PROTEIN_ALPHABET, encode_custom, pad_and_encode
+from versalignlib_tpu.translate import (FRAMES, GENETIC_CODE,
+                                        TRANSLATED_PARAMETERS,
+                                        translate_codes,
+                                        translate_six_frames,
+                                        translated_search)
+from versalignlib_tpu.types import Algorithm
+
+#: one codon per amino acid for reverse translation in tests
+_REV = {}
+for _codon, _aa in GENETIC_CODE.items():
+    _REV.setdefault(_aa, _codon)
+
+
+def _rc(s: str) -> str:
+    return s[::-1].translate(str.maketrans("ACGT", "TGCA"))
+
+
+def test_known_codons_and_stops():
+    frames = dict(translate_six_frames("ATGAAATAG"))
+    assert frames[1] == "MK*"
+    assert frames[2] == "*N"    # TGA AAT AG -> * N
+    assert frames[3] == "EI"    # GAA ATA G  -> E I
+    # Reverse frames read the reverse complement: revcomp = CTATTTCAT.
+    assert frames[-1] == "LFH"   # CTA TTT CAT
+    assert frames[-2] == "YF"    # TAT TTC
+    assert frames[-3] == "IS"    # ATT TCA
+
+
+def test_ambiguous_and_padding_codons():
+    frames = dict(translate_six_frames("ATGNAATAG"))
+    assert frames[1] == "MX*"   # NAA -> X
+    codes = pad_and_encode(["ATGAAA", "ATG"])  # second padded with 0s
+    assert translate_codes(codes[1], 1) == "MX"  # A A A? no: ATG + pad pad pad
+    assert translate_codes(codes[0], 1) == "MK"
+
+
+def test_every_codon_translates():
+    for codon, aa in GENETIC_CODE.items():
+        assert dict(translate_six_frames(codon))[1] == aa
+
+
+def test_translated_search_recovers_frame_and_entry(rng):
+    peptides = ["MKTAYIAKQRQISFVKSHFSRQ", "GAVLIMFWPSTCYNQDEKRH",
+                "WWHHEEKKLLNNAA"]
+    panel = peptides + ["MNDEKRHWWYYFFPP"]  # decoy
+
+    def dna_for(pep):
+        return "".join(_REV[a] for a in pep)
+
+    reads, want = [], []
+    # Forward frame 2: one junk base, then the codons.
+    reads.append("C" + dna_for(peptides[0]) + "GG")
+    want.append((0, 2))
+    # Reverse frame -1: reverse-complement of the coding strand.
+    reads.append(_rc(dna_for(peptides[1])))
+    want.append((1, -1))
+    # Forward frame 3 with junk flanks.
+    reads.append("AC" + dna_for(peptides[2]) + "T")
+    want.append((2, 3))
+    hits = translated_search(reads, panel)
+    for i, (widx, wframe) in enumerate(want):
+        assert hits.index[i] == widx, (i, hits.index[i], hits.frame[i])
+        assert hits.frame[i] == wframe, (i, hits.frame[i])
+        # The best score equals directly scoring that frame's translation.
+        from versalignlib_tpu.search import score_matrix
+
+        q = encode_custom([hits.proteins[i][FRAMES.index(wframe)]],
+                          PROTEIN_ALPHABET)
+        p = encode_custom([panel[widx]], PROTEIN_ALPHABET)
+        direct = score_matrix(q, p, TRANSLATED_PARAMETERS,
+                              Algorithm.SMITH_WATERMAN)[0, 0]
+        assert hits.score[i] == direct
+
+
+def test_translated_search_requires_matrix():
+    from versalignlib_tpu.params import AlignmentParameters
+
+    with pytest.raises(ValueError, match="matrix"):
+        translated_search(["ACGT"], ["MK"], params=AlignmentParameters())

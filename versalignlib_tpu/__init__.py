@@ -48,6 +48,8 @@ from versalignlib_tpu.seed import MinimizerIndex, build_index, minimizers
 from versalignlib_tpu.longread import LongReadHits, find_chains, map_long_reads
 from versalignlib_tpu.ops.pssm import (pack_pssm, profile_search,
                                        pssm_from_sequences)
+from versalignlib_tpu.translate import (TranslatedHits, translate_six_frames,
+                                        translated_search)
 
 __version__ = "0.1.0"
 
@@ -99,5 +101,8 @@ __all__ = [
     "profile_search",
     "pssm_from_sequences",
     "pack_pssm",
+    "translated_search",
+    "translate_six_frames",
+    "TranslatedHits",
     "__version__",
 ]
