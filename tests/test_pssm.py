@@ -188,3 +188,29 @@ def test_multi_profile_search(rng):
         assert np.array_equal(res[i][0], s1) and np.array_equal(res[i][1], i1)
     with pytest.raises(ValueError, match="equal"):
         pack_pssms([Ps[0], _rand_pssm(rng, 9, 6, -4, 9)])
+
+
+def test_calibrate_profile_separates_planted(rng):
+    """Profile E-values: planted motif hits get tiny E, random pool large."""
+    from versalignlib_tpu.ops.pssm import calibrate_profile
+
+    motif = "TATAAAGGCGCCTTAA"
+    insts = []
+    for _ in range(60):
+        s = list(motif)
+        s[int(rng.integers(0, len(s)))] = "ACGT"[int(rng.integers(0, 4))]
+        insts.append("".join(s))
+    from versalignlib_tpu.alphabet import pad_and_encode
+
+    P = pssm_from_sequences(pad_and_encode(insts))
+    cal = calibrate_profile(P, n=64, samples=256, backend="oracle")
+    assert cal.lam > 0 and cal.k > 0
+
+    pool = ["".join(rng.choice(list("ACGT"), size=64)) for _ in range(24)]
+    pool[7] = pool[7][:20] + motif + pool[7][20 + len(motif):]
+    scores, idx = profile_search(P, pool, k=24, backend="oracle")
+    ev = {int(i): cal.evalue(int(s), P.shape[0], 24 * 64)
+          for s, i in zip(scores, idx)}
+    others = [e for i, e in ev.items() if i != 7]
+    assert ev[7] < 1e-3
+    assert ev[7] < min(others) / 100

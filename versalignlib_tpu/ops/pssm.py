@@ -234,6 +234,46 @@ def pssm_scores_device(
     return scores[0, :r]
 
 
+def calibrate_profile(
+    P: np.ndarray,
+    params: AlignmentParameters | None = None,
+    n: int = 128,
+    samples: int = 512,
+    seed: int = 0,
+    backend: str = "auto",
+):
+    """Gumbel calibration for PROFILE scores vs random sequences — E-values
+    for profile_search hits (``cal.evalue(score, P.shape[0], db_len)``).
+
+    Scores ``samples`` random uniform sequences of length ``n`` through the
+    profile (uniform ACGT for DNA-width tables, uniform over codes
+    1..S-1 otherwise) and fits the extreme-value law with
+    :func:`versalignlib_tpu.stats.calibrate_scores` — the same
+    simulation-in-miniature approach the pairwise ``stats.calibrate``
+    uses, with the profile as the fixed query side.
+    """
+    from versalignlib_tpu.params import DEFAULT_PARAMETERS
+    from versalignlib_tpu.stats import calibrate_scores
+
+    params = DEFAULT_PARAMETERS if params is None else params
+    P = validate_pssm(P)
+    s = P.shape[1]
+    hi_code = 5 if s == 6 else s  # DNA tables: uniform ACGT (skip N)
+    rng = np.random.default_rng(seed)
+    pool = rng.integers(1, hi_code, size=(samples, n)).astype(np.uint8)
+    if backend == "oracle":
+        scores = score_profile_oracle(P, pool, params,
+                                      Algorithm.SMITH_WATERMAN)
+    else:
+        from versalignlib_tpu.ops.pallas_score import _is_tpu
+
+        words, meta = pack_pssm(P)
+        scores = np.asarray(pssm_scores_device(
+            words, meta, pool, params, Algorithm.SMITH_WATERMAN,
+            interpret=not _is_tpu()))
+    return calibrate_scores(scores, P.shape[0], n, samples=samples)
+
+
 # ---------------------------------------------------------------------------
 # Profile construction
 # ---------------------------------------------------------------------------

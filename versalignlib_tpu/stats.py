@@ -239,7 +239,23 @@ def calibrate(
 
         scores = np.asarray(score_batch(
             reads, refs, params, Algorithm.SMITH_WATERMAN))
-    s = scores.astype(np.float64)
+    return calibrate_scores(scores, m, n, lam=lam, method=method,
+                            samples=samples)
+
+
+def calibrate_scores(
+    scores,
+    m: int,
+    n: int,
+    lam: float | None = None,
+    method: str = "ml",
+    samples: int | None = None,
+) -> GumbelCalibration:
+    """Fit the Gumbel law to an ARBITRARY sample of per-comparison SW
+    maxima (each over an effective m x n search space) — the fitting core
+    of :func:`calibrate`, reusable for non-pairwise score sources
+    (position-specific profiles, ops/pssm.py ``calibrate_profile``)."""
+    s = np.asarray(scores, dtype=np.float64)
     if lam is not None:
         mode = float(s.mean()) - EULER_GAMMA / lam
     elif method == "ml":
@@ -253,7 +269,8 @@ def calibrate(
     else:
         raise ValueError(f"unknown method {method!r} (ml | moments)")
     k = math.exp(lam * mode) / (m * n)
-    return GumbelCalibration(lam=lam, k=k, m=m, n=n, samples=samples)
+    return GumbelCalibration(lam=lam, k=k, m=m, n=n,
+                             samples=len(s) if samples is None else samples)
 
 
 # ---------------------------------------------------------------------------
