@@ -425,7 +425,10 @@ def main() -> int:
             return jnp.sum(pssm_scores_device(
                 pw_j, pmeta, f2, p_lin, Algorithm.SMITH_WATERMAN))
 
-        perf["pssm_sw_gcups"] = kmarginal(pssm_exec, 24 * 512 * 65536)
+        # Small per-execution time (~3ms): deepen the loop so the marginal
+        # dwarfs timer jitter (the k=9 variant read 285-546 across runs).
+        perf["pssm_sw_gcups"] = kmarginal(pssm_exec, 24 * 512 * 65536,
+                                          k_hi=33)
         print(f"  SW pssm scan 24pos vs 64k x 512bp pool: "
               f"{perf['pssm_sw_gcups']:.1f} GCUPS")
 

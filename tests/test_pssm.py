@@ -214,3 +214,27 @@ def test_calibrate_profile_separates_planted(rng):
     others = [e for i, e in ev.items() if i != 7]
     assert ev[7] < 1e-3
     assert ev[7] < min(others) / 100
+
+
+def test_cli_pssm_stats(rng, tmp_path):
+    """--pssm-from --stats adds bitscore/evalue columns."""
+    from versalignlib_tpu.cli import main
+
+    motif = "ACGTACGTGGCC"
+    with open(tmp_path / "motif.fa", "w") as f:
+        for k in range(20):
+            f.write(f">i{k}\n{motif}\n")
+    pool = ["".join(rng.choice(list("ACGT"), size=40)) for _ in range(12)]
+    pool[4] = pool[4][:10] + motif + pool[4][10 + len(motif):]
+    with open(tmp_path / "panel.fa", "w") as f:
+        for i, s in enumerate(pool):
+            f.write(f">p{i}\n{s}\n")
+    rc = main(["--pssm-from", str(tmp_path / "motif.fa"),
+               "--panel", str(tmp_path / "panel.fa"),
+               "--outdir", str(tmp_path), "--top", "2", "--stats",
+               "--stats-samples", "96", "--backend", "oracle"])
+    assert rc == 0
+    lines = (tmp_path / "hits_pssm.tsv").read_text().splitlines()
+    assert lines[0].endswith("bitscore\tevalue")
+    top = lines[1].split("\t")
+    assert int(top[1]) == 4 and float(top[5]) < 0.05

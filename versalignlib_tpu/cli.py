@@ -94,7 +94,7 @@ def _run_pssm_mode(ap, args, params) -> int:
     for bad, name in ((args.reads, "--reads"), (args.reads2, "--reads2"),
                       (args.reference, "--reference"), (args.band, "--band"),
                       (args.long, "--long"), (args.sam, "--sam"),
-                      (args.stats, "--stats"), (args.matrix, "--matrix"),
+                      (args.matrix, "--matrix"),
                       (args.selftest, "--selftest")):
         if bad:
             ap.error(f"--pssm-from cannot be combined with {name}")
@@ -136,13 +136,28 @@ def _run_pssm_mode(ap, args, params) -> int:
     scores, idx = profile_search(pssm, pool, params,
                                  Algorithm.SMITH_WATERMAN, k=args.top,
                                  backend=backend)
+    cal = None
+    if args.stats:
+        from versalignlib_tpu.ops.pssm import calibrate_profile
+
+        pool_lens = ([len(s) for s in pool] if not isinstance(pool, np.ndarray)
+                     else [pool.shape[1]] * len(pool))
+        db_len = sum(pool_lens)
+        cal = calibrate_profile(pssm, params,
+                                n=max(64, max(pool_lens)),
+                                samples=args.stats_samples, backend=backend)
     outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     out = outdir / "hits_pssm.tsv"
     with out.open("w") as fh:
-        fh.write("rank\tpanel_index\tpanel_name\tscore\n")
+        header = "rank\tpanel_index\tpanel_name\tscore"
+        fh.write(header + ("\tbitscore\tevalue\n" if cal else "\n"))
         for rank, (i, s) in enumerate(zip(idx, scores)):
-            fh.write(f"{rank}\t{int(i)}\t{panel_names[int(i)]}\t{int(s)}\n")
+            row = f"{rank}\t{int(i)}\t{panel_names[int(i)]}\t{int(s)}"
+            if cal:
+                row += (f"\t{cal.bit_score(int(s)):.1f}"
+                        f"\t{cal.evalue(int(s), pssm.shape[0], db_len):.3g}")
+            fh.write(row + "\n")
     print(f"pssm: {pssm.shape[0]}-position profile from {len(insts)} "
           f"instances; top {len(idx)}/{len(pool)} hits -> {out}")
     return 0
