@@ -43,7 +43,7 @@ from versalignlib_tpu.ops.pallas_score import (
     _is_tpu,
 )
 from versalignlib_tpu.params import AlignmentParameters
-from versalignlib_tpu.types import Algorithm, Alignment, TieBreak, Trace
+from versalignlib_tpu.types import Algorithm, Alignment, TieBreak
 
 
 def _pick_pack(n: int) -> int:
@@ -678,7 +678,6 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
     open_f = jnp.int32(params.gap_open_ref << 2)
     n_words = n // pack
     zeros = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
-    neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
 
     @pl.when(ip == 0)
     def _():
