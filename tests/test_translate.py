@@ -89,3 +89,25 @@ def test_translated_search_requires_matrix():
 
     with pytest.raises(ValueError, match="matrix"):
         translated_search(["ACGT"], ["MK"], params=AlignmentParameters())
+
+
+def test_cli_translated_mode(tmp_path):
+    """--translated end-to-end: DNA reads vs protein panel, frame column."""
+    from versalignlib_tpu.cli import main
+
+    coding = "".join(_REV[a] for a in "MKWHHEEKLLNN")
+    with open(tmp_path / "reads.fa", "w") as f:
+        f.write(f">r0\nC{coding}GT\n")          # frame +2
+        f.write(f">r1\n{_rc(coding)}\n")        # reverse frame
+    with open(tmp_path / "panel.fa", "w") as f:
+        f.write(">target\nMKWHHEEKLLNN\n>decoy\nWWYYFFPPCCGG\n")
+    rc = main(["--translated", "--reads", str(tmp_path / "reads.fa"),
+               "--panel", str(tmp_path / "panel.fa"),
+               "--outdir", str(tmp_path)])
+    assert rc == 0
+    lines = (tmp_path / "hits_translated.tsv").read_text().splitlines()
+    assert lines[0] == "read\tpanel_index\tpanel_name\tframe\tscore"
+    r0 = lines[1].split("\t")
+    r1 = lines[2].split("\t")
+    assert r0[1] == "0" and r0[3] == "+2"
+    assert r1[1] == "0" and r1[3].startswith("-")

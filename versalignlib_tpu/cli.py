@@ -163,6 +163,47 @@ def _run_pssm_mode(ap, args, params) -> int:
     return 0
 
 
+def _run_translated_mode(ap, args) -> int:
+    """--translated: six-frame translate DNA reads, scan a protein panel
+    (translate.py; BLOSUM62 + affine gaps unless overridden)."""
+    for bad, name in ((args.reads2, "--reads2"),
+                      (args.reference, "--reference"), (args.band, "--band"),
+                      (args.long, "--long"), (args.sam, "--sam"),
+                      (args.stats, "--stats"), (args.matrix, "--matrix"),
+                      (args.alphabet, "--alphabet"),
+                      (args.selftest, "--selftest")):
+        if bad:
+            ap.error(f"--translated cannot be combined with {name}")
+    if not args.reads or not args.panel:
+        ap.error("--translated requires --reads (DNA) and --panel (protein)")
+    from versalignlib_tpu.io.fastq import (parse_records,
+                                           parse_sequences_with_names)
+    from versalignlib_tpu.translate import translated_search
+
+    rrecs = parse_records(args.reads)
+    read_names = [n or f"read{i}" for i, (n, _, _) in enumerate(rrecs)]
+    reads = [s for _, s, _ in rrecs]
+    precs = parse_sequences_with_names(args.panel)
+    panel_names = [n or f"panel{i}" for i, (n, _) in enumerate(precs)]
+    panel = [s for _, s in precs]
+    if not reads or not panel:
+        print("empty reads or panel - exiting.", file=sys.stderr)
+        return 1
+    hits = translated_search(reads, panel)
+    outdir = pathlib.Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    out = outdir / "hits_translated.tsv"
+    with out.open("w") as fh:
+        fh.write("read\tpanel_index\tpanel_name\tframe\tscore\n")
+        for i in range(len(hits)):
+            fh.write(f"{read_names[i]}\t{int(hits.index[i])}"
+                     f"\t{panel_names[int(hits.index[i])]}"
+                     f"\t{int(hits.frame[i]):+d}\t{int(hits.score[i])}\n")
+    print(f"translated: {len(reads)} reads x 6 frames vs "
+          f"{len(panel)}-entry protein panel -> {out}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="versalignlib_tpu", description=__doc__)
     ap.add_argument("--reads", help="FASTA or FASTQ file of reads "
@@ -261,6 +302,11 @@ def main(argv=None) -> int:
                     help="FASTA of ALIGNED equal-length motif instances: "
                          "build a log-odds PSSM and scan --panel with it "
                          "(profile-search mode; writes hits_pssm.tsv)")
+    ap.add_argument("--translated", action="store_true",
+                    help="blastx mode: translate DNA --reads in all six "
+                         "frames and score them against a PROTEIN --panel "
+                         "(BLOSUM62 + affine gaps; writes "
+                         "hits_translated.tsv)")
     ap.add_argument("--top", type=int, default=10,
                     help="with --pssm-from: number of top panel hits")
     ap.add_argument("--selftest", action="store_true",
@@ -331,6 +377,8 @@ def main(argv=None) -> int:
         ap.error("--stats is single-end only (no paired Gumbel law)")
     if args.pssm_from:
         return _run_pssm_mode(ap, args, params)
+    if args.translated:
+        return _run_translated_mode(ap, args)
     panel_names = None
     read_names: list[str] | None = None
     read_quals: list[str | None] | None = None
