@@ -238,3 +238,17 @@ def test_cli_pssm_stats(rng, tmp_path):
     assert lines[0].endswith("bitscore\tevalue")
     top = lines[1].split("\t")
     assert int(top[1]) == 4 and float(top[5]) < 0.05
+
+
+def test_profile_search_chunked_matches_single_sweep(rng):
+    """Pool chunking is invisible: same top-k as one sweep (both modes)."""
+    P = _rand_pssm(rng, 6, 6, -3, 6)
+    P2 = _rand_pssm(rng, 6, 6, -3, 6)
+    pool = rng.integers(0, 7, size=(53, 11)).astype(np.uint8)
+    a = profile_search(P, pool, k=7, chunk=8)
+    b = profile_search(P, pool, k=7)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+    am = profile_search([P, P2], pool, k=7, chunk=10)
+    bm = profile_search([P, P2], pool, k=7)
+    for (s1, i1), (s2, i2) in zip(am, bm):
+        assert np.array_equal(s1, s2) and np.array_equal(i1, i2)

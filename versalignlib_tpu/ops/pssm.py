@@ -321,18 +321,22 @@ def profile_search(
     algorithm: Algorithm = Algorithm.SMITH_WATERMAN,
     k: int = 10,
     backend: str = "auto",
+    chunk: int = 1 << 17,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k pool entries for a profile: (scores, indices), score-sorted
     (ties keep the lower index, matching lax.top_k / the search paths).
 
     ``P``: one (m, S) table, or a LIST of equal-shape tables — multi-profile
     mode packs them jointly and scores every profile in ONE kernel dispatch
-    (the pool block stays resident while profiles stream through SMEM),
-    returning a list of (scores, indices).
+    per pool chunk (the pool block stays resident while profiles stream
+    through SMEM), returning a list of (scores, indices).
 
     ``pool``: (R, n) uint8 code array or list of sequence strings
     (padded + encoded with the reference rules). ``backend``: "pallas"
     (compiled on TPU, interpret elsewhere), "oracle", or "auto".
+    ``chunk``: pool entries per device round (bounds the lane block's HBM
+    footprint to ~chunk*n int32 — the reference's memory-driven batching,
+    OpenCLKernel.cpp:517-568; genome-scale pools stream through).
     """
     from versalignlib_tpu.params import DEFAULT_PARAMETERS
 
@@ -358,9 +362,13 @@ def profile_search(
             words, meta = pack_pssms(P)
         else:
             words, meta = pack_pssm(P)
-        out = np.asarray(
-            pssm_scores_device(words, meta, pool, params, algorithm,
-                               interpret))
+        parts = [
+            np.asarray(pssm_scores_device(
+                words, meta, pool[lo:lo + chunk], params, algorithm,
+                interpret))
+            for lo in range(0, pool.shape[0], chunk)
+        ]
+        out = np.concatenate(parts, axis=-1)
         score_rows = list(out) if multi else [out]
 
     def topk(scores):
