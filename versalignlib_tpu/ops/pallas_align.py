@@ -60,25 +60,34 @@ def _pick_pack(n: int) -> int:
 #: rows advanced together per align grid step (register wavefront)
 ALIGN_WAVE_ROWS = 4
 
+#: test hook: force the words-per-fori-iteration depth (None = automatic);
+#: lets the interpret-mode suite exercise the compiled multi-word path.
+_WPG_OVERRIDE = None
+
 
 def align_vmem_plan(n: int, affine: bool = False, local: bool = False) -> int:
     """VMEM bytes the align kernels request (worst case over algorithms when
     ``local=False``): double-buffered R-row read group, ref block, mrp,
     packed pointer rows + the folded (4,) aux block, hsel (NW), plus
-    H/hkeep (+F) scratch. m-independent — read rows stream R at a time
-    through the grid. Single source of truth shared with
+    H/hkeep (+F) scratch, the column-context streams (c0/c1/cv) and the
+    per-run load/store temporaries of the deep word unroll (8 words = 128
+    columns live per iteration). m-independent — read rows stream R at a
+    time through the grid. Single source of truth shared with
     ``capabilities.dense_fits``."""
     R = ALIGN_WAVE_ROWS
     pack = _pick_pack_affine(n) if affine else _pick_pack(n)
     nc = -(-n // pack)
+    run = min(128, n)
     return 4 * BLOCK_PAIRS * 2 * (
         R + n + 1 + R * nc + 4 + (0 if local else (n + 1))
     ) + 4 * BLOCK_PAIRS * (
         ((2 if affine else 1)) * (n + 1) + (0 if local else (n + 1))
+        + 3 * n                    # column-context streams
+        + 8 * run                  # run temporaries (old/keep/store/ctx)
     ) + 2 * 1024 * 1024
 
 
-def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
+def _align_kernel(*refs_args, m_pad, n, pack, wpg, R,
                   params: AlignmentParameters, local: bool, tie: TieBreak):
     """One (pair_block, row_group) grid step — R-row register wavefront.
 
@@ -105,7 +114,18 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
                      index 0, DefaultKernel.cpp:317-318).
       hsel_ref:  (1, n+1, 8, 128) int32 — H row of each pair's last valid
                  read row (NW only)
-    Scratch: h_ref (n+1, 8, 128); hkeep_ref (n+1, 8, 128) (NW only).
+    Scratch: h_ref (n+1, 8, 128); hkeep_ref (n+1, 8, 128) (NW only);
+    c0/c1/cv_ref (n, 8, 128) column-context streams (default scoring — the
+    substitution context and the SSE validity mask are computed ONCE per
+    pair block at ip == 0 and re-read by every row group, instead of paying
+    col_prep per row group as the r4 kernel did; matrix modes keep per-group
+    col_prep — their context is masks/shift register state, not storable
+    words — and get (1, 8, 128) placeholders).
+
+    ``wpg`` packed pointer words are processed per fori iteration (8 words =
+    128 columns compiled, matching the score kernel's deep unroll; the r4
+    kernel ran ONE 16-column word per iteration), with one H-row load/store
+    and one ptr store per word-run.
 
     The aux block maps to the same VMEM block for every row group, so the
     fold is a read-modify-write across grid steps: per-row (max, argmax)
@@ -116,11 +136,12 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
     max, and the strict ``>`` keeps the earlier real cell on equality.
     """
     if local:
-        (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref, h_ref) = refs_args
+        (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref,
+         h_ref, c0_ref, c1_ref, cv_ref) = refs_args
         hsel_ref = hkeep_ref = None
     else:
         (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref, hsel_ref,
-         h_ref, hkeep_ref) = refs_args
+         h_ref, hkeep_ref, c0_ref, c1_ref, cv_ref) = refs_args
     ip = pl.program_id(1)
     i0 = ip * R
     # The DP runs in a LEFT-SHIFTED domain: every H/sub/gap value carries
@@ -129,8 +150,15 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
     # eq/select pointer chain disappears. Scores stay far inside int32/4.
     gap_read = jnp.int32(params.score_gap_read << 2)
     gap_ref = jnp.int32(params.score_gap_ref << 2)
-    n_words = n // pack          # full words; n % pack via one partial word
     zeros = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+
+    from versalignlib_tpu.alphabet import make_validity
+    from versalignlib_tpu.ops.pallas_score import make_sub_fn
+
+    row_prep, col_prep, sub_of = make_sub_fn(params, shift=2)
+    vfn = make_validity(params.matrix)
+    canonical = tie == TieBreak.DIAG_UP_LEFT
+    use_cstream = params.matrix is None
 
     @pl.when(ip == 0)
     def _():
@@ -138,14 +166,26 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
         aux_ref[0] = jnp.zeros((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
         if not local:
             hkeep_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+        if use_cstream:
+            # Fill the column-context streams once per pair block
+            # (elementwise col_prep over whole chunks; ~2/m ops per cell
+            # amortized vs 2/R for the per-group recompute).
+            fc = min(128, n)
 
-    from versalignlib_tpu.ops.pallas_score import make_sub_fn
+            def fill_cctx(j0, size):
+                rc = refs_ref[0, pl.ds(j0, size)]
+                fc2, fb = col_prep(rc)
+                c0_ref[pl.ds(j0, size)] = fc2
+                c1_ref[pl.ds(j0, size)] = fb
+                if not canonical:
+                    cv_ref[pl.ds(j0, size)] = jnp.where(
+                        vfn(rc), jnp.int32(-1), jnp.int32(0))
 
-    from versalignlib_tpu.alphabet import make_validity
+            jax.lax.fori_loop(
+                0, n // fc, lambda c, z: (fill_cctx(c * fc, fc), z)[1], 0)
+            if n % fc:
+                fill_cctx((n // fc) * fc, n % fc)
 
-    row_prep, col_prep, sub_of = make_sub_fn(params, shift=2)
-    vfn = make_validity(params.matrix)
-    canonical = tie == TieBreak.DIAG_UP_LEFT
     rcs = [reads_ref[0, r] for r in range(R)]
     rctxs = [row_prep(rcs[r]) for r in range(R)]
     if not canonical:
@@ -172,12 +212,12 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
 
     even = jnp.int32(0x55555555)
 
-    def word_body(c, carry, sizes):
-        # One packed pointer word per iteration: statically-unrolled
-        # sub-chunks (``sizes``; one full 16-column chunk for a full word,
-        # the tail split for the partial word), one unconditional word store
-        # per row at the end (a predicated in-loop flush measured 20x
-        # slower).
+    def run_body(j0, w0, carry, word_sizes):
+        # One word-run per call: ``len(word_sizes)`` packed pointer words
+        # (statically unrolled), ONE H-row load/store and context load for
+        # the whole run, one unconditional ptr store per completed word per
+        # row (a predicated in-loop flush measured 20x slower).  j0/w0 are
+        # the run's first column / word index.
         #
         # Move selection is a single packed max: every candidate carries
         # ``(value << 2) | priority`` and ``max`` picks (value, priority)
@@ -193,23 +233,35 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
         #   SSE flavor: priorities (valid-gated DIAG 3) > LEFT 2 > UP 1 >
         #     START 0 ARE the stored codes; the SW clamp constant is 0.
         lefts, diags, bests, bargs = carry
-        words = [zeros] * R
-        off = 0
-        for size in sizes:
-            j0v = c * pack + off
-            old = h_ref[pl.ds(j0v + 1, size)]
-            ref_chunk = refs_ref[0, pl.ds(j0v, size)]
-            if not local:
-                keep_old = hkeep_ref[pl.ds(j0v + 1, size)]
-                keep_new = []
-            store_vals = []
-            for u in range(size):
-                up = old[u]
-                ref_col = ref_chunk[u]
-                cctx = col_prep(ref_col)
-                if not canonical:
-                    fvm = jnp.where(vfn(ref_col), jnp.int32(-1), jnp.int32(0))
-                keep_u = keep_old[u] if not local else None
+        total = sum(word_sizes)
+        old = h_ref[pl.ds(j0 + 1, total)]
+        if use_cstream:
+            c0c = c0_ref[pl.ds(j0, total)]
+            c1c = c1_ref[pl.ds(j0, total)]
+            if not canonical:
+                cvc = cv_ref[pl.ds(j0, total)]
+        else:
+            ref_chunk = refs_ref[0, pl.ds(j0, total)]
+        if not local:
+            keep_old = hkeep_ref[pl.ds(j0 + 1, total)]
+            keep_new = []
+        store_vals = []
+        col = 0
+        for wi, fill in enumerate(word_sizes):
+            words = [zeros] * R
+            for u in range(fill):
+                up = old[col]
+                if use_cstream:
+                    cctx = (c0c[col], c1c[col])
+                    if not canonical:
+                        fvm = cvc[col]
+                else:
+                    ref_col = ref_chunk[col]
+                    cctx = col_prep(ref_col)
+                    if not canonical:
+                        fvm = jnp.where(vfn(ref_col), jnp.int32(-1),
+                                        jnp.int32(0))
+                keep_u = keep_old[col] if not local else None
                 new_lefts, new_diags = [], []
                 for r in range(R):
                     sub = sub_of(rctxs[r], cctx)     # value << 2
@@ -228,13 +280,13 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
                         if local:
                             cur_p = jnp.maximum(cur_p, 0)
                     cur = cur_p & ~3                 # H << 2, priority cleared
-                    words[r] = words[r] | ((cur_p & 3) << (2 * (off + u)))
+                    words[r] = words[r] | ((cur_p & 3) << (2 * u))
 
                     # Per-row leftmost strict argmax journal (shifted domain
                     # — << 2 is monotonic, strictness preserved).
                     gt = cur > bests[r]
                     bests[r] = jnp.where(gt, cur, bests[r])
-                    bargs[r] = jnp.where(gt, j0v + u, bargs[r])
+                    bargs[r] = jnp.where(gt, j0 + col, bargs[r])
 
                     if not local:
                         keep_u = jnp.where(mrows[r], cur, keep_u)
@@ -245,21 +297,20 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
                 store_vals.append(up)            # row R-1's H value
                 if not local:
                     keep_new.append(keep_u)
-            h_ref[pl.ds(j0v + 1, size)] = jnp.stack(store_vals)
-            if not local:
-                hkeep_ref[pl.ds(j0v + 1, size)] = jnp.stack(keep_new)
-            off += size
-        filled = sum(sizes)
-        for r in range(R):
-            w = words[r]
-            if canonical:
-                # priority -> stored-code 2-bit shuffle, once per 16 cells.
-                w = (((~w) & even) << 1) | (((w >> 1) ^ w) & even)
-                if filled < pack:
-                    # Unfilled fields would otherwise remap 0 -> LEFT; the
-                    # walk's word-granular flag math must see START there.
-                    w = w & jnp.int32((1 << (2 * filled)) - 1)
-            ptr_ref[0, r, c] = w
+                col += 1
+            for r in range(R):
+                w = words[r]
+                if canonical:
+                    # priority -> stored-code 2-bit shuffle, once per word.
+                    w = (((~w) & even) << 1) | (((w >> 1) ^ w) & even)
+                    if fill < pack:
+                        # Unfilled fields would otherwise remap 0 -> LEFT;
+                        # the walk's word-granular flag math must see START.
+                        w = w & jnp.int32((1 << (2 * fill)) - 1)
+                ptr_ref[0, r, w0 + wi] = w
+        h_ref[pl.ds(j0 + 1, total)] = jnp.stack(store_vals)
+        if not local:
+            hkeep_ref[pl.ds(j0 + 1, total)] = jnp.stack(keep_new)
         return lefts, diags, bests, bargs
 
     init = (
@@ -268,14 +319,22 @@ def _align_kernel(*refs_args, m_pad, n, pack, unroll, R,
         [zeros if local else col0s[r + 1] for r in range(R)],  # row-max seed
         [zeros] * R,                               # row-arg seed (index 0)
     )
-    full_sizes = tuple([unroll] * (pack // unroll))
-    carry = jax.lax.fori_loop(
-        0, n_words, lambda c, cr: word_body(c, cr, full_sizes), init)
-    rem = n % pack
-    if rem:
-        # Partial trailing word: static shapes, full pack retained.
-        carry = word_body(n_words, carry,
-                          (rem,) if rem <= unroll else (unroll, rem - unroll))
+    n_words = n // pack          # full words; n % pack via one partial word
+    n_runs = n_words // wpg      # full word-runs through the fori loop
+    run_sizes = (pack,) * wpg
+    carry = init
+    if n_runs:
+        carry = jax.lax.fori_loop(
+            0, n_runs,
+            lambda c, cr: run_body(c * (wpg * pack), c * wpg, cr, run_sizes),
+            carry)
+    # Tail: leftover full words plus one partial word, a single
+    # statically-shaped run (odd ref lengths keep the full pack).
+    tail_sizes = (pack,) * (n_words - n_runs * wpg)
+    if n % pack:
+        tail_sizes = tail_sizes + (n % pack,)
+    if tail_sizes:
+        carry = run_body(n_runs * wpg * pack, n_runs * wpg, carry, tail_sizes)
     lefts, diags, bests, bargs = carry
 
     # Group-end fold into the persistent aux block (see docstring). The
@@ -322,11 +381,14 @@ def _align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
     n = refs_b.shape[1]
     local = algorithm == Algorithm.SMITH_WATERMAN
     pack = _pick_pack(n)
-    unroll = min(16, n)
+    # Deep word unroll for compiled runs (8 words = 128 columns per fori
+    # iteration, the score kernel's depth); interpret mode keeps one word
+    # per iteration — XLA-CPU compiles of the unrolled body cost minutes.
+    wpg = _WPG_OVERRIDE or (1 if interpret else 8)
     R = ALIGN_WAVE_ROWS
     assert m_pad % R == 0
     kernel = functools.partial(
-        _align_kernel, m_pad=m_pad, n=n, pack=pack, unroll=unroll, R=R,
+        _align_kernel, m_pad=m_pad, n=n, pack=pack, wpg=wpg, R=R,
         params=params, local=local, tie=tie
     )
     nc = -(-n // pack)
@@ -351,6 +413,18 @@ def _align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
             jax.ShapeDtypeStruct((g, n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
         scratch_shapes.append(
             pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
+    # Column-context streams (default scoring; placeholders in matrix mode):
+    # c0/c1 substitution context + cv SSE-validity mask, filled at ip == 0.
+    use_cstream = params.matrix is None
+    sse = tie != TieBreak.DIAG_UP_LEFT
+    scratch_shapes += [
+        pltpu.VMEM((n if use_cstream else 1, BLOCK_SUBLANES, BLOCK_LANES),
+                   jnp.int32),
+        pltpu.VMEM((n if use_cstream else 1, BLOCK_SUBLANES, BLOCK_LANES),
+                   jnp.int32),
+        pltpu.VMEM((n if (use_cstream and sse) else 1,
+                    BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+    ]
     # Account for Pallas double-buffering of every in/out block.
     vmem_bytes = align_vmem_plan(n, affine=False, local=local)
     out = pl.pallas_call(
@@ -644,7 +718,7 @@ def _pick_pack_affine(n: int) -> int:
     return 8
 
 
-def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
+def _affine_align_kernel(*refs_args, m_pad, n, pack, wpg, R,
                          params: AlignmentParameters, local: bool,
                          tie: TieBreak):
     """Affine pointer-row fill; 4-bit codes hptr(2b)|e_ext<<2|f_ext<<3.
@@ -657,16 +731,20 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
     UP(F), no zero-force (gotoh._affine_pointers). Extend beats open on gap
     ties in both flavors. aux is the device-folded (4,) journal of the
     linear kernel (SW [gmax, gi, gj, 0]; NW [argmax of last valid row]).
+
+    Shares the linear kernel's r5 treatments: column-context streams
+    (c0/c1/cv scratch, filled once per pair block at ip == 0) and ``wpg``
+    packed words per fori iteration (16 words = 128 columns compiled).
     """
     from versalignlib_tpu.ops.pallas_score import NEG_INF_I32
 
     if local:
         (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref,
-         h_ref, f_ref) = refs_args
+         h_ref, f_ref, c0_ref, c1_ref, cv_ref) = refs_args
         hsel_ref = hkeep_ref = None
     else:
         (reads_ref, refs_ref, mrp_ref, ptr_ref, aux_ref, hsel_ref,
-         h_ref, f_ref, hkeep_ref) = refs_args
+         h_ref, f_ref, hkeep_ref, c0_ref, c1_ref, cv_ref) = refs_args
     ip = pl.program_id(1)
     i0 = ip * R
     # Shifted domain (see the linear kernel): H/E/F carry value << 2 with a
@@ -676,8 +754,15 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
     ext_f = jnp.int32(params.score_gap_ref << 2)
     open_r = jnp.int32(params.gap_open_read << 2)
     open_f = jnp.int32(params.gap_open_ref << 2)
-    n_words = n // pack
     zeros = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+
+    from versalignlib_tpu.alphabet import make_validity
+    from versalignlib_tpu.ops.pallas_score import make_sub_fn
+
+    row_prep, col_prep, sub_of = make_sub_fn(params, shift=2)
+    vfn = make_validity(params.matrix)
+    canonical = tie == TieBreak.DIAG_UP_LEFT
+    use_cstream = params.matrix is None
 
     @pl.when(ip == 0)
     def _():
@@ -686,13 +771,24 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
         aux_ref[0] = jnp.zeros((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
         if not local:
             hkeep_ref[...] = jnp.zeros((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
+        if use_cstream:
+            # Column-context streams, once per pair block (see _align_kernel).
+            fc = min(128, n)
 
-    from versalignlib_tpu.alphabet import make_validity
-    from versalignlib_tpu.ops.pallas_score import make_sub_fn
+            def fill_cctx(j0, size):
+                rc = refs_ref[0, pl.ds(j0, size)]
+                fc2, fb = col_prep(rc)
+                c0_ref[pl.ds(j0, size)] = fc2
+                c1_ref[pl.ds(j0, size)] = fb
+                if not canonical:
+                    cv_ref[pl.ds(j0, size)] = jnp.where(
+                        vfn(rc), jnp.int32(-1), jnp.int32(0))
 
-    row_prep, col_prep, sub_of = make_sub_fn(params, shift=2)
-    vfn = make_validity(params.matrix)
-    canonical = tie == TieBreak.DIAG_UP_LEFT
+            jax.lax.fori_loop(
+                0, n // fc, lambda c, z: (fill_cctx(c * fc, fc), z)[1], 0)
+            if n % fc:
+                fill_cctx((n // fc) * fc, n % fc)
+
     rcs = [reads_ref[0, r] for r in range(R)]
     rctxs = [row_prep(rcs[r]) for r in range(R)]
     if not canonical:
@@ -719,90 +815,108 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
     even4 = jnp.int32(0x11111111)   # bit 0 of each 4-bit field
     ef4 = jnp.int32(0xCCCCCCCC - (1 << 32))  # e_ext|f_ext bits per field
 
-    def word_body(c, carry, size):
+    def run_body(j0, w0, carry, word_sizes):
+        # One word-run per call (see _align_kernel.run_body): one H/F-row
+        # load/store and context load for the whole run, one ptr store per
+        # completed word per row.
         lefts, diags, evals, bests, bargs = carry
-        j0 = c * pack
-        old = h_ref[pl.ds(j0 + 1, size)]
-        ref_chunk = refs_ref[0, pl.ds(j0, size)]
-        f_old = f_ref[pl.ds(j0, size)]
+        total = sum(word_sizes)
+        old = h_ref[pl.ds(j0 + 1, total)]
+        f_old = f_ref[pl.ds(j0, total)]
+        if use_cstream:
+            c0c = c0_ref[pl.ds(j0, total)]
+            c1c = c1_ref[pl.ds(j0, total)]
+            if not canonical:
+                cvc = cv_ref[pl.ds(j0, total)]
+        else:
+            ref_chunk = refs_ref[0, pl.ds(j0, total)]
         if not local:
-            keep_old = hkeep_ref[pl.ds(j0 + 1, size)]
+            keep_old = hkeep_ref[pl.ds(j0 + 1, total)]
             keep_new = []
         store_vals = []
         f_store = []
-        words = [zeros] * R
-        for u in range(size):
-            up = old[u]
-            ref_col = ref_chunk[u]
-            cctx = col_prep(ref_col)
-            if not canonical:
-                fvm = jnp.where(vfn(ref_col), jnp.int32(-1), jnp.int32(0))
-            f_up = f_old[u]
-            keep_u = keep_old[u] if not local else None
-            new_lefts, new_diags, new_evals = [], [], []
-            for r in range(R):
-                sub = sub_of(rctxs[r], cctx)     # value << 2
-                # max(a+c, b+c) == max(a,b)+c (exact in ints); the extend
-                # bits compare the pre-add maxes: f_val == f_up+ext iff
-                # max(up+open, f_up) == f_up.
-                f_pre = jnp.maximum(up + open_f, f_up)
-                f_val = f_pre + ext_f
-                e_pre = jnp.maximum(lefts[r] + open_r, evals[r])
-                e_new = e_pre + ext_r
-                diag_v = diags[r] + sub
-                # Packed value|priority max (see the linear kernel).
-                if canonical:
-                    # DIAG 2 > UP(F) 1 > LEFT(E) 0; START = the SW clamp
-                    # constant 3; prio -> code remap once per word below.
-                    cur_p = jnp.maximum(jnp.maximum(diag_v | 2, f_val | 1),
-                                        e_new)
-                    if local:
-                        cur_p = jnp.maximum(cur_p, 3)
+        col = 0
+        for wi, fill in enumerate(word_sizes):
+            words = [zeros] * R
+            for u in range(fill):
+                up = old[col]
+                if use_cstream:
+                    cctx = (c0c[col], c1c[col])
+                    if not canonical:
+                        fvm = cvc[col]
                 else:
-                    # SSE: valid-gated DIAG 3 > LEFT(E) 2 > UP(F) 1 are the
-                    # stored codes; no zero-force (START only when every
-                    # candidate is negative in SW).
-                    cur_p = jnp.maximum(
-                        jnp.maximum(diag_v | (rv3s[r] & fvm), e_new | 2),
-                        f_val | 1)
-                    if local:
-                        cur_p = jnp.maximum(cur_p, 0)
-                cur = cur_p & ~3                 # H << 2, priority cleared
-                code = (cur_p & 3) \
-                    | ((e_pre == evals[r]).astype(jnp.int32) << 2) \
-                    | ((f_pre == f_up).astype(jnp.int32) << 3)
-                words[r] = words[r] | (code << (4 * u))
+                    ref_col = ref_chunk[col]
+                    cctx = col_prep(ref_col)
+                    if not canonical:
+                        fvm = jnp.where(vfn(ref_col), jnp.int32(-1),
+                                        jnp.int32(0))
+                f_up = f_old[col]
+                keep_u = keep_old[col] if not local else None
+                new_lefts, new_diags, new_evals = [], [], []
+                for r in range(R):
+                    sub = sub_of(rctxs[r], cctx)     # value << 2
+                    # max(a+c, b+c) == max(a,b)+c (exact in ints); the extend
+                    # bits compare the pre-add maxes: f_val == f_up+ext iff
+                    # max(up+open, f_up) == f_up.
+                    f_pre = jnp.maximum(up + open_f, f_up)
+                    f_val = f_pre + ext_f
+                    e_pre = jnp.maximum(lefts[r] + open_r, evals[r])
+                    e_new = e_pre + ext_r
+                    diag_v = diags[r] + sub
+                    # Packed value|priority max (see the linear kernel).
+                    if canonical:
+                        # DIAG 2 > UP(F) 1 > LEFT(E) 0; START = the SW clamp
+                        # constant 3; prio -> code remap once per word below.
+                        cur_p = jnp.maximum(jnp.maximum(diag_v | 2, f_val | 1),
+                                            e_new)
+                        if local:
+                            cur_p = jnp.maximum(cur_p, 3)
+                    else:
+                        # SSE: valid-gated DIAG 3 > LEFT(E) 2 > UP(F) 1 are
+                        # the stored codes; no zero-force (START only when
+                        # every candidate is negative in SW).
+                        cur_p = jnp.maximum(
+                            jnp.maximum(diag_v | (rv3s[r] & fvm), e_new | 2),
+                            f_val | 1)
+                        if local:
+                            cur_p = jnp.maximum(cur_p, 0)
+                    cur = cur_p & ~3                 # H << 2, priority cleared
+                    code = (cur_p & 3) \
+                        | ((e_pre == evals[r]).astype(jnp.int32) << 2) \
+                        | ((f_pre == f_up).astype(jnp.int32) << 3)
+                    words[r] = words[r] | (code << (4 * u))
 
-                gt = cur > bests[r]
-                bests[r] = jnp.where(gt, cur, bests[r])
-                bargs[r] = jnp.where(gt, j0 + u, bargs[r])
+                    gt = cur > bests[r]
+                    bests[r] = jnp.where(gt, cur, bests[r])
+                    bargs[r] = jnp.where(gt, j0 + col, bargs[r])
 
+                    if not local:
+                        keep_u = jnp.where(mrows[r], cur, keep_u)
+                    new_diags.append(up)
+                    new_lefts.append(cur)
+                    new_evals.append(e_new)
+                    up = cur
+                    f_up = f_val
+                lefts, diags, evals = new_lefts, new_diags, new_evals
+                store_vals.append(up)        # row R-1's H value
+                f_store.append(f_up)         # row R-1's F value
                 if not local:
-                    keep_u = jnp.where(mrows[r], cur, keep_u)
-                new_diags.append(up)
-                new_lefts.append(cur)
-                new_evals.append(e_new)
-                up = cur
-                f_up = f_val
-            lefts, diags, evals = new_lefts, new_diags, new_evals
-            store_vals.append(up)        # row R-1's H value
-            f_store.append(f_up)         # row R-1's F value
-            if not local:
-                keep_new.append(keep_u)
-        h_ref[pl.ds(j0 + 1, size)] = jnp.stack(store_vals)
-        f_ref[pl.ds(j0, size)] = jnp.stack(f_store)
+                    keep_new.append(keep_u)
+                col += 1
+            for r in range(R):
+                w = words[r]
+                if canonical:
+                    # hptr priority -> stored-code shuffle per 4-bit field
+                    # (b1' = ~b0, b0' = b1 ^ b0), e_ext/f_ext bits untouched.
+                    w = (w & ef4) | (((~w) & even4) << 1) | (((w >> 1) ^ w) & even4)
+                    if fill < pack:
+                        # Unfilled fields would remap 0 -> LEFT; keep START.
+                        w = w & jnp.int32((1 << (4 * fill)) - 1)
+                ptr_ref[0, r, w0 + wi] = w
+        h_ref[pl.ds(j0 + 1, total)] = jnp.stack(store_vals)
+        f_ref[pl.ds(j0, total)] = jnp.stack(f_store)
         if not local:
-            hkeep_ref[pl.ds(j0 + 1, size)] = jnp.stack(keep_new)
-        for r in range(R):
-            w = words[r]
-            if canonical:
-                # hptr priority -> stored-code shuffle per 4-bit field
-                # (b1' = ~b0, b0' = b1 ^ b0), e_ext/f_ext bits untouched.
-                w = (w & ef4) | (((~w) & even4) << 1) | (((w >> 1) ^ w) & even4)
-                if size < pack:
-                    # Unfilled fields would remap 0 -> LEFT; keep START.
-                    w = w & jnp.int32((1 << (4 * size)) - 1)
-            ptr_ref[0, r, c] = w
+            hkeep_ref[pl.ds(j0 + 1, total)] = jnp.stack(keep_new)
         return lefts, diags, evals, bests, bargs
 
     # E init: -inf, but DATA-dependent (min of a loaded vector with the
@@ -818,13 +932,20 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, R,
         [zeros if local else col0s[r + 1] for r in range(R)],
         [zeros] * R,
     )
-    # n < pack: the loop would still TRACE its body, and the full-word
-    # pl.ds(j0, pack) slice exceeds the n-column ref block.
-    carry = init if n_words == 0 else jax.lax.fori_loop(
-        0, n_words, lambda c, cr: word_body(c, cr, pack), init)
-    rem = n % pack
-    if rem:
-        carry = word_body(n_words, carry, rem)
+    n_words = n // pack
+    n_runs = n_words // wpg
+    run_sizes = (pack,) * wpg
+    carry = init
+    if n_runs:
+        carry = jax.lax.fori_loop(
+            0, n_runs,
+            lambda c, cr: run_body(c * (wpg * pack), c * wpg, cr, run_sizes),
+            carry)
+    tail_sizes = (pack,) * (n_words - n_runs * wpg)
+    if n % pack:
+        tail_sizes = tail_sizes + (n % pack,)
+    if tail_sizes:
+        carry = run_body(n_runs * wpg * pack, n_runs * wpg, carry, tail_sizes)
     lefts, diags, evals, bests, bargs = carry
 
     # Group-end fold into the persistent aux block (see _align_kernel).
@@ -863,10 +984,13 @@ def _affine_align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
     n = refs_b.shape[1]
     local = algorithm == Algorithm.SMITH_WATERMAN
     pack = _pick_pack_affine(n)
+    # 16 words x 8 columns = 128 columns per fori iteration compiled (the
+    # score kernel's depth); one word per iteration under interpret.
+    wpg = _WPG_OVERRIDE or (1 if interpret else 16)
     R = ALIGN_WAVE_ROWS
     assert m_pad % R == 0
     kernel = functools.partial(
-        _affine_align_kernel, m_pad=m_pad, n=n, pack=pack, R=R,
+        _affine_align_kernel, m_pad=m_pad, n=n, pack=pack, wpg=wpg, R=R,
         params=params, local=local, tie=tie
     )
     nc = -(-n // pack)
@@ -892,6 +1016,17 @@ def _affine_align_blocks(reads_b, refs_b, mrp_b, params, algorithm: Algorithm,
             jax.ShapeDtypeStruct((g, n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
         scratch_shapes.append(
             pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
+    # Column-context streams (see _align_blocks).
+    use_cstream = params.matrix is None
+    sse = tie != TieBreak.DIAG_UP_LEFT
+    scratch_shapes += [
+        pltpu.VMEM((n if use_cstream else 1, BLOCK_SUBLANES, BLOCK_LANES),
+                   jnp.int32),
+        pltpu.VMEM((n if use_cstream else 1, BLOCK_SUBLANES, BLOCK_LANES),
+                   jnp.int32),
+        pltpu.VMEM((n if (use_cstream and sse) else 1,
+                    BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+    ]
     vmem_bytes = align_vmem_plan(n, affine=True, local=local)
     out = pl.pallas_call(
         kernel,
