@@ -161,9 +161,14 @@ def test_cli_pssm_mode(rng, tmp_path):
                "--outdir", str(tmp_path), "--top", "2"])
     assert rc == 0
     lines = (tmp_path / "hits_pssm.tsv").read_text().splitlines()
-    assert lines[0] == "rank\tpanel_index\tpanel_name\tscore"
+    assert lines[0] == ("rank\tpanel_index\tpanel_name\tscore\tstart\tend"
+                        "\tprofile_span\tcigar")
     top = sorted(int(line.split("\t")[1]) for line in lines[1:])
     assert top == [3, 17]
+    # planted motif coordinates: ref span starts at the plant position 10
+    for line in lines[1:]:
+        cols = line.split("\t")
+        assert int(cols[4]) == 10 and int(cols[5]) >= 10
 
 
 def test_multi_profile_search(rng):
@@ -237,7 +242,7 @@ def test_cli_pssm_stats(rng, tmp_path):
     lines = (tmp_path / "hits_pssm.tsv").read_text().splitlines()
     assert lines[0].endswith("bitscore\tevalue")
     top = lines[1].split("\t")
-    assert int(top[1]) == 4 and float(top[5]) < 0.05
+    assert int(top[1]) == 4 and float(top[9]) < 0.05
 
 
 def test_profile_search_chunked_matches_single_sweep(rng):
@@ -252,3 +257,104 @@ def test_profile_search_chunked_matches_single_sweep(rng):
     bm = profile_search([P, P2], pool, k=7)
     for (s1, i1), (s2, i2) in zip(am, bm):
         assert np.array_equal(s1, s2) and np.array_equal(i1, i2)
+
+
+# ---------------------------------------------------------------------------
+# Hit coordinates + traceback (round-5 full-interface parity)
+# ---------------------------------------------------------------------------
+
+def test_device_coords_match_oracle_argmax(rng):
+    """The search kernel's argmax fold == the oracle's row-major
+    strict-first-win scan, linear and affine."""
+    from versalignlib_tpu.ops.pssm import profile_argmax_oracle
+
+    P = _rand_pssm(rng, 17, 6, -4, 9)
+    pool = rng.integers(0, 7, size=(70, 33)).astype(np.uint8)
+    pw, pm = pack_pssm(P)
+    for p in (P_LIN, P_AFF):
+        s, r, c = pssm_scores_device(pw, pm, pool, p,
+                                     Algorithm.SMITH_WATERMAN,
+                                     interpret=True, with_coords=True)
+        so, ro, co = profile_argmax_oracle(P, pool, p)
+        assert np.array_equal(np.asarray(s), so)
+        assert np.array_equal(np.asarray(r), ro)
+        assert np.array_equal(np.asarray(c), co)
+
+
+def test_profile_hits_and_alignments(rng):
+    """hits=True returns coordinates; alignments walk back to a consistent
+    start and reproduce the score; device and oracle backends agree."""
+    P = _rand_pssm(rng, 12, 6, -3, 8)
+    pool = rng.integers(0, 7, size=(40, 25)).astype(np.uint8)
+    hd = profile_search(P, pool, k=6, backend="pallas", hits=True,
+                        alignments=True)
+    ho = profile_search(P, pool, k=6, backend="oracle", hits=True,
+                        alignments=True)
+    for a, b in zip(hd, ho):
+        assert (a.index, a.score, a.end_row, a.end_col) == \
+            (b.index, b.score, b.end_row, b.end_col)
+        assert a.alignment.cigar == b.alignment.cigar
+        assert a.alignment.score == a.score
+        # end coords are the walk start: ref_end is exclusive
+        assert a.alignment.ref_end - 1 == a.end_col
+        assert a.alignment.read_end - 1 == a.end_row
+
+
+def test_profile_hit_alignment_rescored(rng):
+    """The emitted gapped alignment re-scores to the reported score under
+    the profile model (sub from P rows, linear gaps)."""
+    from versalignlib_tpu.ops.pssm import profile_consensus_text
+
+    P = _rand_pssm(rng, 10, 6, -3, 7)
+    pool = rng.integers(1, 5, size=(30, 22)).astype(np.uint8)
+    hits = profile_search(P, pool, k=4, backend="oracle", hits=True,
+                          alignments=True)
+    cons = profile_consensus_text(P)
+    table = "\0ATCGN"
+    for h in hits:
+        a = h.alignment
+        rp, fp = a.read_start, a.ref_start
+        total = 0
+        for rc, fc in zip(a.read, a.ref):
+            if rc == "-":
+                total += P_LIN.score_gap_read
+                fp += 1
+            elif fc == "-":
+                total += P_LIN.score_gap_ref
+                rp += 1
+            else:
+                assert rc == cons[rp]
+                code = int(pool[h.index][fp])
+                total += int(P[rp][code]) if code < 6 else 0
+                rp += 1
+                fp += 1
+        assert total == h.score
+
+
+def test_profile_hits_multi_and_evalue(rng):
+    """Multi-profile hits mode + calibration columns."""
+    from versalignlib_tpu.ops.pssm import calibrate_profile
+
+    P1 = _rand_pssm(rng, 8, 6, -2, 6)
+    P2 = _rand_pssm(rng, 8, 6, -2, 6)
+    pool = rng.integers(1, 5, size=(25, 20)).astype(np.uint8)
+    cal = calibrate_profile(P1, P_LIN, n=20, samples=64, backend="oracle")
+    out = profile_search([P1, P2], pool, k=3, backend="pallas", hits=True,
+                         calibration=cal)
+    assert len(out) == 2 and len(out[0]) == 3
+    for hits in out:
+        assert all(h.evalue is not None and h.bitscore is not None
+                   for h in hits)
+        # E-values are monotone decreasing in score within a hit list
+        ss = [h.score for h in hits]
+        es = [h.evalue for h in hits]
+        assert all(e1 <= e2 * (1 + 1e-9) for (s1, e1), (s2, e2)
+                   in zip(zip(ss, es), zip(ss[1:], es[1:])) if s1 >= s2)
+
+
+def test_profile_hits_nw_rejected(rng):
+    P = _rand_pssm(rng, 8, 6, -2, 6)
+    pool = rng.integers(1, 5, size=(10, 16)).astype(np.uint8)
+    with pytest.raises(ValueError):
+        profile_search(P, pool, algorithm=Algorithm.NEEDLEMAN_WUNSCH,
+                       hits=True)

@@ -106,8 +106,77 @@ def test_cli_translated_mode(tmp_path):
                "--outdir", str(tmp_path)])
     assert rc == 0
     lines = (tmp_path / "hits_translated.tsv").read_text().splitlines()
-    assert lines[0] == "read\tpanel_index\tpanel_name\tframe\tscore"
+    assert lines[0].startswith(
+        "read\tpanel_index\tpanel_name\tframe\tscore\tdna_start")
     r0 = lines[1].split("\t")
     r1 = lines[2].split("\t")
     assert r0[1] == "0" and r0[3] == "+2"
     assert r1[1] == "0" and r1[3].startswith("-")
+    # coordinates: the +2 hit starts at read offset 1 (after the 'C' pad)
+    # and spans whole codons on the forward strand
+    assert int(r0[5]) == 1 and r0[7] == "+"
+    assert (int(r0[6]) - int(r0[5]) + 1) % 3 == 0
+    assert r1[7] == "-"
+
+
+# ---------------------------------------------------------------------------
+# Winning-frame alignments + DNA coordinate mapping (round-5 parity)
+# ---------------------------------------------------------------------------
+
+def test_translated_alignments_roundtrip():
+    """alignments=True: the reported DNA range translates back (through the
+    reported frame) to exactly the aligned protein residues, both strands."""
+    from versalignlib_tpu.alphabet import encode
+    from versalignlib_tpu.translate import translate_codes, translated_search
+
+    coding = "".join(_REV[a] for a in "MKWHHEEKLLNN")
+    dna = "C" + coding + "GT"
+    reads = [dna, _rc(dna)]
+    panel = ["MKWHHEEKLLNN", "WWYYFFPPCCGG"]
+    th = translated_search(reads, panel, alignments=True)
+    for i, read in enumerate(reads):
+        ds, de = int(th.dna_start[i]), int(th.dna_end[i])
+        assert 0 <= ds <= de < len(read)
+        sub = read[ds:de + 1]
+        if th.strand[i] == "-":
+            sub = _rc(sub)
+        back = translate_codes(encode(sub), 1)
+        assert back == th.alignments[i].read.replace("-", "")
+        assert th.alignments[i].score == int(th.score[i])
+
+
+def test_translated_dna_cigar_scaling():
+    from versalignlib_tpu.translate import _scale_cigar_dna
+
+    assert _scale_cigar_dna("9M") == "27M"
+    assert _scale_cigar_dna("2M1I3M1D4M") == "6M3I9M3D12M"
+
+
+def test_map_protein_to_dna_inverse():
+    """Forward/reverse frame coordinate maps are mutually consistent."""
+    from versalignlib_tpu.translate import map_protein_to_dna
+
+    L = 31
+    for f in (1, 2, 3):
+        s, e, st = map_protein_to_dna(f, L, 2, 5)
+        assert st == "+" and s == (f - 1) + 6 and e == (f - 1) + 17
+        sm, em, stm = map_protein_to_dna(-f, L, 2, 5)
+        assert stm == "-"
+        # the '-' range is the forward range reflected through L-1
+        assert sm == L - 1 - e and em == L - 1 - s
+
+
+def test_translated_evalue_orders_hits():
+    """calibrate_translated E-values: the planted hit gets a (much) smaller
+    E-value than a random read's best hit."""
+    from versalignlib_tpu.translate import (calibrate_translated,
+                                            translated_search)
+
+    coding = "".join(_REV[a] for a in "MKWHHEEKLLNN")
+    reads = ["C" + coding + "GT", "ACGTACGTACGTACGTACGTACGTACGTAC"]
+    panel = ["MKWHHEEKLLNN", "WWYYFFPPCCGG"]
+    cal = calibrate_translated(panel, read_len=32, samples=48)
+    th = translated_search(reads, panel, alignments=True, calibration=cal)
+    assert th.evalue is not None and th.bitscore is not None
+    assert th.evalue[0] < th.evalue[1]
+    assert th.bitscore[0] > th.bitscore[1]

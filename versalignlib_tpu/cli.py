@@ -133,33 +133,36 @@ def _run_pssm_mode(ap, args, params) -> int:
 
         pool = encode_custom(pool, args.alphabet)
     backend = "oracle" if args.backend == "oracle" else "pallas"
-    scores, idx = profile_search(pssm, pool, params,
-                                 Algorithm.SMITH_WATERMAN, k=args.top,
-                                 backend=backend)
     cal = None
+    pool_lens = ([len(s) for s in pool] if not isinstance(pool, np.ndarray)
+                 else [pool.shape[1]] * len(pool))
+    db_len = sum(pool_lens)
     if args.stats:
         from versalignlib_tpu.ops.pssm import calibrate_profile
 
-        pool_lens = ([len(s) for s in pool] if not isinstance(pool, np.ndarray)
-                     else [pool.shape[1]] * len(pool))
-        db_len = sum(pool_lens)
         cal = calibrate_profile(pssm, params,
                                 n=max(64, max(pool_lens)),
                                 samples=args.stats_samples, backend=backend)
+    hits = profile_search(pssm, pool, params, Algorithm.SMITH_WATERMAN,
+                          k=args.top, backend=backend, hits=True,
+                          alignments=True, calibration=cal, db_len=db_len)
     outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     out = outdir / "hits_pssm.tsv"
     with out.open("w") as fh:
-        header = "rank\tpanel_index\tpanel_name\tscore"
+        header = ("rank\tpanel_index\tpanel_name\tscore\tstart\tend"
+                  "\tprofile_span\tcigar")
         fh.write(header + ("\tbitscore\tevalue\n" if cal else "\n"))
-        for rank, (i, s) in enumerate(zip(idx, scores)):
-            row = f"{rank}\t{int(i)}\t{panel_names[int(i)]}\t{int(s)}"
+        for rank, h in enumerate(hits):
+            a = h.alignment
+            row = (f"{rank}\t{h.index}\t{panel_names[h.index]}\t{h.score}"
+                   f"\t{a.ref_start}\t{h.end_col}"
+                   f"\t{a.read_start}-{h.end_row}\t{a.cigar}")
             if cal:
-                row += (f"\t{cal.bit_score(int(s)):.1f}"
-                        f"\t{cal.evalue(int(s), pssm.shape[0], db_len):.3g}")
+                row += f"\t{h.bitscore:.1f}\t{h.evalue:.3g}"
             fh.write(row + "\n")
     print(f"pssm: {pssm.shape[0]}-position profile from {len(insts)} "
-          f"instances; top {len(idx)}/{len(pool)} hits -> {out}")
+          f"instances; top {len(hits)}/{len(pool)} hits -> {out}")
     return 0
 
 
@@ -169,7 +172,7 @@ def _run_translated_mode(ap, args) -> int:
     for bad, name in ((args.reads2, "--reads2"),
                       (args.reference, "--reference"), (args.band, "--band"),
                       (args.long, "--long"), (args.sam, "--sam"),
-                      (args.stats, "--stats"), (args.matrix, "--matrix"),
+                      (args.matrix, "--matrix"),
                       (args.alphabet, "--alphabet"),
                       (args.selftest, "--selftest")):
         if bad:
@@ -178,7 +181,8 @@ def _run_translated_mode(ap, args) -> int:
         ap.error("--translated requires --reads (DNA) and --panel (protein)")
     from versalignlib_tpu.io.fastq import (parse_records,
                                            parse_sequences_with_names)
-    from versalignlib_tpu.translate import translated_search
+    from versalignlib_tpu.translate import (calibrate_translated,
+                                            translated_search)
 
     rrecs = parse_records(args.reads)
     read_names = [n or f"read{i}" for i, (n, _, _) in enumerate(rrecs)]
@@ -189,16 +193,30 @@ def _run_translated_mode(ap, args) -> int:
     if not reads or not panel:
         print("empty reads or panel - exiting.", file=sys.stderr)
         return 1
-    hits = translated_search(reads, panel)
+    cal = None
+    if args.stats:
+        cal = calibrate_translated(
+            panel, read_len=max(60, max(len(r) for r in reads)),
+            samples=args.stats_samples)
+    hits = translated_search(reads, panel, alignments=True, calibration=cal)
     outdir = pathlib.Path(args.outdir)
     outdir.mkdir(parents=True, exist_ok=True)
     out = outdir / "hits_translated.tsv"
     with out.open("w") as fh:
-        fh.write("read\tpanel_index\tpanel_name\tframe\tscore\n")
+        header = ("read\tpanel_index\tpanel_name\tframe\tscore"
+                  "\tdna_start\tdna_end\tstrand\tcigar_dna\tpanel_start")
+        fh.write(header + ("\tbitscore\tevalue\n" if cal else "\n"))
         for i in range(len(hits)):
-            fh.write(f"{read_names[i]}\t{int(hits.index[i])}"
-                     f"\t{panel_names[int(hits.index[i])]}"
-                     f"\t{int(hits.frame[i]):+d}\t{int(hits.score[i])}\n")
+            row = (f"{read_names[i]}\t{int(hits.index[i])}"
+                   f"\t{panel_names[int(hits.index[i])]}"
+                   f"\t{int(hits.frame[i]):+d}\t{int(hits.score[i])}"
+                   f"\t{int(hits.dna_start[i])}\t{int(hits.dna_end[i])}"
+                   f"\t{hits.strand[i]}\t{hits.dna_cigar[i]}"
+                   f"\t{hits.alignments[i].ref_start}")
+            if cal:
+                row += (f"\t{float(hits.bitscore[i]):.1f}"
+                        f"\t{float(hits.evalue[i]):.3g}")
+            fh.write(row + "\n")
     print(f"translated: {len(reads)} reads x 6 frames vs "
           f"{len(panel)}-entry protein panel -> {out}")
     return 0

@@ -42,10 +42,10 @@ from versalignlib_tpu.params import AlignmentParameters
 from versalignlib_tpu.types import Algorithm
 
 
-def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, c0_ref,
-                   c1_ref, *, m, n, unroll,
+def _search_kernel(query_ref, lanes_ref, *refs, m, n, unroll,
                    params: AlignmentParameters, local: bool,
-                   query_is_read: bool, pssm_meta=None):
+                   query_is_read: bool, pssm_meta=None,
+                   with_coords: bool = False):
     """Score 1024 lane sequences against one SMEM query sequence.
 
     query_ref: (1, 1, m) int32 SMEM when ``query_is_read`` else (1, 1, n).
@@ -66,7 +66,22 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, c0_ref,
     the biased field" (same field scheme as the bit-packed matrix path in
     make_sub_fn, but the tables are RUNTIME data riding SMEM, not
     trace-time constants). Requires ``query_is_read``.
+
+    ``with_coords`` (SW only): also emit each pair's DP argmax cell —
+    aux_ref (1, 1, 2, 8, 128) [end_row, end_col] — with the reference's
+    row-major strict-first-win rule (DefaultKernel.cpp:252-256): per-row
+    (max, argcol) registers accumulate through the column sweep, then rows
+    merge in ascending order at group end, exactly the dense align kernel's
+    device fold. Costs ~3 VPU ops/cell; compiled as a separate variant so
+    the plain scoring path pays nothing.
     """
+    if with_coords:
+        (query_ref, lanes_ref, out_ref, aux_ref, h_ref, f_ref, c0_ref,
+         c1_ref) = (query_ref, lanes_ref) + refs
+        assert local, "coords fold is SW-only (NW end cells decode on host)"
+    else:
+        out_ref, h_ref, f_ref, c0_ref, c1_ref = refs
+        aux_ref = None
     gap_read = jnp.int32(params.score_gap_read)
     gap_ref = jnp.int32(params.score_gap_ref)
     affine = params.affine
@@ -116,14 +131,15 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, c0_ref,
             fill_cctx(n_chunks * unroll, n % unroll)
 
     def make_group_body(R, base=None):
-        def group_body(idx, best):
+        def group_body(idx, gcarry):
+            best = gcarry[0] if with_coords else gcarry
             i0 = idx * R if base is None else base
             rctxs = [row_prep(i0 + r) if pssm_meta is not None
                      else row_prep(read_code(i0 + r)) for r in range(R)]
             h0 = h_ref[0]
 
             def run_chunk(j0, carry, size):
-                lefts, diags, evals, best = carry
+                lefts, diags, evals, rbests, rcols = carry
                 old = h_ref[pl.ds(j0 + 1, size)]
                 if use_cstream:
                     c0_chunk = c0_ref[pl.ds(j0, size)]
@@ -165,7 +181,15 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, c0_ref,
                                                           up + gap_ref),
                                               l_in)
                         if local:
-                            best = jnp.maximum(best, cur)
+                            if with_coords:
+                                # Per-ROW leftmost strict argmax; rows merge
+                                # in ascending order at group end (row-major
+                                # first-win, as the dense align journal).
+                                gt = cur > rbests[r]
+                                rbests[r] = jnp.where(gt, cur, rbests[r])
+                                rcols[r] = jnp.where(gt, j0 + u, rcols[r])
+                            else:
+                                rbests[0] = jnp.maximum(rbests[0], cur)
                         new_diags.append(up)
                         new_lefts.append(cur)
                         up = cur
@@ -177,9 +201,13 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, c0_ref,
                 h_ref[pl.ds(j0 + 1, size)] = jnp.stack(store_vals)
                 if affine:
                     f_ref[pl.ds(j0, size)] = jnp.stack(f_store)
-                return lefts, diags, evals, best
+                return lefts, diags, evals, rbests, rcols
 
-            init = ([h0] * R, [h0] * R, [neg_inf] * R, best)
+            if with_coords:
+                journal0 = ([zero] * R, [zero] * R)
+            else:
+                journal0 = ([best], [zero])
+            init = ([h0] * R, [h0] * R, [neg_inf] * R) + journal0
             carry = jax.lax.fori_loop(
                 0, n_chunks, lambda c, cr: run_chunk(c * unroll, cr, unroll),
                 init)
@@ -187,7 +215,16 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, c0_ref,
                 # Statically-shaped remainder columns (odd ref lengths keep
                 # the full unroll for the bulk of the sweep).
                 carry = run_chunk(n_chunks * unroll, carry, n % unroll)
-            lefts, _, _, best = carry
+            lefts, _, _, rbests, rcols = carry
+            if with_coords:
+                best, grow, gcol = gcarry
+                for r in range(R):
+                    gt = rbests[r] > best
+                    best = jnp.where(gt, rbests[r], best)
+                    grow = jnp.where(gt, i0 + r, grow)
+                    gcol = jnp.where(gt, rcols[r], gcol)
+                return best, grow, gcol
+            best = rbests[0]
             if not local:
                 # NW overlap: best over the last column of every row
                 # (same bookkeeping as the pairwise kernel).
@@ -198,9 +235,14 @@ def _search_kernel(query_ref, lanes_ref, out_ref, h_ref, f_ref, c0_ref,
         return group_body
 
     R = WAVE_ROWS
-    best = jax.lax.fori_loop(0, m // R, make_group_body(R), zero)
+    init = (zero, zero, zero) if with_coords else zero
+    best = jax.lax.fori_loop(0, m // R, make_group_body(R), init)
     for tail_row in range((m // R) * R, m):
         best = make_group_body(1, base=tail_row)(0, best)
+    if with_coords:
+        best, grow, gcol = best
+        aux_ref[0, 0, 0] = grow
+        aux_ref[0, 0, 1] = gcol
     if not local:
         def final_fold(j, b):
             return jnp.maximum(b, h_ref[j])
@@ -229,14 +271,16 @@ def search_vmem_plan(m: int, n: int, affine: bool = False) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("params", "algorithm", "query_is_read", "interpret",
-                     "pssm_meta"),
+                     "pssm_meta", "with_coords"),
 )
 def _search_blocks(query_b, lanes_b, params: AlignmentParameters,
                    algorithm: Algorithm, query_is_read: bool,
-                   interpret: bool = False, pssm_meta=None):
+                   interpret: bool = False, pssm_meta=None,
+                   with_coords: bool = False):
     """query_b: (K, 1, Lq) int32 (the middle axis satisfies the TPU
     block-shape rule for SMEM blocks); lanes_b: (G, Lv, 8, 128) int32 ->
-    (G, K, 8, 128) int32 scores.
+    (G, K, 8, 128) int32 scores, or (scores, (G, K, 2, 8, 128) argmax
+    [end_row, end_col]) when ``with_coords`` (SW only).
 
     ``pssm_meta``: Lq = m * meta.words packed profile words per query
     (see _search_kernel)."""
@@ -252,8 +296,22 @@ def _search_blocks(query_b, lanes_b, params: AlignmentParameters,
         _search_kernel, m=m, n=n, unroll=min(8 if interpret else 128, n),
         params=params,
         local=local, query_is_read=query_is_read, pssm_meta=pssm_meta,
+        with_coords=with_coords,
     )
     cstream = query_is_read and params.matrix is None and pssm_meta is None
+    out_specs = pl.BlockSpec((1, 1, BLOCK_SUBLANES, BLOCK_LANES),
+                             lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((g, k, BLOCK_SUBLANES, BLOCK_LANES),
+                                     jnp.int32)
+    if with_coords:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1, 2, BLOCK_SUBLANES, BLOCK_LANES),
+                                  lambda i, j: (i, j, 0, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct(
+                         (g, k, 2, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32))
     return pl.pallas_call(
         kernel,
         grid=(g, k),   # inner k varies fastest: the big lane block stays
@@ -264,11 +322,8 @@ def _search_blocks(query_b, lanes_b, params: AlignmentParameters,
                          lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, BLOCK_SUBLANES, BLOCK_LANES),
-                               lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, k, BLOCK_SUBLANES, BLOCK_LANES),
-                                       jnp.int32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((n + 1, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
             pltpu.VMEM((n if params.affine else 1, BLOCK_SUBLANES,

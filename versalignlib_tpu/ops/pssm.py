@@ -193,6 +193,108 @@ def score_profile_oracle(
     return out
 
 
+def profile_argmax_oracle(
+    P: np.ndarray,
+    refs: np.ndarray,
+    params: AlignmentParameters,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """SW (scores, end_rows, end_cols) per pool entry — numpy reference for
+    the device coords fold: first cell attaining the global max in row-major
+    order, strict-> scan seeded 0/(0, 0) (DefaultKernel.cpp:252-256)."""
+    from versalignlib_tpu.ops import gotoh, oracle
+
+    P = validate_pssm(P)
+    refs = np.asarray(refs, dtype=np.uint8)
+    m = P.shape[0]
+    dummy_read = np.zeros(m, dtype=np.int32)
+    nb = refs.shape[0]
+    scores = np.zeros(nb, dtype=np.int32)
+    rows = np.zeros(nb, dtype=np.int32)
+    cols = np.zeros(nb, dtype=np.int32)
+    for i, ref in enumerate(refs):
+        sub = profile_sub_plane(P, ref)
+        if params.affine:
+            h, _, _ = gotoh._fill_affine(dummy_read, ref, params, local=True,
+                                         col0_penalty=False, sub=sub)
+        else:
+            h = oracle._fill_matrix(dummy_read, ref, params, local=True,
+                                    col0_penalty=False, sub=sub)
+        best = int(h.max())
+        if best > 0:
+            flat = int(np.argmax(h[1:, 1:]))  # row-major first maximum
+            rows[i] = flat // ref.size
+            cols[i] = flat % ref.size
+            scores[i] = best
+    return scores, rows, cols
+
+
+def profile_consensus_text(P: np.ndarray) -> str:
+    """Displayable per-position consensus letters for the profile side of an
+    alignment (argmax symbol per row; DNA letters for S <= 6 tables, the
+    protein alphabet otherwise)."""
+    from versalignlib_tpu.alphabet import PROTEIN_ALPHABET
+
+    P = validate_pssm(P)
+    s = P.shape[1]
+    table = "\0ATCGN" if s <= 6 else ("\0" + PROTEIN_ALPHABET)
+    out = []
+    for row in P:
+        sym = int(np.argmax(row[1:])) + 1
+        out.append(table[sym] if sym < len(table) else "X")
+    return "".join(out)
+
+
+def profile_align_oracle(
+    P: np.ndarray,
+    ref: np.ndarray,
+    params: AlignmentParameters,
+    end: tuple[int, int] | None = None,
+    ref_text: str | None = None,
+):
+    """Full SW alignment of a profile against one pool entry: gapped
+    strings (profile side rendered as consensus letters), CIGAR, and true
+    start/end coordinates — the ``compute_alignments`` half of the
+    interface (include/AlignmentKernel.h:40-43) for profile queries.
+
+    ``end``: (end_row, end_col) walk start (e.g. from the device coords
+    fold); derived from the fill's row-major argmax when omitted. Linear
+    params walk oracle._pointers, affine walk gotoh's Gotoh pointers —
+    canonical DIAG > UP > LEFT flavor in both.
+    """
+    from versalignlib_tpu.ops import gotoh, oracle
+
+    P = validate_pssm(P)
+    ref = np.asarray(ref, dtype=np.uint8)
+    m = P.shape[0]
+    dummy_read = np.zeros(m, dtype=np.int32)
+    sub = profile_sub_plane(P, ref)
+    if params.affine:
+        h, e, f = gotoh._fill_affine(dummy_read, ref, params, local=True,
+                                     col0_penalty=False, sub=sub)
+    else:
+        h = oracle._fill_matrix(dummy_read, ref, params, local=True,
+                                col0_penalty=False, sub=sub)
+    if end is None:
+        best = int(h.max())
+        if best <= 0:
+            end = (0, 0)
+        else:
+            flat = int(np.argmax(h[1:, 1:]))
+            end = (flat // ref.size, flat % ref.size)
+    from versalignlib_tpu.types import TieBreak
+
+    score = int(h[end[0] + 1, end[1] + 1])
+    consensus = profile_consensus_text(P)
+    if params.affine:
+        ptr = gotoh._affine_pointers(h, e, f, sub, params, local=True)
+        return gotoh._affine_traceback(dummy_read, ref, ptr, end[0], end[1],
+                                       score, consensus, ref_text)
+    ptr = oracle._pointers(h, sub, None, params, local=True,
+                           tie=TieBreak.DIAG_UP_LEFT)
+    return oracle._traceback(dummy_read, ref, ptr, end[0], end[1], score,
+                             consensus, ref_text)
+
+
 # ---------------------------------------------------------------------------
 # Device path
 # ---------------------------------------------------------------------------
@@ -204,6 +306,7 @@ def pssm_scores_device(
     params: AlignmentParameters,
     algorithm: Algorithm,
     interpret: bool = False,
+    with_coords: bool = False,
 ):
     """(m, W) packed words x (R, n) pool codes -> (R,) int32 scores; a
     (K, m, W) stack of jointly-packed profiles (pack_pssms) -> (K, R).
@@ -211,6 +314,11 @@ def pssm_scores_device(
     One Pallas dispatch either way: profiles stream through SMEM along the
     kernel's query axis while the big lane block stays resident, 1024 pool
     sequences per register tile (see module docstring).
+
+    ``with_coords`` (SW only): returns (scores, end_rows, end_cols) — the
+    argmax DP cell per (profile, entry) from the search kernel's device
+    fold (row-major strict-first-win, the reference SW end rule); 0-based
+    profile position / pool column of the hit's last aligned pair.
     """
     from versalignlib_tpu.ops.pallas_search import (_pack_lanes,
                                                     _search_blocks)
@@ -225,10 +333,19 @@ def pssm_scores_device(
     query_b = words.reshape(k, 1, m * meta.words)
     lanes_b = _pack_lanes(pool, n)
     out = _search_blocks(query_b, lanes_b, params, Algorithm(algorithm),
-                         True, interpret, pssm_meta=meta)
+                         True, interpret, pssm_meta=meta,
+                         with_coords=with_coords)
+    if with_coords:
+        out, aux = out
     g = out.shape[0]
     # (G, K, 8, 128) -> (K, G*1024) -> trim lane padding.
     scores = jnp.transpose(out, (1, 0, 2, 3)).reshape(k, g * BLOCK_PAIRS)
+    if with_coords:
+        coords = jnp.transpose(aux, (1, 2, 0, 3, 4)).reshape(
+            k, 2, g * BLOCK_PAIRS)
+        if multi:
+            return scores[:, :r], coords[:, 0, :r], coords[:, 1, :r]
+        return scores[0, :r], coords[0, 0, :r], coords[0, 1, :r]
     if multi:
         return scores[:, :r]
     return scores[0, :r]
@@ -314,6 +431,25 @@ def pssm_from_sequences(
     return P
 
 
+class ProfileHit(NamedTuple):
+    """One reported profile hit: WHERE the motif sits, not just how well.
+
+    ``end_row``/``end_col``: 0-based profile position / pool-entry column of
+    the hit's last aligned pair (the SW argmax cell, reference end rule).
+    ``alignment`` (opt-in): full traceback — gapped strings (profile side as
+    consensus letters), CIGAR, true start coordinates. ``evalue``/
+    ``bitscore`` (opt-in): Gumbel statistics from a profile calibration.
+    """
+
+    index: int
+    score: int
+    end_row: int
+    end_col: int
+    alignment: object = None   # types.Alignment when requested
+    evalue: float | None = None
+    bitscore: float | None = None
+
+
 def profile_search(
     P: np.ndarray,
     pool,
@@ -322,7 +458,11 @@ def profile_search(
     k: int = 10,
     backend: str = "auto",
     chunk: int = 1 << 17,
-) -> tuple[np.ndarray, np.ndarray]:
+    hits: bool = False,
+    alignments: bool = False,
+    calibration=None,
+    db_len: int | None = None,
+):
     """Top-k pool entries for a profile: (scores, indices), score-sorted
     (ties keep the lower index, matching lax.top_k / the search paths).
 
@@ -337,6 +477,15 @@ def profile_search(
     ``chunk``: pool entries per device round (bounds the lane block's HBM
     footprint to ~chunk*n int32 — the reference's memory-driven batching,
     OpenCLKernel.cpp:517-568; genome-scale pools stream through).
+
+    ``hits=True`` (SW only) returns list[ProfileHit] instead — hit
+    coordinates ride the search kernel's device argmax fold (zero extra
+    host passes over the pool); ``alignments=True`` adds the full traceback
+    per reported hit via :func:`profile_align_oracle` (host-side, k tiny
+    fills — the same division of labor as the pairwise pipeline's host
+    decode); ``calibration`` (a GumbelCalibration, e.g. from
+    :func:`calibrate_profile`) adds bitscore/E-value columns with ``db_len``
+    total database residues (default: pool cells).
     """
     from versalignlib_tpu.params import DEFAULT_PARAMETERS
 
@@ -346,14 +495,20 @@ def profile_search(
         from versalignlib_tpu.alphabet import pad_and_encode
 
         pool = pad_and_encode(list(pool))
+    want_coords = hits or alignments
+    if want_coords and Algorithm(algorithm) != Algorithm.SMITH_WATERMAN:
+        raise ValueError("profile hits with coordinates are SW-only "
+                         "(NW overlap end cells are not a single argmax)")
+    coord_rows = None
     if backend == "oracle":
-        if multi:
-            score_rows = [score_profile_oracle(validate_pssm(p0), pool,
-                                               params, algorithm)
-                          for p0 in P]
+        Ps = [validate_pssm(p0) for p0 in P] if multi else [validate_pssm(P)]
+        if want_coords:
+            trips = [profile_argmax_oracle(p0, pool, params) for p0 in Ps]
+            score_rows = [t[0] for t in trips]
+            coord_rows = [(t[1], t[2]) for t in trips]
         else:
-            score_rows = [score_profile_oracle(validate_pssm(P), pool,
-                                               params, algorithm)]
+            score_rows = [score_profile_oracle(p0, pool, params, algorithm)
+                          for p0 in Ps]
     else:
         from versalignlib_tpu.ops.pallas_score import _is_tpu
 
@@ -363,13 +518,24 @@ def profile_search(
         else:
             words, meta = pack_pssm(P)
         parts = [
-            np.asarray(pssm_scores_device(
+            pssm_scores_device(
                 words, meta, pool[lo:lo + chunk], params, algorithm,
-                interpret))
+                interpret, with_coords=want_coords)
             for lo in range(0, pool.shape[0], chunk)
         ]
-        out = np.concatenate(parts, axis=-1)
-        score_rows = list(out) if multi else [out]
+        if want_coords:
+            out = np.concatenate([np.asarray(p[0]) for p in parts], axis=-1)
+            rows = np.concatenate([np.asarray(p[1]) for p in parts], axis=-1)
+            cols = np.concatenate([np.asarray(p[2]) for p in parts], axis=-1)
+            if multi:
+                score_rows = list(out)
+                coord_rows = [(rows[i], cols[i]) for i in range(len(out))]
+            else:
+                score_rows = [out]
+                coord_rows = [(rows, cols)]
+        else:
+            out = np.concatenate([np.asarray(p) for p in parts], axis=-1)
+            score_rows = list(out) if multi else [out]
 
     def topk(scores):
         kk = min(k, scores.shape[0])
@@ -379,6 +545,33 @@ def profile_search(
         top = order[:kk]
         return scores[top].astype(np.int32), top.astype(np.int32)
 
+    if not want_coords:
+        if multi:
+            return [topk(s) for s in score_rows]
+        return topk(score_rows[0])
+
+    Ps = [validate_pssm(p0) for p0 in P] if multi else [validate_pssm(P)]
+    if db_len is None:
+        db_len = int(pool.size)
+
+    def build_hits(pi):
+        scores, idx = topk(score_rows[pi])
+        rows, cols = coord_rows[pi]
+        out = []
+        for s, i in zip(scores, idx):
+            er, ec = int(rows[i]), int(cols[i])
+            aln = None
+            if alignments:
+                aln = profile_align_oracle(Ps[pi], pool[i], params,
+                                           end=(er, ec))
+            ev = bs = None
+            if calibration is not None:
+                bs = float(calibration.bit_score(int(s)))
+                ev = float(calibration.evalue(int(s), Ps[pi].shape[0],
+                                              db_len))
+            out.append(ProfileHit(int(i), int(s), er, ec, aln, ev, bs))
+        return out
+
     if multi:
-        return [topk(s) for s in score_rows]
-    return topk(score_rows[0])
+        return [build_hits(i) for i in range(len(Ps))]
+    return build_hits(0)

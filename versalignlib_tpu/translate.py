@@ -105,6 +105,15 @@ TRANSLATED_PARAMETERS = AlignmentParameters(
 class TranslatedHits:
     """Per-read best translated hit. ``scores`` is the full (B, 6, R)
     score tensor (frames in :data:`FRAMES` order) for downstream ranking.
+
+    The coordinate/alignment fields are populated by
+    ``translated_search(..., alignments=True)``: the winning frame's
+    protein-level alignment (vs the winning panel entry) plus its mapping
+    back to DNA READ coordinates — 0-based inclusive [dna_start, dna_end]
+    on the FORWARD strand of the read as given, ``strand`` '-' for reverse
+    frames, and ``dna_cigar`` the protein CIGAR with counts scaled x3
+    (codon granularity, the blastx convention). ``evalue``/``bitscore``
+    come from a :func:`calibrate_translated` Gumbel fit.
     """
 
     index: np.ndarray    # (B,) best panel entry
@@ -112,9 +121,48 @@ class TranslatedHits:
     score: np.ndarray    # (B,) int32 best score
     scores: np.ndarray   # (B, 6, R) int32
     proteins: list[list[str]]  # per read, the 6 frame translations
+    alignments: list | None = None      # (B,) types.Alignment (protein-level)
+    dna_start: np.ndarray | None = None  # (B,) 0-based read coord of hit
+    dna_end: np.ndarray | None = None    # (B,) inclusive end read coord
+    strand: np.ndarray | None = None     # (B,) '+'/'-'
+    dna_cigar: list[str] | None = None   # (B,) codon-scaled CIGAR
+    evalue: np.ndarray | None = None     # (B,) float
+    bitscore: np.ndarray | None = None   # (B,) float
 
     def __len__(self) -> int:
         return self.index.shape[0]
+
+
+def _scale_cigar_dna(cigar: str) -> str:
+    """Protein CIGAR -> DNA CIGAR: every run length x3 (codon granularity)."""
+    out = []
+    num = ""
+    for ch in cigar:
+        if ch.isdigit():
+            num += ch
+        else:
+            out.append(f"{3 * int(num)}{ch}")
+            num = ""
+    return "".join(out)
+
+
+def map_protein_to_dna(frame: int, read_len: int, prot_start: int,
+                       prot_end: int) -> tuple[int, int, str]:
+    """Map an inclusive protein-coordinate range of one reading frame back
+    to 0-based inclusive FORWARD-strand read coordinates.
+
+    Forward frame +f: protein position i occupies read bases
+    ``(f-1)+3i .. (f-1)+3i+2``. Reverse frame -f reads the reverse
+    complement from offset f-1, so RC offset r maps to read index
+    ``read_len-1-r`` and the range flips.
+    """
+    if frame > 0:
+        off = frame - 1
+        return off + 3 * prot_start, off + 3 * prot_end + 2, "+"
+    off = -frame - 1
+    rc_lo = off + 3 * prot_start
+    rc_hi = off + 3 * prot_end + 2
+    return read_len - 1 - rc_hi, read_len - 1 - rc_lo, "-"
 
 
 def translated_search(
@@ -123,6 +171,8 @@ def translated_search(
     params: AlignmentParameters | None = None,
     algorithm: Algorithm = Algorithm.SMITH_WATERMAN,
     impl: str = "auto",
+    alignments: bool = False,
+    calibration=None,
 ) -> TranslatedHits:
     """Score DNA reads against a PROTEIN panel in all six reading frames.
 
@@ -133,6 +183,14 @@ def translated_search(
     kernel on TPU); ties on the fold keep the earlier frame in
     :data:`FRAMES` order, then the lower panel index (scan order, like
     best_hits).
+
+    ``alignments=True`` adds the ``compute_alignments`` half of the
+    interface (include/AlignmentKernel.h:40-43) for the winners: each
+    read's winning (frame, entry) pair is aligned protein-vs-protein
+    through the matrix-mode align pipeline (one batched device dispatch),
+    and the hit is mapped back to DNA read coordinates
+    (:func:`map_protein_to_dna`) with a codon-scaled CIGAR.
+    ``calibration`` (:func:`calibrate_translated`) adds E-value/bitscore.
     """
     from versalignlib_tpu.search import score_matrix
 
@@ -154,8 +212,10 @@ def translated_search(
     queries = encode_custom(flat, PROTEIN_ALPHABET)
     if isinstance(panel, np.ndarray) and panel.ndim == 2:
         panel_codes = panel.astype(np.uint8)
+        panel_texts = None
     else:
-        panel_codes = encode_custom(list(panel), PROTEIN_ALPHABET)
+        panel_texts = list(panel)
+        panel_codes = encode_custom(panel_texts, PROTEIN_ALPHABET)
     scores = score_matrix(queries, panel_codes, params, algorithm, impl=impl)
     scores = np.asarray(scores, dtype=np.int32).reshape(
         b, len(FRAMES), panel_codes.shape[0])
@@ -166,10 +226,92 @@ def translated_search(
         scores, best_j[:, :, None], axis=2)[:, :, 0]      # (B, 6)
     best_f = best_per_frame.argmax(axis=1)                # (B,)
     idx = best_j[np.arange(b), best_f]
-    return TranslatedHits(
+    hits = TranslatedHits(
         index=idx.astype(np.int32),
         frame=np.array([FRAMES[f] for f in best_f], dtype=np.int32),
         score=best_per_frame[np.arange(b), best_f].astype(np.int32),
         scores=scores,
         proteins=proteins,
     )
+    if calibration is not None:
+        db_len = int(np.count_nonzero(panel_codes))
+        qlens = np.maximum([len(proteins[i][best_f[i]]) for i in range(b)], 1)
+        hits.bitscore = np.asarray(calibration.bit_score(hits.score))
+        hits.evalue = np.asarray(
+            [calibration.evalue(int(s), int(q), db_len)
+             for s, q in zip(hits.score, qlens)])
+    if not alignments:
+        return hits
+
+    # Winning pairs, one batched matrix-mode align dispatch (device path on
+    # TPU; the affine default routes through the Gotoh kernel).
+    win_prots = [proteins[i][best_f[i]] for i in range(b)]
+    win_texts = [panel_texts[j] if panel_texts is not None else None
+                 for j in idx]
+    from versalignlib_tpu.ops.pallas_align import pallas_align_batch
+    from versalignlib_tpu.ops.pallas_score import _is_tpu
+    from versalignlib_tpu.types import TieBreak
+
+    q_codes = encode_custom(win_prots, PROTEIN_ALPHABET)
+    r_codes = panel_codes[idx]
+    alns = pallas_align_batch(
+        q_codes, r_codes, params, Algorithm(algorithm),
+        TieBreak.DIAG_UP_LEFT, interpret=not _is_tpu(),
+        read_texts=win_prots,
+        ref_texts=win_texts if panel_texts is not None else None)
+    read_lens = [int(nz.max()) + 1 if (nz := np.flatnonzero(read_codes[i])).size
+                 else 0 for i in range(b)]
+    dna_start = np.zeros(b, dtype=np.int32)
+    dna_end = np.zeros(b, dtype=np.int32)
+    strand = np.empty(b, dtype="U1")
+    dna_cigar = []
+    for i, a in enumerate(alns):
+        # Alignment.read_end is EXCLUSIVE (reference buffer convention);
+        # the DNA mapper wants the inclusive last aligned protein position.
+        ds, de, st = map_protein_to_dna(
+            int(hits.frame[i]), read_lens[i], a.read_start,
+            max(a.read_end - 1, a.read_start))
+        dna_start[i], dna_end[i], strand[i] = ds, de, st
+        dna_cigar.append(_scale_cigar_dna(a.cigar))
+    hits.alignments = alns
+    hits.dna_start = dna_start
+    hits.dna_end = dna_end
+    hits.strand = strand
+    hits.dna_cigar = dna_cigar
+    return hits
+
+
+def calibrate_translated(
+    panel,
+    params: AlignmentParameters | None = None,
+    read_len: int = 300,
+    samples: int = 256,
+    seed: int = 0,
+    impl: str = "auto",
+):
+    """Gumbel calibration for translated-search scores: E-values for
+    :func:`translated_search` hits.
+
+    Samples random uniform-ACGT DNA reads of ``read_len``, runs the SAME
+    six-frame pipeline against the given panel, and fits the extreme-value
+    law to the per-(read, entry) best-over-frames scores — the six-frame
+    multiple-testing factor is absorbed into the fitted K (each null score
+    IS a six-frame max, exactly like a real hit's). Effective per-
+    comparison search space: ``read_len//3`` query residues x the median
+    panel entry length.
+    """
+    from versalignlib_tpu.stats import calibrate_scores
+
+    params = TRANSLATED_PARAMETERS if params is None else params
+    if isinstance(panel, np.ndarray) and panel.ndim == 2:
+        panel_codes = panel.astype(np.uint8)
+    else:
+        panel_codes = encode_custom(list(panel), PROTEIN_ALPHABET)
+    rng = np.random.default_rng(seed)
+    reads = rng.integers(1, 5, size=(samples, read_len)).astype(np.uint8)
+    th = translated_search(reads, panel_codes, params, impl=impl)
+    # per-(read, entry) best over frames: (B, R) maxima
+    null = th.scores.max(axis=1).reshape(-1)
+    n_eff = int(np.median((panel_codes != 0).sum(axis=1))) or 1
+    return calibrate_scores(null, max(read_len // 3, 1), n_eff,
+                            samples=null.size)
