@@ -301,3 +301,46 @@ def test_http_server_end_to_end(engine, rng):
         status, stats = _http("GET", addr, "/stats")
         assert status == 200 and stats["requests"] >= 2
         assert stats["errors"] == 0
+
+
+def test_stats_split_queue_wait_vs_device(engine, rng):
+    """/stats separates queue-wait from device-batch time (r5): both
+    counters advance and mean derivations appear."""
+    with BatchingAligner(engine, max_wait_ms=5.0) as ba:
+        reads, refs = _random_pairs(rng, 6)
+        ba.score(reads, refs)
+        ba.align(reads[:3], refs[:3])
+        s = ba.stats()
+    assert s["device_sum_s"] > 0 and s["device_max_s"] > 0
+    assert s["queue_wait_sum_s"] >= 0 and "queue_wait_max_s" in s
+    assert "mean_queue_wait_s" in s and "mean_device_s" in s
+    # device time is part of each batch's latency accounting
+    assert s["device_sum_s"] <= s["latency_sum_s"] + 1e-9
+
+
+def test_align_raw_path_matches_materialized(rng):
+    """The serving raw column-store path (pallas + native decoder) returns
+    the same JSON rows as materialized Alignment objects."""
+    pytest.importorskip("versalignlib_tpu.native")
+    from versalignlib_tpu.serve import _alignment_json
+
+    eng = AlignmentEngine(backend="pallas")
+    reads, refs = _random_pairs(rng, 5, lo=10, hi=20)
+    batch = eng.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs,
+                                   raw=True)
+    objs = eng.compute_alignments(Algorithm.SMITH_WATERMAN, reads, refs)
+    rows = batch.to_json_rows()
+    assert len(rows) == len(objs) == 5
+    for row, obj in zip(rows, objs):
+        want = _alignment_json(obj)
+        assert row == want
+    # slices are zero-copy views with consistent content
+    sl = batch.slice(1, 4)
+    assert len(sl) == 3
+    assert sl.to_json_rows() == rows[1:4]
+
+
+def test_align_raw_requires_pallas(engine):
+    with pytest.raises(ValueError):
+        engine.compute_alignments(Algorithm.SMITH_WATERMAN, ["ACGT"],
+                                  ["ACGT"], raw=True)

@@ -169,9 +169,21 @@ class AlignmentEngine:
         )
 
     def compute_alignments(
-        self, algorithm: Algorithm, reads, refs
+        self, algorithm: Algorithm, reads, refs, raw: bool = False
     ) -> list[Alignment]:
+        """``raw=True`` (pallas backend only): return the
+        :class:`~versalignlib_tpu.types.AlignmentBatch` column store instead
+        of per-pair ``Alignment`` objects — no Python object materialization
+        (serving/bulk hot path; requires the native decoder)."""
         reads_enc, refs_enc = self._prepare(reads, refs)
+        if raw:
+            if self.mesh is not None or self.backend.name != "pallas":
+                raise ValueError("raw alignment batches require the pallas "
+                                 "backend without a mesh")
+            return self.backend.compute_alignments(
+                algorithm, reads_enc, refs_enc, self.params, self.tie,
+                device_walk=self.device_walk, raw=True,
+            )
         if self.mesh is not None:
             # Production pod path: every shard runs the packed Pallas fill
             # (2-bit linear / 4-bit affine words); affine routes through the

@@ -534,6 +534,7 @@ def pallas_align_batch(
     ref_texts: list[str] | None = None,
     raw: bool = False,
     device_walk: bool = False,
+    gapped: bool = True,
 ) -> list[Alignment]:
     """Full-batch alignment: Pallas pointer fill + traceback decode.
 
@@ -562,7 +563,8 @@ def pallas_align_batch(
         return pallas_align_affine_batch(
             reads, refs, params, algorithm, tie=tie, interpret=interpret,
             chunk_pairs=chunk_pairs, read_texts=read_texts,
-            ref_texts=ref_texts, raw=raw, device_walk=device_walk)
+            ref_texts=ref_texts, raw=raw, device_walk=device_walk,
+            gapped=gapped)
     if interpret is None:
         interpret = not _is_tpu()
     algorithm = Algorithm(algorithm)
@@ -613,11 +615,11 @@ def pallas_align_batch(
         if device_walk:
             return _decode_records_chunk(
                 lo, r_np, f_np, g, dev, params, algorithm,
-                read_texts, ref_texts, raw)
+                read_texts, ref_texts, raw, gapped)
         ptr, aux, hsel = dev
         return _decode_chunk(
             lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm, tie,
-            pack, n, read_texts, ref_texts, raw,
+            pack, n, read_texts, ref_texts, raw, gapped,
         )
 
     starts = list(range(0, b, chunk_pairs))
@@ -639,7 +641,7 @@ def pallas_align_batch(
 
 def _decode_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
                   tie, pack, n, read_texts, ref_texts,
-                  raw: bool = False) -> list[Alignment]:
+                  raw: bool = False, gapped: bool = True) -> list[Alignment]:
     local = algorithm == Algorithm.SMITH_WATERMAN
     m = r_np.shape[1]
     nb = r_np.shape[0]
@@ -672,7 +674,7 @@ def _decode_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
 
         return decode_batch_native(
             (ptr, pack), r_np, f_np, start_r, start_f, params,
-            algorithm, scores, rt, ft, raw=raw,
+            algorithm, scores, rt, ft, raw=raw, gapped=gapped,
         )
     except ImportError:
         if raw:
@@ -691,7 +693,8 @@ def _decode_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm,
 
 
 def _decode_records_chunk(lo, r_np, f_np, g, dev, params, algorithm,
-                          read_texts, ref_texts, raw: bool = False):
+                          read_texts, ref_texts, raw: bool = False,
+                          gapped: bool = True):
     """Device-walk decode: replay per-row records (see ops/walk.py)."""
     from versalignlib_tpu.ops.walk import replay_batch
 
@@ -705,7 +708,7 @@ def _decode_records_chunk(lo, r_np, f_np, g, dev, params, algorithm,
     ft = None if ref_texts is None else ref_texts[lo : lo + nb]
     return replay_batch(
         records, r_np, f_np, start_r, start_f, scores, params, algorithm,
-        rt, ft, raw=raw)
+        rt, ft, raw=raw, gapped=gapped)
 
 
 # ---------------------------------------------------------------------------
@@ -1073,6 +1076,7 @@ def pallas_align_affine_batch(
     ref_texts: list[str] | None = None,
     raw: bool = False,
     device_walk: bool = False,
+    gapped: bool = True,
 ) -> list[Alignment]:
     """Affine full-batch alignment on the Pallas path.
 
@@ -1136,11 +1140,11 @@ def pallas_align_affine_batch(
         if device_walk:
             return _decode_records_chunk(
                 lo, r_np, f_np, g, dev, params, algorithm,
-                read_texts, ref_texts, raw)
+                read_texts, ref_texts, raw, gapped)
         ptr, aux, hsel = dev
         return _decode_affine_chunk(
             lo, r_np, f_np, mrp, g, ptr, aux, hsel, params, algorithm, tie,
-            pack, n, read_texts, ref_texts, raw,
+            pack, n, read_texts, ref_texts, raw, gapped,
         )
 
     starts = list(range(0, b, chunk_pairs))
@@ -1161,7 +1165,8 @@ def pallas_align_affine_batch(
 
 def _decode_affine_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params,
                          algorithm, tie, pack, n, read_texts,
-                         ref_texts, raw: bool = False) -> list[Alignment]:
+                         ref_texts, raw: bool = False,
+                         gapped: bool = True) -> list[Alignment]:
     """Affine analogue of :func:`_decode_chunk` (4-bit codes, Gotoh walk)."""
     local = algorithm == Algorithm.SMITH_WATERMAN
     m = r_np.shape[1]
@@ -1188,7 +1193,7 @@ def _decode_affine_chunk(lo, r_np, f_np, mrp, g, ptr, aux, hsel, params,
 
         return decode_batch_native(
             (ptr, pack), r_np, f_np, start_r, start_f, params, algorithm,
-            scores, rt, ft, affine=True, raw=raw,
+            scores, rt, ft, affine=True, raw=raw, gapped=gapped,
         )
     except ImportError:
         if raw:

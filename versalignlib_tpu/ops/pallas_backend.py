@@ -51,12 +51,16 @@ class PallasBackend:
         return self._scorer(reads, refs, params, Algorithm(algorithm))
 
     def compute_alignments(self, algorithm, reads, refs, params, tie,
-                           device_walk: bool | None = None):
+                           device_walk: bool | None = None,
+                           raw: bool = False):
         """``device_walk``: walk the pointer matrix on device (linear AND
         affine) and ship per-row records instead of the packed pointer
         stream — see ops/walk.py (bit-identical, 5-15x e2e on narrow
         links, larger device rounds). Default (None): ON for compiled TPU
-        runs, OFF in interpreter mode (CPU tests host-decode directly)."""
+        runs, OFF in interpreter mode (CPU tests host-decode directly).
+
+        ``raw=True``: return the AlignmentBatch column store (native
+        decoder required) — zero per-pair Python objects."""
         if device_walk is None:
             device_walk = not self._scorer.interpret
         self._check_dense_fits(reads, refs, params, "align")
@@ -66,6 +70,7 @@ class PallasBackend:
             return pallas_align_affine_batch(
                 reads, refs, params, Algorithm(algorithm), tie,
                 interpret=self._scorer.interpret, device_walk=device_walk,
+                raw=raw,
             )
         try:
             from versalignlib_tpu.ops.pallas_align import pallas_align_batch
@@ -73,8 +78,11 @@ class PallasBackend:
             return pallas_align_batch(
                 reads, refs, params, Algorithm(algorithm), tie,
                 interpret=self._scorer.interpret, device_walk=device_walk,
+                raw=raw,
             )
         except ImportError:
+            if raw:
+                raise
             if self._xla is None:
                 from versalignlib_tpu.ops.xla import XLABackend
 

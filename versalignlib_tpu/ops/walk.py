@@ -600,6 +600,7 @@ def replay_batch(
     read_texts: list[str] | None = None,
     ref_texts: list[str] | None = None,
     raw: bool = False,
+    gapped: bool = True,
 ):
     """Replay a batch; prefers the native decoder, falls back to Python."""
     try:
@@ -607,7 +608,8 @@ def replay_batch(
 
         return replay_records_native(
             records, reads, refs, start_read_pos, start_ref_pos, scores,
-            params, algorithm, read_texts, ref_texts, raw=raw)
+            params, algorithm, read_texts, ref_texts, raw=raw,
+            gapped=gapped)
     except ImportError:
         if raw:
             raise

@@ -146,6 +146,12 @@ class BatchingAligner:
             "requests": 0, "pairs": 0, "batches": 0, "batched_pairs": 0,
             "errors": 0, "max_batch_pairs": 0, "latency_sum_s": 0.0,
             "latency_max_s": 0.0,
+            # split: how long requests sat in the queue before their batch
+            # fired (dispatcher behavior) vs how long the device batch took
+            # (device + link RTT) — conflating the two made the tunnel RTT
+            # look like dispatcher latency.
+            "queue_wait_sum_s": 0.0, "queue_wait_max_s": 0.0,
+            "device_sum_s": 0.0, "device_max_s": 0.0,
         }
         self._closed = False
         self._thread = threading.Thread(
@@ -202,8 +208,14 @@ class BatchingAligner:
         return self.submit(reads, refs, algorithm, "score").result()
 
     def align(self, reads, refs, algorithm="sw") -> list[Alignment]:
-        """Blocking convenience wrapper around ``submit(mode='align')``."""
-        return self.submit(reads, refs, algorithm, "align").result()
+        """Blocking convenience wrapper around ``submit(mode='align')``.
+
+        The dispatcher resolves align futures with an
+        :class:`~versalignlib_tpu.types.AlignmentBatch` slice when the raw
+        column-store path is available; this wrapper materializes
+        ``Alignment`` objects either way."""
+        out = self.submit(reads, refs, algorithm, "align").result()
+        return out if isinstance(out, list) else list(out)
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -212,6 +224,9 @@ class BatchingAligner:
         if s["batches"]:
             s["mean_batch_pairs"] = s["batched_pairs"] / s["batches"]
             s["mean_latency_s"] = s["latency_sum_s"] / s["batches"]
+            s["mean_device_s"] = s["device_sum_s"] / s["batches"]
+        if s["requests"]:
+            s["mean_queue_wait_s"] = s["queue_wait_sum_s"] / s["requests"]
         return s
 
     def close(self, timeout: float = 10.0) -> None:
@@ -293,7 +308,13 @@ class BatchingAligner:
                 with self._stats_lock:
                     s = self._stats
                     s["batches"] += 1
-                    s["latency_sum_s"] += time.monotonic() - t0
+                    dt = time.monotonic() - t0
+                    s["latency_sum_s"] += dt
+                    s["device_sum_s"] += dt
+                    s["device_max_s"] = max(s["device_max_s"], dt)
+                    w = t0 - req.enqueued_at
+                    s["queue_wait_sum_s"] += w
+                    s["queue_wait_max_s"] = max(s["queue_wait_max_s"], w)
                 _resolve(req.future, result)
                 continue
             groups.setdefault((req.algorithm, req.mode), []).append(req)
@@ -326,8 +347,18 @@ class BatchingAligner:
                     algorithm, reads_enc, refs_enc)
                 results = [int(v) for v in out[:n_pairs]]
             else:
-                results = self.engine.compute_alignments(
-                    algorithm, reads_enc, refs_enc)[:n_pairs]
+                # Raw column-store path (pallas + native decoder): no
+                # per-pair Alignment objects on the serving hot path —
+                # futures resolve to AlignmentBatch slices and the HTTP
+                # layer serializes straight from the columns. Falls back
+                # to materialized objects on other backends.
+                try:
+                    results = self.engine.compute_alignments(
+                        algorithm, reads_enc, refs_enc, raw=True).slice(
+                            0, n_pairs)
+                except (ValueError, ImportError):
+                    results = self.engine.compute_alignments(
+                        algorithm, reads_enc, refs_enc)[:n_pairs]
         except Exception as exc:
             _log.error("batch of %d requests failed: %s", len(reqs), exc)
             with self._stats_lock:
@@ -343,10 +374,18 @@ class BatchingAligner:
             s["max_batch_pairs"] = max(s["max_batch_pairs"], n_pairs)
             s["latency_sum_s"] += dt
             s["latency_max_s"] = max(s["latency_max_s"], dt)
+            s["device_sum_s"] += dt
+            s["device_max_s"] = max(s["device_max_s"], dt)
+            for r in reqs:
+                w = t0 - r.enqueued_at
+                s["queue_wait_sum_s"] += w
+                s["queue_wait_max_s"] = max(s["queue_wait_max_s"], w)
+        raw_batch = not isinstance(results, list)
         lo = 0
         for r in reqs:
             hi = lo + len(r.reads)
-            _resolve(r.future, results[lo:hi])
+            _resolve(r.future,
+                     results.slice(lo, hi) if raw_batch else results[lo:hi])
             lo = hi
 
 
@@ -596,9 +635,11 @@ class AlignServer:
                     return
                 if mode == "score":
                     self._reply(200, {"scores": result})
-                else:
+                elif isinstance(result, list):
                     self._reply(200, {
                         "alignments": [_alignment_json(a) for a in result]})
+                else:
+                    self._reply(200, {"alignments": result.to_json_rows()})
 
         self._httpd = http.server.ThreadingHTTPServer((host, port), Handler)
         self._httpd.daemon_threads = True

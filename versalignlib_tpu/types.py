@@ -153,6 +153,35 @@ class AlignmentBatch:
     def __iter__(self):
         return (self[k] for k in range(len(self)))
 
+    def slice(self, lo: int, hi: int) -> "AlignmentBatch":
+        """Zero-copy row-range view (numpy slicing) — e.g. per-request
+        slices of a coalesced serving batch."""
+        gapped = self.read_gapped is not None
+        return AlignmentBatch(
+            self.read_gapped[lo:hi] if gapped else None,
+            self.ref_gapped[lo:hi] if gapped else None,
+            self.cigar[lo:hi], self.meta[lo:hi])
+
+    def to_json_rows(self) -> list[dict]:
+        """Serialize straight from the columns (no Alignment objects) —
+        the serving fast path. CIGAR-only batches omit gapped strings."""
+        gapped = self.read_gapped is not None
+        rows = []
+        for k in range(len(self)):
+            (score, rs, re_, fs, fe, aln_len, _bs, clen) = (
+                int(x) for x in self.meta[k])
+            row = {"score": score,
+                   "cigar": self.cigar[k, :clen].tobytes().decode("ascii"),
+                   "read_start": rs, "read_end": re_,
+                   "ref_start": fs, "ref_end": fe}
+            if gapped:
+                row["read"] = self.read_gapped[k, :aln_len].tobytes().decode(
+                    "latin-1")
+                row["ref"] = self.ref_gapped[k, :aln_len].tobytes().decode(
+                    "latin-1")
+            rows.append(row)
+        return rows
+
     @staticmethod
     def concat(batches: list["AlignmentBatch"]) -> "AlignmentBatch":
         import numpy as _np
