@@ -672,7 +672,8 @@ def banded_score_batch(
 def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
                          ptr_ref, best_out_ref, keep_out_ref,
                          state_ref, fstate_ref, refwin_ref, bounce_ref,
-                         best_s, keep_s, sem, *, tile, band, win, shift_cap,
+                         best_s, keep_s, c0w_ref, c1w_ref, cvw_ref, sem, *,
+                         tile, band, win, shift_cap, wpg,
                          n, n_tiles, params: AlignmentParameters, local: bool,
                          canonical: bool = True):
     """One (pair_block, row_tile) grid step emitting packed pointers.
@@ -681,6 +682,15 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
     starts (= offs[t*tile]). Grid (G, n_tiles), t innermost; VMEM scratch
     (window state, Gotoh F state, SW best registers, NW captured row)
     persists across the t dimension and resets at t == 0.
+
+    r5 treatments shared with the dense align kernels: the substitution
+    column context (c0w/c1w, + cvw SSE validity) is computed ONCE per tile
+    over the whole ref window right after the window DMA lands; ``wpg``
+    packed pointer words (8 words = 64 columns compiled) run per fori
+    iteration with one window-state load/store per run; and move selection
+    is the packed value|priority max in a left-shifted domain with SCALAR
+    band predicates (band bounds ride scalar prefetch), replacing the r4
+    eq/select pointer chain and per-cell iota band masks.
 
     Outputs: ptr (1, tile, win//8, 8, 128) int32 packed pointer rows;
     best (1, 4, 8, 128) [SW: score, end_row, end_col]; keep (1, win, 8, 128)
@@ -756,15 +766,69 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
 
     from versalignlib_tpu.alphabet import make_validity
 
-    row_prep, col_prep, sub_of = make_sub_fn(params)
+    # The DP runs in the dense align kernels' LEFT-SHIFTED domain: every
+    # in-band value carries ``value << 2`` with a 2-bit move PRIORITY in the
+    # low bits during selection, so ONE packed max replaces the 6-8 op
+    # eq/select pointer chain; NEG_INF_I32 itself is the shifted -inf
+    # sentinel (its low bits are 0, so priorities OR in cleanly, and the
+    # out-of-band re-mask every row stops drift). The oracle's per-cell NEG
+    # clamp becomes a START-priority candidate: it only wins when every real
+    # candidate is strictly below the sentinel, exactly the reference's
+    # fall-through-to-START rule. Band masking is a SCALAR predicate per
+    # (row, column) — the band bounds ride scalar prefetch, so the r4
+    # per-cell iota compares (~3 VPU ops/cell) are gone.
+    row_prep, col_prep, sub_of = make_sub_fn(params, shift=2)
     vfn = make_validity(params.matrix)
+    use_cstream = params.matrix is None
+    ext_r = jnp.int32(params.score_gap_read << 2)
+    ext_f = jnp.int32(params.score_gap_ref << 2)
+    opn_r = jnp.int32(params.gap_open_read << 2)
+    opn_f = jnp.int32(params.gap_open_ref << 2)
+    # Out-of-band packed value: sentinel | the priority that maps to the
+    # stored code 0 (canonical SW remap sends prio 3 -> START; every other
+    # flavor's prio 0 IS/maps-to START).
+    oob_prio = 3 if (canonical and local) else 0
+    oob = jnp.int32(NEG_INF_I32 | oob_prio)
+    even = jnp.int32(0x55555555)
+    even4 = jnp.int32(0x11111111)
+    ef4 = jnp.int32(0xCCCCCCCC - (1 << 32))
+    lin_mask = jnp.int32((1 << (2 * pack)) - 1)  # 8 x 2-bit fields used
+
+    # Column-context streams over the landed ref window, once per TILE
+    # (amortized over the tile's row sweeps; elementwise over whole chunks).
+    if use_cstream:
+        fcw = min(128, win)
+        n_f = win // fcw
+
+        def fill_cctx(j0, size):
+            rc = refwin_ref[pl.ds(j0, size)]
+            fc2, fb = col_prep(rc)
+            c0w_ref[pl.ds(j0, size)] = fc2
+            c1w_ref[pl.ds(j0, size)] = fb
+            if not canonical:
+                cvw_ref[pl.ds(j0, size)] = jnp.where(vfn(rc), jnp.int32(-1),
+                                                     jnp.int32(0))
+
+        if n_f:
+            jax.lax.fori_loop(
+                0, n_f, lambda c, z: (fill_cctx(c * fcw, fcw), z)[1], 0)
+        if win % fcw:
+            fill_cctx(n_f * fcw, win % fcw)
+
+    at_col0 = win_start == 0
+    h_bound = jnp.where(at_col0, zero, neg_inf)
+    R = 4 if tile % 4 == 0 else (2 if tile % 2 == 0 else 1)
+    mrp_vec = mrp_ref[0]
 
     def group_body(ig, carry):
         best, bi, bj = carry
         i0 = ig * R
         rcs = [reads_ref[0, i0 + r] for r in range(R)]
-        rvls = [vfn(rc) for rc in rcs]
         rctxs = [row_prep(rcs[r]) for r in range(R)]
+        if not canonical:
+            # SSE flavor: DIAG priority 3 gated on both symbols being valid.
+            rv3s = [jnp.where(vfn(rc), jnp.int32(3), jnp.int32(0))
+                    for rc in rcs]
         lows = [offs_ref[t * tile + i0 + r] - win_start for r in range(R)]
         row_abs = [t * tile + i0 + r for r in range(R)]
         diag0s = [jnp.where((ig == 0) & (r == 0), pre_diag, h_bound)
@@ -774,99 +838,127 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
         else:
             mrows = [mrp_vec == row_abs[r] for r in range(R)]
 
-        def chunk_body(c, carry):
+        def run_body(k0, w0, carry, n_w):
+            # One word-run: ``n_w`` packed pointer words (statically
+            # unrolled), one window-state load/store for the whole run.
             lefts, diags, evals, rbests, rargs = carry
-            k0 = c * pack
-            old = state_ref[pl.ds(k0, pack)]
-            ref_chunk = refwin_ref[pl.ds(k0, pack)]
-            w_vec = jax.lax.broadcasted_iota(
-                jnp.int32, (pack, BLOCK_SUBLANES, BLOCK_LANES), 0) + k0
-            masks = [(w_vec >= lows[r]) & (w_vec < lows[r] + band)
-                     for r in range(R)]
+            total = n_w * pack
+            old = state_ref[pl.ds(k0, total)]
+            if use_cstream:
+                c0c = c0w_ref[pl.ds(k0, total)]
+                c1c = c1w_ref[pl.ds(k0, total)]
+                if not canonical:
+                    cvc = cvw_ref[pl.ds(k0, total)]
+            else:
+                ref_chunk = refwin_ref[pl.ds(k0, total)]
             if affine:
-                f_old = fstate_ref[pl.ds(k0, pack)]
+                f_old = fstate_ref[pl.ds(k0, total)]
                 f_store = []
             if not local:
-                keep_old = keep_s[pl.ds(k0, pack)]
+                keep_old = keep_s[pl.ds(k0, total)]
                 keep_new = []
             store_vals = []
-            words = [zero] * R
-            for u in range(pack):
-                up = old[u]
-                ref_col = ref_chunk[u]
-                cctx = col_prep(ref_col)
-                f_up = f_old[u] if affine else None
-                keep_u = keep_old[u] if not local else None
+            col = 0
+            for wi in range(n_w):
+              words = [zero] * R
+              for u in range(pack):
+                up = old[col]
+                if use_cstream:
+                    cctx = (c0c[col], c1c[col])
+                    fvm = cvc[col] if not canonical else None
+                else:
+                    ref_col = ref_chunk[col]
+                    cctx = col_prep(ref_col)
+                    fvm = (jnp.where(vfn(ref_col), jnp.int32(-1),
+                                     jnp.int32(0))
+                           if not canonical else None)
+                f_up = f_old[col] if affine else None
+                keep_u = keep_old[col] if not local else None
                 new_lefts, new_diags, new_evals = [], [], []
                 for r in range(R):
-                    sub = sub_of(rctxs[r], cctx)
+                    sub = sub_of(rctxs[r], cctx)       # value << 2
                     diag_v = diags[r] + sub
                     if affine:
-                        f_raw = f_up + gap_ref
+                        # Oracle clamps E/F at NEG each cell (band edges
+                        # feed -inf): SENT is the shifted clamp.
+                        e_raw = evals[r] + ext_r
+                        f_raw = f_up + ext_f
                         f_val = jnp.maximum(
-                            jnp.maximum(up + open_f, f_up) + gap_ref, neg_inf)
-                        e_raw = evals[r] + gap_read
+                            jnp.maximum(up + opn_f, f_up) + ext_f, neg_inf)
                         e_val = jnp.maximum(
-                            jnp.maximum(lefts[r] + open_r, evals[r]) + gap_read,
+                            jnp.maximum(lefts[r] + opn_r, evals[r]) + ext_r,
                             neg_inf)
-                        cur = jnp.maximum(jnp.maximum(diag_v, f_val), e_val)
-                    else:
-                        up_v = up + gap_ref
-                        left_v = lefts[r] + gap_read
-                        cur = jnp.maximum(jnp.maximum(diag_v, up_v), left_v)
-                    cur = jnp.maximum(cur, neg_inf)
-                    if local:
-                        cur = jnp.maximum(cur, 0)
-                    # Canonical pointer: DIAG > UP > LEFT, SW zero-force;
-                    # SSE flavor: validity-gated DIAG > LEFT > UP, no force.
-                    if affine:
                         if canonical:
-                            code = jnp.where(
-                                cur == diag_v, d_code,
-                                jnp.where(cur == f_val, u_code,
-                                          jnp.where(cur == e_val, l_code, 0)))
                             if local:
-                                code = jnp.where(cur == 0, 0, code)
+                                # DIAG 2 > UP(F) 1 > LEFT(E) 0; START = the
+                                # SW clamp constant 3 (zero-clamp + force).
+                                cur_p = jnp.maximum(
+                                    jnp.maximum(diag_v | 2, f_val | 1), e_val)
+                                cur_p = jnp.maximum(cur_p, 3)
+                            else:
+                                # DIAG 3 > UP(F) 2 > LEFT(E) 1 > START 0:
+                                # the sentinel candidate IS the NEG clamp.
+                                cur_p = jnp.maximum(
+                                    jnp.maximum(diag_v | 3, f_val | 2),
+                                    e_val | 1)
+                                cur_p = jnp.maximum(cur_p, neg_inf)
                         else:
-                            valid = rvls[r] & vfn(ref_col)
-                            code = jnp.where(
-                                (cur == diag_v) & valid, d_code,
-                                jnp.where(cur == e_val, l_code,
-                                          jnp.where(cur == f_val, u_code, 0)))
-                        code = code | ((e_val == e_raw).astype(jnp.int32) << 2)
-                        code = code | ((f_val == f_raw).astype(jnp.int32) << 3)
+                            # SSE: gated DIAG 3 > LEFT(E) 2 > UP(F) 1 ARE
+                            # the stored codes; SW clamp 0, NW the sentinel.
+                            cur_p = jnp.maximum(
+                                jnp.maximum(diag_v | (rv3s[r] & fvm),
+                                            e_val | 2), f_val | 1)
+                            cur_p = jnp.maximum(
+                                cur_p, zero if local else neg_inf)
                     else:
                         if canonical:
-                            code = jnp.where(
-                                cur == diag_v, d_code,
-                                jnp.where(cur == up_v, u_code,
-                                          jnp.where(cur == left_v, l_code, 0)))
                             if local:
-                                code = jnp.where(cur == 0, 0, code)
+                                cur_p = jnp.maximum(
+                                    jnp.maximum(diag_v | 2,
+                                                (up + ext_f) | 1),
+                                    lefts[r] + ext_r)
+                                cur_p = jnp.maximum(cur_p, 3)
+                            else:
+                                cur_p = jnp.maximum(
+                                    jnp.maximum(diag_v | 3,
+                                                (up + ext_f) | 2),
+                                    (lefts[r] + ext_r) | 1)
+                                cur_p = jnp.maximum(cur_p, neg_inf)
                         else:
-                            valid = rvls[r] & vfn(ref_col)
-                            code = jnp.where(
-                                (cur == diag_v) & valid, d_code,
-                                jnp.where(cur == left_v, l_code,
-                                          jnp.where(cur == up_v, u_code, 0)))
-                    in_band = masks[r][u]
-                    cur = jnp.where(in_band, cur, neg_inf)
-                    code = jnp.where(in_band, code, 0)
-                    words[r] = words[r] | (code << (bits * u))
+                            cur_p = jnp.maximum(
+                                jnp.maximum(diag_v | (rv3s[r] & fvm),
+                                            (lefts[r] + ext_r) | 2),
+                                (up + ext_f) | 1)
+                            cur_p = jnp.maximum(
+                                cur_p, zero if local else neg_inf)
+                    # Scalar band predicate: bounds are prefetch scalars.
+                    cidx = k0 + col
+                    ib = (cidx >= lows[r]) & (cidx < lows[r] + band)
+                    cur_p = jnp.where(ib, cur_p, oob)
+                    cur = cur_p & ~3               # H << 2, priority cleared
                     if affine:
-                        f_up = jnp.where(in_band, f_val, neg_inf)
+                        code = (cur_p & 3) \
+                            | ((e_val == e_raw).astype(jnp.int32) << 2) \
+                            | ((f_val == f_raw).astype(jnp.int32) << 3)
+                        # extend bits must read START (0) out of band
+                        code = jnp.where(ib, code, 0)
+                        words[r] = words[r] | (code << (4 * u))
+                        # No E/F band masking needed: the per-step NEG
+                        # clamps pin both at the sentinel wherever their
+                        # inputs are out-of-band (masked H = SENT), and
+                        # out-of-band F/E values are never read by an
+                        # in-band cell (bands advance monotonically).
+                        f_up = f_val
                         new_evals.append(e_val)
+                    else:
+                        words[r] = words[r] | ((cur_p & 3) << (2 * u))
                     if local:
                         # Per-ROW argmax registers: strictly-greater keeps
-                        # the leftmost column (columns ascend within a row);
-                        # rows merge once per group in ascending order,
-                        # reconstructing first-in-row-major semantics at
-                        # ~1/3 the per-cell ALU of the global lexicographic
-                        # compare this replaces (SW trailed NW by ~25%).
+                        # the leftmost column; rows merge once per group in
+                        # ascending order (row-major-first end rule).
                         upd = cur > rbests[r]
                         rbests[r] = jnp.where(upd, cur, rbests[r])
-                        rargs[r] = jnp.where(upd, w_vec[u] + win_start,
-                                             rargs[r])
+                        rargs[r] = jnp.where(upd, cidx + win_start, rargs[r])
                     else:
                         keep_u = jnp.where(mrows[r], cur, keep_u)
                     new_diags.append(up)
@@ -879,19 +971,48 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
                 store_vals.append(up)        # row R-1's H value
                 if not local:
                     keep_new.append(keep_u)
-            state_ref[pl.ds(k0, pack)] = jnp.stack(store_vals)
+                col += 1
+              for r in range(R):
+                  w = words[r]
+                  if canonical:
+                      if affine:
+                          # hptr priority -> stored-code shuffle per 4-bit
+                          # field (ext bits untouched): SW (2/1/0 + START 3)
+                          # uses the dense shuffle; NW (3/2/1/0) a bit swap.
+                          if local:
+                              w = (w & ef4) | (((~w) & even4) << 1) \
+                                  | (((w >> 1) ^ w) & even4)
+                          else:
+                              w = (w & ef4) | ((w & even4) << 1) \
+                                  | ((w >> 1) & even4)
+                      else:
+                          if local:
+                              w = (((~w) & even) << 1) | (((w >> 1) ^ w) & even)
+                          else:
+                              w = ((w & even) << 1) | ((w >> 1) & even)
+                          # only 8 x 2-bit fields are populated; the remap
+                          # fills the unused high half — keep it START.
+                          w = w & lin_mask
+                  ptr_ref[0, i0 + r, w0 + wi] = w
+            state_ref[pl.ds(k0, total)] = jnp.stack(store_vals)
             if affine:
-                fstate_ref[pl.ds(k0, pack)] = jnp.stack(f_store)
+                fstate_ref[pl.ds(k0, total)] = jnp.stack(f_store)
             if not local:
-                keep_s[pl.ds(k0, pack)] = jnp.stack(keep_new)
-            for r in range(R):
-                ptr_ref[0, i0 + r, c] = words[r]
+                keep_s[pl.ds(k0, total)] = jnp.stack(keep_new)
             return lefts, diags, evals, rbests, rargs
 
         acc0 = [zero] * R if local else []
-        init = ([h_bound] * R, diag0s, [neg_inf] * R, acc0, list(acc0))
-        _, _, _, rbests, rargs = jax.lax.fori_loop(
-            0, n_chunks, chunk_body, init)
+        carry = ([h_bound] * R, diag0s, [neg_inf] * R, acc0, list(acc0))
+        n_runs = n_chunks // wpg
+        if n_runs:
+            carry = jax.lax.fori_loop(
+                0, n_runs,
+                lambda c, cr: run_body(c * (wpg * pack), c * wpg, cr, wpg),
+                carry)
+        if n_chunks % wpg:
+            carry = run_body(n_runs * wpg * pack, n_runs * wpg, carry,
+                             n_chunks % wpg)
+        _, _, _, rbests, rargs = carry
         if local:
             # Merge rows in ascending order: strict > keeps the earliest
             # row on ties (row-major-first, as the oracle end rule).
@@ -911,9 +1032,13 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
 
     @pl.when(t == n_tiles - 1)
     def _():
-        best_out_ref[0] = best_s[...]
+        # leave the shifted domain: plane 0 is the SW best score
+        best_out_ref[0, 0] = best_s[0] >> 2
+        best_out_ref[0, 1] = best_s[1]
+        best_out_ref[0, 2] = best_s[2]
+        best_out_ref[0, 3] = best_s[3]
         if not local:
-            keep_out_ref[0] = keep_s[...]
+            keep_out_ref[0] = keep_s[...] >> 2
 
 
 def _banded_align_vmem(tile: int, win: int, shift_cap: int, keep_rows: int,
@@ -928,6 +1053,8 @@ def _banded_align_vmem(tile: int, win: int, shift_cap: int, keep_rows: int,
         + state_rows * (2 if affine else 1)   # state (+ fstate) scratch
         + 2 * win           # refwin + bounce scratch
         + keep_rows + 4     # keep_s + best_s scratch
+        + 3 * win           # column-context streams (c0/c1/cv)
+        + 8 * min(64, win)  # word-run load/store temporaries (wpg=8)
     ) + 4 * 1024 * 1024
 
 
@@ -979,11 +1106,13 @@ def _banded_align_blocks(reads_b, refs_b, offsets, win_starts, mrp_b, params,
     n_tiles = m_pad // tile
     refs_pad = jnp.pad(refs_b, ((0, 0), (0, win), (0, 0), (0, 0)))
     keep_rows = win if not local else 1
+    use_cstream = params.matrix is None
 
+    wpg = 1 if interpret else 8
     kernel = functools.partial(
         _banded_align_kernel, tile=tile, band=band, win=win,
-        shift_cap=shift_cap, n=n, n_tiles=n_tiles, params=params, local=local,
-        canonical=canonical,
+        shift_cap=shift_cap, wpg=wpg, n=n, n_tiles=n_tiles, params=params,
+        local=local, canonical=canonical,
     )
     state_rows = win + shift_cap
     vmem_bytes = _banded_align_vmem(tile, win, shift_cap, keep_rows, affine)
@@ -1020,6 +1149,13 @@ def _banded_align_blocks(reads_b, refs_b, offsets, win_starts, mrp_b, params,
                 pltpu.VMEM((win, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
                 pltpu.VMEM((4, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
                 pltpu.VMEM((keep_rows, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                # column-context streams (c0/c1/cv; placeholders when unused)
+                pltpu.VMEM((win if use_cstream else 1,
+                            BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                pltpu.VMEM((win if use_cstream else 1,
+                            BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                pltpu.VMEM((win if (use_cstream and not canonical) else 1,
+                            BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
