@@ -180,3 +180,21 @@ def test_translated_evalue_orders_hits():
     assert th.evalue is not None and th.bitscore is not None
     assert th.evalue[0] < th.evalue[1]
     assert th.bitscore[0] > th.bitscore[1]
+
+
+def test_translated_panel_chunk_fold_matches_unchunked(rng):
+    """panel_chunk streaming fold == the full-tensor fold, including ties
+    (lexicographic score / frame order / panel index)."""
+    from versalignlib_tpu.translate import translated_search
+
+    reads = ["".join(rng.choice(list("ACGT"), size=45)) for _ in range(6)]
+    # small alphabet panel to force score ties across entries; the XLA impl
+    # keeps the per-chunk-shape compile cost trivial on the CPU mesh
+    panel = ["".join(rng.choice(list("MKWH"), size=12)) for _ in range(23)]
+    full = translated_search(reads, panel, impl="xla")
+    for chunk in (4, 7, 23):
+        part = translated_search(reads, panel, panel_chunk=chunk, impl="xla")
+        assert np.array_equal(part.index, full.index), chunk
+        assert np.array_equal(part.frame, full.frame), chunk
+        assert np.array_equal(part.score, full.score), chunk
+        assert part.scores is None

@@ -71,18 +71,19 @@ def _cross_scores(reads, panel, params: AlignmentParameters,
     return score_batch(r, f, params, algorithm).reshape(b, rc)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("params", "algorithm", "impl", "interpret")
-)
+# NOT jit-wrapped: the inner kernels (cross_scores_device / score_batch) are
+# jitted themselves, and an OUTER jit around a nested pjit trips a jaxlib-0.9
+# dispatch-cache bug on this stack — compile shape X, then shape Y, then call
+# shape Y AGAIN, and the C++ fastpath selects an executable with a different
+# parameter count ("Execution supplied 2 buffers but compiled program
+# expected 4").  Reproduced minimally with the nested-jit structure only;
+# dropping the redundant outer jit sidesteps it at zero cost on the
+# production (pallas) path, whose kernel call is a single jit boundary.
 def _score_cross_chunk(reads, panel, params: AlignmentParameters,
                        algorithm: Algorithm, impl: str, interpret: bool):
     return _cross_scores(reads, panel, params, algorithm, impl, interpret)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("params", "algorithm", "impl", "interpret", "k"),
-)
 def _score_topk_chunk(reads, panel, params: AlignmentParameters,
                       algorithm: Algorithm, impl: str, interpret: bool,
                       k: int):
@@ -90,7 +91,8 @@ def _score_topk_chunk(reads, panel, params: AlignmentParameters,
     (values, window-index) pairs instead of the full (B, R) matrix — the
     D2H reduction that makes huge window/panel sweeps link-friendly.
     ``lax.top_k`` is stable (equal values keep the LOWER index), matching
-    the host fold's first-win scan-order convention exactly."""
+    the host fold's first-win scan-order convention exactly. (No outer jit
+    — see _score_cross_chunk.)"""
     s = _cross_scores(reads, panel, params, algorithm, impl, interpret)
     return jax.lax.top_k(s, k)
 

@@ -173,6 +173,9 @@ def translated_search(
     impl: str = "auto",
     alignments: bool = False,
     calibration=None,
+    panel_chunk: int | None = None,
+    mesh=None,
+    panel_axis: str = "reads",
 ) -> TranslatedHits:
     """Score DNA reads against a PROTEIN panel in all six reading frames.
 
@@ -191,6 +194,14 @@ def translated_search(
     and the hit is mapped back to DNA read coordinates
     (:func:`map_protein_to_dna`) with a codon-scaled CIGAR.
     ``calibration`` (:func:`calibrate_translated`) adds E-value/bitscore.
+
+    ``panel_chunk``: fold the best hit per read ACROSS panel chunks instead
+    of materializing the full (B, 6, R) host tensor — translated search
+    then scales to the same panel sizes as search/refmap (``hits.scores``
+    is None in this mode; the fold is lexicographic (score, frame order,
+    panel index) so tie-breaks match the unchunked path exactly). ``mesh``/
+    ``panel_axis`` pass through to :func:`~versalignlib_tpu.search.
+    score_matrix` for sharded scans.
     """
     from versalignlib_tpu.search import score_matrix
 
@@ -216,20 +227,51 @@ def translated_search(
     else:
         panel_texts = list(panel)
         panel_codes = encode_custom(panel_texts, PROTEIN_ALPHABET)
-    scores = score_matrix(queries, panel_codes, params, algorithm, impl=impl)
-    scores = np.asarray(scores, dtype=np.int32).reshape(
-        b, len(FRAMES), panel_codes.shape[0])
-    # Fold: best panel entry per (read, frame), then best frame — argmax
-    # keeps the FIRST maximum, giving FRAMES-order then scan-order ties.
-    best_j = scores.argmax(axis=2)                        # (B, 6)
-    best_per_frame = np.take_along_axis(
-        scores, best_j[:, :, None], axis=2)[:, :, 0]      # (B, 6)
-    best_f = best_per_frame.argmax(axis=1)                # (B,)
-    idx = best_j[np.arange(b), best_f]
+    n_panel = panel_codes.shape[0]
+
+    def fold_chunk(scores, lo):
+        """(B, 6, Rc) -> per-read (score, frame_pos, panel_index): best
+        panel entry per (read, frame) then best frame — argmax keeps the
+        FIRST maximum, giving FRAMES-order then scan-order ties."""
+        best_j = scores.argmax(axis=2)                        # (B, 6)
+        best_per_frame = np.take_along_axis(
+            scores, best_j[:, :, None], axis=2)[:, :, 0]      # (B, 6)
+        best_f = best_per_frame.argmax(axis=1)                # (B,)
+        rows = np.arange(scores.shape[0])
+        return (best_per_frame[rows, best_f].astype(np.int32),
+                best_f.astype(np.int32),
+                (best_j[rows, best_f] + lo).astype(np.int32))
+
+    if panel_chunk is None:
+        scores = score_matrix(queries, panel_codes, params, algorithm,
+                              impl=impl, mesh=mesh, panel_axis=panel_axis)
+        scores = np.asarray(scores, dtype=np.int32).reshape(
+            b, len(FRAMES), n_panel)
+        best_s, best_f, idx = fold_chunk(scores, 0)
+    else:
+        # Streaming fold: chunks ascend in panel index, so "strictly
+        # greater score, or equal score with strictly earlier frame"
+        # reproduces the unchunked (score, frame, index) tie order (an
+        # equal-score equal-frame later chunk always has a larger index).
+        scores = None
+        best_s = np.full(b, np.iinfo(np.int32).min, np.int32)
+        best_f = np.zeros(b, np.int32)
+        idx = np.zeros(b, np.int32)
+        for lo in range(0, n_panel, panel_chunk):
+            pc = panel_codes[lo:lo + panel_chunk]
+            sc = np.asarray(score_matrix(
+                queries, pc, params, algorithm, impl=impl, mesh=mesh,
+                panel_axis=panel_axis), dtype=np.int32).reshape(
+                    b, len(FRAMES), pc.shape[0])
+            cs, cf, cj = fold_chunk(sc, lo)
+            take = (cs > best_s) | ((cs == best_s) & (cf < best_f))
+            best_s = np.where(take, cs, best_s)
+            best_f = np.where(take, cf, best_f)
+            idx = np.where(take, cj, idx)
     hits = TranslatedHits(
         index=idx.astype(np.int32),
         frame=np.array([FRAMES[f] for f in best_f], dtype=np.int32),
-        score=best_per_frame[np.arange(b), best_f].astype(np.int32),
+        score=best_s.astype(np.int32),
         scores=scores,
         proteins=proteins,
     )
