@@ -107,9 +107,9 @@ if "align" in sections:
             return jnp.sum(out[1])
         return fn
 
-    g512 = kmarginal(align_exec(512), 4096 * 512 * 512)
+    g512 = kmarginal(align_exec(512), 4096 * 512 * 512, k_hi=25)
     print(f"  SW align fill 512x512: {g512} GCUPS", flush=True)
-    g509 = kmarginal(align_exec(509), 4096 * 512 * 509)
+    g509 = kmarginal(align_exec(509), 4096 * 512 * 509, k_hi=25)
     print(f"  SW align fill 512x509: {g509} GCUPS", flush=True)
 
 if "affine" in sections:
@@ -158,7 +158,7 @@ if "affine" in sections:
             return jnp.sum(out[1])
         return fn
 
-    ga = kmarginal(affine_align_exec(), 4096 * 512 * 512)
+    ga = kmarginal(affine_align_exec(), 4096 * 512 * 512, k_hi=25)
     print(f"  SW affine align fill 512x512: {ga} GCUPS", flush=True)
 
 if "oddn" in sections:
@@ -185,7 +185,7 @@ if "oddn" in sections:
         return fn
 
     for n_ in (384, 400, 496, 508, 509):
-        gv = kmarginal(align_exec_n(n_), 4096 * 512 * n_)
+        gv = kmarginal(align_exec_n(n_), 4096 * 512 * n_, k_hi=25)
         print(f"  SW align fill 512x{n_}: {gv} GCUPS", flush=True)
 
 if "banded" in sections:

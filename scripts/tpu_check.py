@@ -453,13 +453,13 @@ def main() -> int:
             return fn
 
         perf["align_sw_512_gcups"] = kmarginal(align_exec(512),
-                                               4096 * 512 * 512)
+                                               4096 * 512 * 512, k_hi=25)
         print(f"  SW align fill 512x512: {perf['align_sw_512_gcups']:.1f} GCUPS")
 
         # Odd ref length align fill (see score_sw_509 above): pointer words
         # stay fully packed (ceil(509/16) words + one partial).
         perf["align_sw_509_gcups"] = kmarginal(align_exec(509),
-                                               4096 * 512 * 509)
+                                               4096 * 512 * 509, k_hi=25)
         print(f"  SW align fill 512x509 (odd n): "
               f"{perf['align_sw_509_gcups']:.1f} GCUPS")
 
@@ -483,7 +483,7 @@ def main() -> int:
             return fn
 
         perf["align_affine_sw_gcups"] = kmarginal(affine_align_exec(),
-                                                  4096 * 512 * 512)
+                                                  4096 * 512 * 512, k_hi=25)
         print(f"  SW affine align fill 512x512: "
               f"{perf['align_affine_sw_gcups']:.1f} GCUPS")
 
