@@ -46,9 +46,11 @@ from versalignlib_tpu.stats import (GumbelCalibration, ROBINSON_FREQS,
                                     karlin_lambda)
 from versalignlib_tpu.seed import MinimizerIndex, build_index, minimizers
 from versalignlib_tpu.longread import LongReadHits, find_chains, map_long_reads
-from versalignlib_tpu.ops.pssm import (pack_pssm, profile_search,
+from versalignlib_tpu.ops.pssm import (ProfileHit, calibrate_profile,
+                                       pack_pssm, profile_search,
                                        pssm_from_sequences)
-from versalignlib_tpu.translate import (TranslatedHits, translate_six_frames,
+from versalignlib_tpu.translate import (TranslatedHits, calibrate_translated,
+                                        translate_six_frames,
                                         translated_search)
 
 __version__ = "0.1.0"
@@ -99,9 +101,12 @@ __all__ = [
     "LongReadHits",
     "find_chains",
     "profile_search",
+    "ProfileHit",
+    "calibrate_profile",
     "pssm_from_sequences",
     "pack_pssm",
     "translated_search",
+    "calibrate_translated",
     "translate_six_frames",
     "TranslatedHits",
     "__version__",
