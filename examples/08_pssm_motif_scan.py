@@ -37,3 +37,14 @@ shuffled = pssm[::-1].copy()
 results = profile_search([pssm, shuffled], pool, k=2)
 for name, (s, i) in zip(("motif", "reversed"), results):
     print(f"{name}: best pool entry {int(i[0])} score {int(s[0])}")
+
+# 4. Round 5: WHERE the motif sits — hits carry (end_row, end_col) from the
+# search kernel's device argmax fold; alignments=True adds the traceback.
+hits = profile_search(pssm, pool, k=3, hits=True, alignments=True)
+for h in hits:
+    a = h.alignment
+    print(f"entry {h.index}: score {h.score}, ref span "
+          f"[{a.ref_start}, {h.end_col}], profile span "
+          f"[{a.read_start}, {h.end_row}], cigar {a.cigar}")
+assert all(a := h.alignment for h in hits)
+assert hits[0].index in planted and hits[0].alignment.ref_start == 20

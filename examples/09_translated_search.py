@@ -24,3 +24,18 @@ for i in range(len(hits)):
           f"score {int(hits.score[i])}")
 assert int(hits.index[0]) == 0 and int(hits.frame[0]) == 2
 assert int(hits.index[1]) == 0 and int(hits.frame[1]) < 0
+
+# Round 5: full blastx-style output — the winning frame's protein alignment
+# mapped back to DNA READ coordinates (forward strand, '-' for reverse
+# frames), with a codon-scaled CIGAR and optional E-values.
+from versalignlib_tpu import calibrate_translated
+
+cal = calibrate_translated(panel, read_len=24, samples=48)
+hits = translated_search(reads, panel, alignments=True, calibration=cal)
+for i in range(len(hits)):
+    a = hits.alignments[i]
+    print(f"read {i}: dna[{int(hits.dna_start[i])}:{int(hits.dna_end[i])}] "
+          f"strand {hits.strand[i]} cigar {hits.dna_cigar[i]} "
+          f"protein {a.read} E={float(hits.evalue[i]):.2g}")
+assert hits.strand[0] == "+" and hits.strand[1] == "-"
+assert (int(hits.dna_end[0]) - int(hits.dna_start[0]) + 1) % 3 == 0

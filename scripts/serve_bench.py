@@ -263,6 +263,15 @@ def main(argv=None) -> int:
             "mean_device_batch_ms": round(
                 (stats1["latency_sum_s"] - stats0["latency_sum_s"])
                 / max(1, batches) * 1e3, 2),
+            # r5 split: queue wait (dispatcher behavior) vs device time
+            # (kernel + link RTT) — the tunnel RTT lives in device_ms only.
+            "mean_queue_wait_ms": round(
+                (stats1["queue_wait_sum_s"] - stats0["queue_wait_sum_s"])
+                / max(1, stats1["requests"] - stats0["requests"]) * 1e3, 2),
+            "max_queue_wait_ms": round(stats1["queue_wait_max_s"] * 1e3, 2),
+            "device_sum_s": round(
+                stats1["device_sum_s"] - stats0["device_sum_s"], 3),
+            "align_path": "raw AlignmentBatch column store (r5)",
         },
         "note": ("tunnel adds ~25ms fixed RTT per device dispatch on this "
                  "workspace; latencies on a PCIe TPU host are lower by that "

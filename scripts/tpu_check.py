@@ -244,6 +244,19 @@ def main() -> int:
         np.array_equal(gotm[i], score_profile_oracle(pp, pool[:64], p_lin,
                                                      Algorithm.SMITH_WATERMAN))
         for i, pp in enumerate((pssm, pssm2))))
+    # r5 coords fold (hit positions): device argmax == the oracle's
+    # row-major strict-first-win scan, linear and affine.
+    from versalignlib_tpu.ops.pssm import profile_argmax_oracle
+
+    for p, label in ((p_lin, "linear"), (p_aff, "affine")):
+        cs, cr, cc = pssm_scores_device(pw, pmeta, pool[:64], p,
+                                        Algorithm.SMITH_WATERMAN,
+                                        with_coords=True)
+        so, ro, co = profile_argmax_oracle(pssm, pool[:64], p)
+        check(f"pssm/coords/{label}",
+              np.array_equal(np.asarray(cs), so)
+              and np.array_equal(np.asarray(cr), ro)
+              and np.array_equal(np.asarray(cc), co))
 
     print("== translated search (compiled affine+matrix one-vs-many) ==")
     try:
@@ -508,7 +521,7 @@ def main() -> int:
 
         from versalignlib_tpu.ops.banded import _banded_align_blocks
 
-        def banded_exec():
+        def banded_exec(p):
             band_, tile_ = 512, 64
             m_ = n_ = 16384
             r = rng.integers(1, 5, size=(1024, m_)).astype(np.uint8)
@@ -523,7 +536,7 @@ def main() -> int:
 
             def fn(tag, rb=rb, fb=fb):
                 rb2 = rb.at[0, 0, 0, 0].set(tag % 4 + 1)
-                out = _banded_align_blocks(rb2, fb, offs_j, ws, mrp, p_lin,
+                out = _banded_align_blocks(rb2, fb, offs_j, ws, mrp, p,
                                            Algorithm.SMITH_WATERMAN, band_,
                                            tile_, d_max, canonical=True,
                                            interpret=False)
@@ -531,9 +544,14 @@ def main() -> int:
             return fn
 
         perf["banded_align_sw_gcups"] = kmarginal(
-            banded_exec(), 16384 * 512 * 1024, k_hi=3)
+            banded_exec(p_lin), 16384 * 512 * 1024, k_hi=3)
         print(f"  SW banded align fill (band cells): "
               f"{perf['banded_align_sw_gcups']:.1f} GCUPS")
+
+        perf["banded_align_affine_gcups"] = kmarginal(
+            banded_exec(p_aff), 16384 * 512 * 1024, k_hi=3)
+        print(f"  SW banded AFFINE align fill (band cells): "
+              f"{perf['banded_align_affine_gcups']:.1f} GCUPS")
 
         # e2e banded pipeline at a long-read shape (fill + link + decode),
         # pointer-D2H vs device walk. Wall time of a fixed batch: the ptr

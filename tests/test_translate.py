@@ -198,3 +198,25 @@ def test_translated_panel_chunk_fold_matches_unchunked(rng):
         assert np.array_equal(part.frame, full.frame), chunk
         assert np.array_equal(part.score, full.score), chunk
         assert part.scores is None
+
+
+def test_translated_mixed_length_reverse_coords():
+    """Mixed-length batches: trailing padding must NOT leak into reverse
+    frames (it reverse-complements to LEADING 'X's and shifts every
+    reverse-frame coordinate). Regression for the r5 negative-dna_start."""
+    from versalignlib_tpu.alphabet import encode
+    from versalignlib_tpu.translate import translate_codes, translated_search
+
+    coding = "".join(_REV[a] for a in "MKWHHE")
+    rc = _rc(coding)
+    reads = ["C" + coding + "GT", rc]           # 21 and 18 bases
+    panel = ["MKWHHE", "WWYYFFPP"]
+    th = translated_search(reads, panel, alignments=True)
+    assert int(th.frame[1]) < 0 and th.strand[1] == "-"
+    ds, de = int(th.dna_start[1]), int(th.dna_end[1])
+    assert 0 <= ds <= de < len(rc), (ds, de)
+    sub = _rc(rc[ds:de + 1])
+    assert translate_codes(encode(sub), 1) == \
+        th.alignments[1].read.replace("-", "")
+    # no padding-born 'X' in any of the shorter read's frame translations
+    assert all("X" not in p for p in th.proteins[1])

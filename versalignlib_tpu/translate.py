@@ -217,8 +217,15 @@ def translated_search(
 
         read_codes = pad_and_encode(list(reads))
     b = read_codes.shape[0]
-    proteins = [[translate_codes(read_codes[i], f) for f in FRAMES]
-                for i in range(b)]
+    # Translate each read's TRIMMED codes: in a padded batch, reverse
+    # frames would otherwise reverse-complement the trailing padding to the
+    # FRONT (leading 'X' residues), shifting every reverse-frame protein
+    # coordinate off the true read by the pad length (r5 bug: negative
+    # dna_start on mixed-length batches).
+    read_lens = [int(nz.max()) + 1 if (nz := np.flatnonzero(read_codes[i])).size
+                 else 0 for i in range(b)]
+    proteins = [[translate_codes(read_codes[i][:read_lens[i]], f)
+                 for f in FRAMES] for i in range(b)]
     flat = [p for per_read in proteins for p in per_read]
     queries = encode_custom(flat, PROTEIN_ALPHABET)
     if isinstance(panel, np.ndarray) and panel.ndim == 2:
@@ -301,8 +308,6 @@ def translated_search(
         TieBreak.DIAG_UP_LEFT, interpret=not _is_tpu(),
         read_texts=win_prots,
         ref_texts=win_texts if panel_texts is not None else None)
-    read_lens = [int(nz.max()) + 1 if (nz := np.flatnonzero(read_codes[i])).size
-                 else 0 for i in range(b)]
     dna_start = np.zeros(b, dtype=np.int32)
     dna_end = np.zeros(b, dtype=np.int32)
     strand = np.empty(b, dtype="U1")
