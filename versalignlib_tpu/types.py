@@ -164,21 +164,30 @@ class AlignmentBatch:
 
     def to_json_rows(self) -> list[dict]:
         """Serialize straight from the columns (no Alignment objects) —
-        the serving fast path. CIGAR-only batches omit gapped strings."""
+        the serving fast path. CIGAR-only batches omit gapped strings.
+
+        One ``tolist()`` converts the whole meta block in C (per-field
+        ``int(np_scalar)`` calls measured ~7x slower for 4096-pair
+        batches); the byte columns decode row-wise (variable lengths)."""
         gapped = self.read_gapped is not None
+        meta_l = self.meta.tolist()
+        cig_b = self.cigar.tobytes()
+        ccap = self.cigar.shape[1]
+        if gapped:
+            rg_b = self.read_gapped.tobytes()
+            fg_b = self.ref_gapped.tobytes()
+            acap = self.read_gapped.shape[1]
         rows = []
-        for k in range(len(self)):
-            (score, rs, re_, fs, fe, aln_len, _bs, clen) = (
-                int(x) for x in self.meta[k])
+        for k, (score, rs, re_, fs, fe, aln_len, _bs, clen) in \
+                enumerate(meta_l):
             row = {"score": score,
-                   "cigar": self.cigar[k, :clen].tobytes().decode("ascii"),
+                   "cigar": cig_b[k * ccap:k * ccap + clen].decode("ascii"),
                    "read_start": rs, "read_end": re_,
                    "ref_start": fs, "ref_end": fe}
             if gapped:
-                row["read"] = self.read_gapped[k, :aln_len].tobytes().decode(
-                    "latin-1")
-                row["ref"] = self.ref_gapped[k, :aln_len].tobytes().decode(
-                    "latin-1")
+                o = k * acap
+                row["read"] = rg_b[o:o + aln_len].decode("latin-1")
+                row["ref"] = fg_b[o:o + aln_len].decode("latin-1")
             rows.append(row)
         return rows
 
