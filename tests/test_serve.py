@@ -344,3 +344,29 @@ def test_align_raw_requires_pallas(engine):
     with pytest.raises(ValueError):
         engine.compute_alignments(Algorithm.SMITH_WATERMAN, ["ACGT"],
                                   ["ACGT"], raw=True)
+
+
+def test_http_align_raw_path_end_to_end(rng):
+    """HTTP /v1/align over the pallas backend exercises the raw
+    column-store serialization path end-to-end; response equals the
+    materialized form field-for-field."""
+    pytest.importorskip("versalignlib_tpu.native")
+    import http.client
+
+    eng = AlignmentEngine(backend="pallas")
+    reads, refs = _random_pairs(rng, 4, lo=10, hi=18)
+    with BatchingAligner(eng) as ba, AlignServer(ba) as server:
+        server.start()
+        conn = http.client.HTTPConnection(*server.address, timeout=120)
+        body = json.dumps({"reads": reads, "refs": refs, "algorithm": "sw"})
+        conn.request("POST", "/v1/align", body,
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = json.loads(resp.read())["alignments"]
+        conn.close()
+    from versalignlib_tpu.serve import _alignment_json
+
+    want = [_alignment_json(a) for a in eng.compute_alignments(
+        Algorithm.SMITH_WATERMAN, reads, refs)]
+    assert out == want
