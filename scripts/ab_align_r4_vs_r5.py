@@ -13,12 +13,20 @@ time both with the traced-k marginal at (k-1)*t_exec >= ~50ms.
 """
 
 import sys, time, importlib.util
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
 import numpy as np
 import jax, jax.numpy as jnp
 print("platform:", jax.devices()[0].platform, flush=True)
 
-spec = importlib.util.spec_from_file_location("old_pallas_align", "/tmp/old_pallas_align.py")
+import pathlib, subprocess
+OLD_COMMIT = "36d07d3"   # last commit with the r4 align kernels
+old_src = subprocess.run(
+    ["git", "show", f"{OLD_COMMIT}:versalignlib_tpu/ops/pallas_align.py"],
+    capture_output=True, text=True, check=True,
+    cwd=pathlib.Path(__file__).resolve().parent.parent).stdout
+old_path = "/tmp/old_pallas_align.py"
+pathlib.Path(old_path).write_text(old_src)
+spec = importlib.util.spec_from_file_location("old_pallas_align", old_path)
 old = importlib.util.module_from_spec(spec)
 sys.modules["old_pallas_align"] = old
 spec.loader.exec_module(old)
