@@ -543,6 +543,33 @@ def main() -> int:
                 return jnp.sum(out[1])
             return fn
 
+        # Banded SCORE fill (r5: context streams + 64-col runs + scalar
+        # band predicates; the r2-era number was 104-107).
+        from versalignlib_tpu.ops.banded import _banded_score_blocks
+
+        def banded_score_exec():
+            band_, tile_ = 512, 256
+            m_ = n_ = 16384
+            r = rng.integers(1, 5, size=(1024, m_)).astype(np.uint8)
+            f = rng.integers(1, 5, size=(1024, n_)).astype(np.uint8)
+            offs_ = band_offsets(m_, m_, n_, band_)
+            d_max = max(int(np.diff(offs_).max(initial=1)), 1)
+            rb = jnp.asarray(_pack_blocks(r, 1, m_))
+            fb = jnp.asarray(_pack_blocks(f, 1, n_))
+            offs_j = jnp.asarray(offs_)
+
+            def fn(tag, rb=rb, fb=fb):
+                rb2 = rb.at[0, 0, 0, 0].set(tag % 4 + 1)
+                return jnp.sum(_banded_score_blocks(
+                    rb2, fb, offs_j, p_lin, Algorithm.SMITH_WATERMAN,
+                    band_, tile_, d_max, False))
+            return fn
+
+        perf["banded_score_sw_gcups"] = kmarginal(
+            banded_score_exec(), 16384 * 512 * 1024, k_hi=3)
+        print(f"  SW banded score fill (band cells): "
+              f"{perf['banded_score_sw_gcups']:.1f} GCUPS")
+
         perf["banded_align_sw_gcups"] = kmarginal(
             banded_exec(p_lin), 16384 * 512 * 1024, k_hi=3)
         print(f"  SW banded align fill (band cells): "

@@ -354,8 +354,8 @@ def _banded_oracle_walk(ptr, in_band, read, ref, start_r, start_f, score,
 def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
                         ref_win_ref, state_in_ref, best_in_ref, fstate_in_ref,
                         state_out_ref, best_out_ref, fstate_out_ref,
-                        bounce_ref, *,
-                        tile, band, win, shift_cap, n,
+                        bounce_ref, c0s_ref, c1s_ref, *,
+                        tile, band, win, shift_cap, n, run,
                         params: AlignmentParameters, local: bool):
     """One row tile for one 1024-pair block — window-relative formulation.
 
@@ -363,19 +363,27 @@ def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
     this tile's per-row bands, size ``win`` = band + tile*d_max): cell w of
     the state maps to DP column ``win_start + w + 1``. Rows iterate the FULL
     window with cells outside the row's band forced to -inf by a
-    scalar-predicated mask, so every inner-loop address is affine in the
-    loop index — data-dependent addressing (which stalls Mosaic's pipeline,
-    ~30us/row measured on the shifted-band design) happens only ONCE per
-    tile, in the state re-base copy. State buffers carry ``shift_cap`` extra
-    -inf-filled rows so the re-base slice stays in bounds.
+    scalar-predicated mask (r5: the band bounds are prefetch scalars, so
+    the mask is a per-(row, column) SCALAR predicate — the r4 iota
+    comparisons cost ~3 VPU ops/cell), so every inner-loop address is
+    affine in the loop index — data-dependent addressing (which stalls
+    Mosaic's pipeline, ~30us/row measured on the shifted-band design)
+    happens only ONCE per tile, in the state re-base copy. State buffers
+    carry ``shift_cap`` extra -inf-filled rows so the re-base slice stays
+    in bounds.
+
+    r5 treatments shared with the other kernels: the substitution column
+    context streams through c0s/c1s scratch once per tile, and ``run``
+    columns process per fori iteration (64 compiled) with one state
+    load/store per run. The SW zero-clamp subsumes the NEG clamp, and the
+    E/F NEG clamps pin them outside the band so no explicit F band mask is
+    needed (see _banded_align_kernel).
 
     Scalar-prefetch: offs (tile,) per-row band starts; win_start (1,);
     prev_ws (1,) previous tile's win_start (== win_start on the first tile).
     best_in/out: (2, 8, 128) [running best | NW last-column max, aux].
     fstate_*: Gotoh F state, same layout ((1, 8, 128) dummy when linear).
     """
-    match = jnp.int32(params.score_match)
-    mismatch = jnp.int32(params.score_mismatch)
     gap_read = jnp.int32(params.score_gap_read)
     gap_ref = jnp.int32(params.score_gap_ref)
     affine = params.affine
@@ -383,8 +391,6 @@ def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
     open_f = jnp.int32(params.gap_open_ref)
     neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
     zero = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
-    unroll = 8 if win % 8 == 0 else (4 if win % 4 == 0 else (2 if win % 2 == 0 else 1))
-    n_chunks = win // unroll
     win_start = win_start_ref[0]
 
     # Re-base the carried state to this tile's window (shift >= 0, bounded
@@ -411,6 +417,24 @@ def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
         fstate_out_ref[pl.ds(win, shift_cap)] = jnp.full(
             (shift_cap, BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
 
+    row_prep, col_prep, sub_of = make_sub_fn(params)
+    use_cstream = params.matrix is None
+    if use_cstream:
+        # Column-context streams over the tile's ref window (amortized over
+        # the tile's row sweeps).
+        fcw = min(128, win)
+
+        def fill_cctx(j0, size):
+            fc2, fb = col_prep(ref_win_ref[pl.ds(j0, size)])
+            c0s_ref[pl.ds(j0, size)] = fc2
+            c1s_ref[pl.ds(j0, size)] = fb
+
+        if win // fcw:
+            jax.lax.fori_loop(
+                0, win // fcw, lambda c, z: (fill_cctx(c * fcw, fcw), z)[1], 0)
+        if win % fcw:
+            fill_cctx((win // fcw) * fcw, win % fcw)
+
     # NW: window index of DP column n (band cells beyond are -inf anyway).
     w_lastcol = (n - 1) - win_start
 
@@ -420,8 +444,6 @@ def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
     R = 4 if tile % 4 == 0 else (2 if tile % 2 == 0 else 1)
     at_col0 = win_start == 0
     h_bound = jnp.where(at_col0, zero, neg_inf)
-
-    row_prep, col_prep, sub_of = make_sub_fn(params)
 
     def group_body(ig, _):
         i0 = ig * R
@@ -433,26 +455,21 @@ def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
         diag0s = [jnp.where((ig == 0) & (r == 0), pre_diag, h_bound)
                   for r in range(R)]
 
-        def chunk_body(c, carry):
+        def run_chunk(k0, carry, size):
             lefts, diags, evals, best, lc_best = carry
-            k0 = c * unroll
-            old = state_out_ref[pl.ds(k0, unroll)]
-            ref_chunk = ref_win_ref[pl.ds(k0, unroll)]
-            # Vectorized band masks: scalar-predicated selects would insert
-            # a scalar->vector broadcast stall per cell; iota comparisons
-            # keep the whole row on the VPU.
-            w_vec = jax.lax.broadcasted_iota(
-                jnp.int32, (unroll, BLOCK_SUBLANES, BLOCK_LANES), 0) + k0
-            masks = [(w_vec >= lows[r]) & (w_vec < lows[r] + band)
-                     for r in range(R)]
-            if not local:
-                wlc_mask = w_vec == w_lastcol
+            old = state_out_ref[pl.ds(k0, size)]
+            if use_cstream:
+                c0c = c0s_ref[pl.ds(k0, size)]
+                c1c = c1s_ref[pl.ds(k0, size)]
+            else:
+                ref_chunk = ref_win_ref[pl.ds(k0, size)]
             if affine:
-                f_old = fstate_out_ref[pl.ds(k0, unroll)]
+                f_old = fstate_out_ref[pl.ds(k0, size)]
                 f_store = []
             store_vals = []
-            for u in range(unroll):
-                cctx = col_prep(ref_chunk[u])
+            for u in range(size):
+                cctx = ((c0c[u], c1c[u]) if use_cstream
+                        else col_prep(ref_chunk[u]))
                 up = old[u]
                 f_up = f_old[u] if affine else None
                 new_lefts, new_diags, new_evals = [], [], []
@@ -471,17 +488,24 @@ def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
                         cur = jnp.maximum(
                             jnp.maximum(diags[r] + sub, up + gap_ref),
                             lefts[r] + gap_read)
-                    cur = jnp.maximum(cur, neg_inf)
-                    in_band = masks[r][u]
+                    # Scalar band predicate (bounds ride scalar prefetch).
+                    cidx = k0 + u
+                    ib = (cidx >= lows[r]) & (cidx < lows[r] + band)
                     if local:
-                        cur = jnp.where(in_band, jnp.maximum(cur, 0), neg_inf)
-                        best = jnp.maximum(best, jnp.where(in_band, cur, zero))
+                        # the zero-clamp subsumes the NEG clamp; out-of-band
+                        # cells are exact -inf and can never win the best.
+                        cur = jnp.where(ib, jnp.maximum(cur, 0), neg_inf)
+                        best = jnp.maximum(best, cur)
                     else:
-                        cur = jnp.where(in_band, cur, neg_inf)
-                        lc_best = jnp.maximum(
-                            lc_best, jnp.where(wlc_mask[u], cur, neg_inf))
+                        cur = jnp.where(ib, jnp.maximum(cur, neg_inf),
+                                        neg_inf)
+                        lc_best = jnp.where(
+                            cidx == w_lastcol,
+                            jnp.maximum(lc_best, cur), lc_best)
                     if affine:
-                        f_up = jnp.where(in_band, f_val, neg_inf)
+                        # E/F NEG clamps pin them outside the band; no
+                        # explicit F band mask needed (_banded_align_kernel).
+                        f_up = f_val
                     new_diags.append(up)
                     new_lefts.append(cur)
                     up = cur
@@ -490,14 +514,21 @@ def _banded_tile_kernel(offs_ref, win_start_ref, prev_ws_ref, reads_ref,
                     evals = new_evals
                     f_store.append(f_up)     # row R-1's F value
                 store_vals.append(up)        # row R-1's H value
-            state_out_ref[pl.ds(k0, unroll)] = jnp.stack(store_vals)
+            state_out_ref[pl.ds(k0, size)] = jnp.stack(store_vals)
             if affine:
-                fstate_out_ref[pl.ds(k0, unroll)] = jnp.stack(f_store)
+                fstate_out_ref[pl.ds(k0, size)] = jnp.stack(f_store)
             return lefts, diags, evals, best, lc_best
 
         init = ([h_bound] * R, diag0s, [neg_inf] * R,
                 best_out_ref[0], best_out_ref[1])
-        _, _, _, best, lc_best = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+        carry = init
+        if win // run:
+            carry = jax.lax.fori_loop(
+                0, win // run, lambda c, cr: run_chunk(c * run, cr, run),
+                carry)
+        if win % run:
+            carry = run_chunk((win // run) * run, carry, win % run)
+        _, _, _, best, lc_best = carry
         best_out_ref[0] = best
         if not local:
             best_out_ref[1] = lc_best
@@ -532,9 +563,11 @@ def _banded_score_blocks(reads_b, refs_b, offsets, params, algorithm,
 
     kernel = functools.partial(
         _banded_tile_kernel, tile=tile, band=band, win=win,
-        shift_cap=shift_cap, n=n, params=params, local=local,
+        shift_cap=shift_cap, n=n, run=8 if interpret else 64,
+        params=params, local=local,
     )
     fstate_rows = state_rows if params.affine else 1
+    use_cstream = params.matrix is None
     call = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -554,6 +587,11 @@ def _banded_score_blocks(reads_b, refs_b, offsets, params, algorithm,
             ),
             scratch_shapes=[
                 pltpu.VMEM((win, BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                # column-context streams (placeholders in matrix mode)
+                pltpu.VMEM((win if use_cstream else 1,
+                            BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
+                pltpu.VMEM((win if use_cstream else 1,
+                            BLOCK_SUBLANES, BLOCK_LANES), jnp.int32),
             ],
         ),
         out_shape=(
