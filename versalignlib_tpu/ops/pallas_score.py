@@ -88,8 +88,10 @@ def make_sub_fn(params: AlignmentParameters, shift: int = 0):
     ``params.matrix``: a per-row table is built once per row group by
     ``row_prep`` (amortized over the whole ref sweep); ``col_prep`` computes
     per-column lookup state once, shared across the R wavefront rows; each
-    cell pays a gather-free VPU lookup (gathers don't vectorize on TPU;
-    one-hot MXU contraction loses to selects at these widths): biased
+    cell pays a gather-free VPU lookup (gathers don't vectorize on TPU; the
+    MXU is inapplicable — both lookup indices are lane-local, so a systolic
+    contraction can only materialize the whole (m, n) plane through HBM,
+    MEASURED 2.2-47x slower, MXU_PROBE.json): biased
     matrix entries bit-packed 8-per-word (entry span <= 15) or 4-per-word
     (span <= 255) — ceil(S/fields) selects + a lane-wise variable-shift
     field extract per cell — falling back to an (S-1)-select chain when the
