@@ -370,3 +370,35 @@ def test_http_align_raw_path_end_to_end(rng):
     want = [_alignment_json(a) for a in eng.compute_alignments(
         Algorithm.SMITH_WATERMAN, reads, refs)]
     assert out == want
+
+
+def test_http_align_cigar_only_fields(rng):
+    """/v1/align with fields=cigar: CIGAR-only native decode — same rows
+    minus the gapped strings, on both the raw and fallback paths."""
+    import http.client
+
+    for backend in ("pallas", "oracle"):
+        if backend == "pallas":
+            pytest.importorskip("versalignlib_tpu.native")
+        eng = AlignmentEngine(backend=backend)
+        reads, refs = _random_pairs(rng, 4, lo=10, hi=18)
+        with BatchingAligner(eng) as ba, AlignServer(ba) as server:
+            server.start()
+            conn = http.client.HTTPConnection(*server.address, timeout=120)
+
+            def post(body):
+                conn.request("POST", "/v1/align", json.dumps(body),
+                             {"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                assert resp.status == 200
+                return json.loads(resp.read())["alignments"]
+
+            full = post({"reads": reads, "refs": refs, "algorithm": "sw"})
+            compact = post({"reads": reads, "refs": refs, "algorithm": "sw",
+                            "fields": "cigar"})
+            conn.close()
+        assert all("read" in r and "ref" in r for r in full)
+        for f, c in zip(full, compact):
+            assert "read" not in c and "ref" not in c
+            assert c == {k: v for k, v in f.items()
+                         if k not in ("read", "ref")}, backend

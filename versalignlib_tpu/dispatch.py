@@ -169,12 +169,16 @@ class AlignmentEngine:
         )
 
     def compute_alignments(
-        self, algorithm: Algorithm, reads, refs, raw: bool = False
+        self, algorithm: Algorithm, reads, refs, raw: bool = False,
+        gapped: bool = True,
     ) -> list[Alignment]:
         """``raw=True`` (pallas backend only): return the
         :class:`~versalignlib_tpu.types.AlignmentBatch` column store instead
         of per-pair ``Alignment`` objects — no Python object materialization
-        (serving/bulk hot path; requires the native decoder)."""
+        (serving/bulk hot path; requires the native decoder).
+        ``gapped=False`` (raw only): CIGAR-only columns — the walk skips
+        gapped-string emission entirely (score/coords/CIGAR carry the same
+        information; the gapped buffers are a display format)."""
         reads_enc, refs_enc = self._prepare(reads, refs)
         if raw:
             if self.mesh is not None or self.backend.name != "pallas":
@@ -182,7 +186,7 @@ class AlignmentEngine:
                                  "backend without a mesh")
             return self.backend.compute_alignments(
                 algorithm, reads_enc, refs_enc, self.params, self.tie,
-                device_walk=self.device_walk, raw=True,
+                device_walk=self.device_walk, raw=True, gapped=gapped,
             )
         if self.mesh is not None:
             # Production pod path: every shard runs the packed Pallas fill

@@ -52,7 +52,7 @@ class PallasBackend:
 
     def compute_alignments(self, algorithm, reads, refs, params, tie,
                            device_walk: bool | None = None,
-                           raw: bool = False):
+                           raw: bool = False, gapped: bool = True):
         """``device_walk``: walk the pointer matrix on device (linear AND
         affine) and ship per-row records instead of the packed pointer
         stream — see ops/walk.py (bit-identical, 5-15x e2e on narrow
@@ -70,7 +70,7 @@ class PallasBackend:
             return pallas_align_affine_batch(
                 reads, refs, params, Algorithm(algorithm), tie,
                 interpret=self._scorer.interpret, device_walk=device_walk,
-                raw=raw,
+                raw=raw, gapped=gapped,
             )
         try:
             from versalignlib_tpu.ops.pallas_align import pallas_align_batch
@@ -78,7 +78,7 @@ class PallasBackend:
             return pallas_align_batch(
                 reads, refs, params, Algorithm(algorithm), tie,
                 interpret=self._scorer.interpret, device_walk=device_walk,
-                raw=raw,
+                raw=raw, gapped=gapped,
             )
         except ImportError:
             if raw:

@@ -49,8 +49,10 @@ from versalignlib_tpu.utils.logging import get_logger
 
 _log = get_logger("serve")
 
-#: Request modes: score-only (int per pair) or full traceback.
-MODES = ("score", "align")
+#: Request modes: score-only (int per pair), full traceback, or
+#: CIGAR-only traceback (no gapped strings — the native walk skips their
+#: emission entirely; smaller responses for SAM-bound clients).
+MODES = ("score", "align", "align_cigar")
 
 _ALGO_NAMES = {
     "sw": Algorithm.SMITH_WATERMAN,
@@ -352,10 +354,12 @@ class BatchingAligner:
                 # futures resolve to AlignmentBatch slices and the HTTP
                 # layer serializes straight from the columns. Falls back
                 # to materialized objects on other backends.
+                # "align_cigar" decodes CIGAR-only (gapped=False): the
+                # walk never emits gapped strings.
                 try:
                     results = self.engine.compute_alignments(
-                        algorithm, reads_enc, refs_enc, raw=True).slice(
-                            0, n_pairs)
+                        algorithm, reads_enc, refs_enc, raw=True,
+                        gapped=(mode == "align")).slice(0, n_pairs)
                 except (ValueError, ImportError):
                     results = self.engine.compute_alignments(
                         algorithm, reads_enc, refs_enc)[:n_pairs]
@@ -393,12 +397,16 @@ class BatchingAligner:
 # HTTP front end (stdlib-only)
 # ---------------------------------------------------------------------------
 
-def _alignment_json(a: Alignment) -> dict:
-    return {
-        "read": a.read, "ref": a.ref, "score": a.score, "cigar": a.cigar,
+def _alignment_json(a: Alignment, gapped: bool = True) -> dict:
+    row = {
+        "score": a.score, "cigar": a.cigar,
         "read_start": a.read_start, "read_end": a.read_end,
         "ref_start": a.ref_start, "ref_end": a.ref_end,
     }
+    if gapped:
+        row["read"] = a.read
+        row["ref"] = a.ref
+    return row
 
 
 class AlignServer:
@@ -408,7 +416,8 @@ class AlignServer:
 
         POST /v1/score  {"reads": [...], "refs": [...], "algorithm": "sw"}
             -> {"scores": [...]}
-        POST /v1/align  (same body)
+        POST /v1/align  (same body; optional "fields": "cigar" skips the
+                         gapped read/ref strings — CIGAR-only native decode)
             -> {"alignments": [{read, ref, score, cigar, ...}, ...]}
         POST /v1/map    {"reads": [...], "panel": [...], "algorithm": "sw",
                          "both_strands": true, "align": false}
@@ -604,6 +613,8 @@ class AlignServer:
                 req = self._read_json()
                 if req is None:
                     return
+                if mode == "align" and req.get("fields") == "cigar":
+                    mode = "align_cigar"
                 try:
                     reads = req["reads"]
                     refs = req["refs"]
@@ -636,8 +647,9 @@ class AlignServer:
                 if mode == "score":
                     self._reply(200, {"scores": result})
                 elif isinstance(result, list):
-                    self._reply(200, {
-                        "alignments": [_alignment_json(a) for a in result]})
+                    self._reply(200, {"alignments": [
+                        _alignment_json(a, gapped=(mode == "align"))
+                        for a in result]})
                 else:
                     self._reply(200, {"alignments": result.to_json_rows()})
 
