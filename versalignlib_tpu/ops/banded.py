@@ -736,15 +736,8 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
     the tile containing it] — both written at the final tile.
     """
     affine = params.affine
-    match = jnp.int32(params.score_match)
-    mismatch = jnp.int32(params.score_mismatch)
-    gap_read = jnp.int32(params.score_gap_read)
-    gap_ref = jnp.int32(params.score_gap_ref)
-    open_r = jnp.int32(params.gap_open_read)
-    open_f = jnp.int32(params.gap_open_ref)
     zero = jnp.zeros((BLOCK_SUBLANES, BLOCK_LANES), jnp.int32)
     neg_inf = jnp.full((BLOCK_SUBLANES, BLOCK_LANES), NEG_INF_I32, jnp.int32)
-    bits = 4 if affine else 2
     pack = 8
     n_chunks = win // pack
     g = pl.program_id(0)
