@@ -969,8 +969,10 @@ def _banded_align_kernel(offs_ref, ws_ref, reads_ref, mrp_ref, refs_hbm,
                     cur = cur_p & ~3               # H << 2, priority cleared
                     if affine:
                         code = (cur_p & 3) \
-                            | ((e_val == e_raw).astype(jnp.int32) << 2) \
-                            | ((f_val == f_raw).astype(jnp.int32) << 3)
+                            | jnp.where(e_val == e_raw, jnp.int32(4),
+                                        jnp.int32(0)) \
+                            | jnp.where(f_val == f_raw, jnp.int32(8),
+                                        jnp.int32(0))
                         # extend bits must read START (0) out of band
                         code = jnp.where(ib, code, 0)
                         words[r] = words[r] | (code << (4 * u))

@@ -884,9 +884,13 @@ def _affine_align_kernel(*refs_args, m_pad, n, pack, wpg, R,
                         if local:
                             cur_p = jnp.maximum(cur_p, 0)
                     cur = cur_p & ~3                 # H << 2, priority cleared
+                    # where(eq, const, 0) in place of astype<<shift: one
+                    # select instead of select+shift per extend flag.
                     code = (cur_p & 3) \
-                        | ((e_pre == evals[r]).astype(jnp.int32) << 2) \
-                        | ((f_pre == f_up).astype(jnp.int32) << 3)
+                        | jnp.where(e_pre == evals[r], jnp.int32(4),
+                                    jnp.int32(0)) \
+                        | jnp.where(f_pre == f_up, jnp.int32(8),
+                                    jnp.int32(0))
                     words[r] = words[r] | (code << (4 * u))
 
                     gt = cur > bests[r]
